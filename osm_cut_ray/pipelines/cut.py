@@ -1,0 +1,208 @@
+"""The polygon-cut pipeline — the reference's flagship computation.
+
+Reproduces the two modes of /root/reference (complete / non-complete
+object retention) as explicit Ray Data passes over three tables
+(nodes, ways, relations) instead of a single-process streaming FSM
+(src/osm_processor.erl, src/osm_process_complete.erl,
+src/osm_process_non_complete.erl). Semantics per SURVEY.md §2.4:
+
+J1  way ⋉ selected-nodes semi-join: a way is kept iff >=1 referenced
+    node is inside (complete: osm_process_complete.erl:86-100;
+    non-complete: osm_process_non_complete.erl:75-87).
+J2  complete-mode back-join: refs of kept ways that lie outside the
+    polygon are deduped and their nodes re-emitted
+    (osm_process_complete.erl:94,218-227,136-152) — here a two-phase
+    groupby-aggregate join on node_id.
+J3  relation ⋉ members semi-join (osm_process_complete.erl:109-134).
+J4  relation transitive closure: a relation is kept iff it
+    (transitively) contains a kept element; unbounded depth, computed
+    at end-of-stream (osm_process_complete.erl:229-251). Non-complete
+    mode is a single forward pass in file order — member relations
+    must precede their parents (osm_process_non_complete.erl:90-105);
+    we define "file order" as ascending relation id.
+J5  final member re-projection against the closed membership set
+    (osm_process_complete.erl:181-187,253-257).
+M8  way node-list rewrite: non-complete mode filters the list to
+    inside nodes (osm_process_non_complete.erl:79-87); complete mode
+    writes the FULL original list (osm_process_complete.erl:94-100,
+    155-157) — divergence pinned by test/processor_SUITE.erl:195-246.
+
+Scale notes: only slim (id, flag) projections transit the shuffles —
+wide payload columns are re-attached by a final semi-join against the
+id sets. The relation graph is ~1e-4 of the corpus (SURVEY J4), so the
+closure runs on the driver over a collected edge list; everything else
+streams. The membership id sets use the broadcast path when they fit
+(`ray.put` once, `pc.is_in` per batch) and refuse silently huge
+broadcasts (stages.join.BROADCAST_MAX_KEYS) in favor of the shuffle
+semi-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Max
+
+from ..geometry.polygon import PolygonIndex
+from ..stages import join as J
+from ..stages.list_ops import rewrite_id_list, rewrite_member_list
+from ..stages.pip import apply_pip
+
+
+@dataclass
+class CutResult:
+    nodes: Dataset       # kept nodes (original columns)
+    ways: Dataset        # kept ways, node_ids rewritten per mode
+    relations: Dataset   # kept relations, members re-projected (J5)
+    node_ids: np.ndarray
+    way_ids: np.ndarray
+    rel_ids: np.ndarray
+
+    def kept_table(self) -> pa.Table:
+        """(elem_type, id) membership set — the golden comparison form
+        (order-insensitive row-set parity, SURVEY §2.6)."""
+        return pa.table({
+            "elem_type": (["node"] * len(self.node_ids)
+                          + ["way"] * len(self.way_ids)
+                          + ["relation"] * len(self.rel_ids)),
+            "id": np.concatenate([self.node_ids, self.way_ids,
+                                  self.rel_ids]).astype(np.int64),
+        })
+
+
+def _inside_node_ids(nodes: Dataset, polygon: PolygonIndex, *,
+                     id_col: str, lon_col: str, lat_col: str,
+                     concurrency) -> np.ndarray:
+    flagged = apply_pip(nodes.select_columns([id_col, lon_col, lat_col]),
+                        polygon, concurrency=concurrency,
+                        lon_col=lon_col, lat_col=lat_col)
+    inside = flagged.map_batches(
+        lambda t: t.filter(t["inside"]).select([id_col]),
+        batch_format="pyarrow")
+    return J.collect_key_array(inside, id_col)
+
+
+def _kept_way_ids(way_pairs: Dataset, inside_ids: np.ndarray) -> np.ndarray:
+    """J1: hash-aggregate `any referenced node inside` per way.
+
+    Pre-aggregates inside map_batches (per-batch max per way) before
+    the global groupby so the shuffle moves one row per (way, batch),
+    not one per referenced node.
+    """
+    flagged = J.broadcast_is_in(way_pairs, "node_id", inside_ids,
+                                mode="flag", out_col="in_poly")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["way_id"]).aggregate([("in_poly", "max")])\
+            .rename_columns(["way_id", "in_poly"])
+
+    per_way = flagged.map_batches(partial, batch_format="pyarrow")\
+        .groupby("way_id").aggregate(Max("in_poly", alias_name="any_in"))
+    parts = [t for t in per_way.iter_batches(batch_size=None,
+                                             batch_format="pyarrow")]
+    if not parts:
+        return np.array([], np.int64)
+    tbl = pa.concat_tables(parts)
+    return tbl.filter(pc.equal(tbl["any_in"], True))["way_id"]\
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
+        polygon: PolygonIndex, *, complete: bool = True,
+        id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
+        pip_concurrency=None) -> CutResult:
+    """Run the polygon cut. `ways.node_ids` is list<int64>,
+    `relations.members` is list<struct<type,ref,role>>."""
+
+    # --- phase 1: PIP over points (M6) ---
+    inside_ids = _inside_node_ids(nodes, polygon, id_col=id_col,
+                                  lon_col=lon_col, lat_col=lat_col,
+                                  concurrency=pip_concurrency)
+
+    # --- phase 2: ways (J1 + J2/M8) ---
+    way_pairs = J.explode(ways.select_columns([id_col, "node_ids"])
+                          .map_batches(lambda t: t.rename_columns(
+                              ["way_id", "node_ids"]),
+                              batch_format="pyarrow"),
+                          ["way_id"], "node_ids", "node_id")
+    way_ids = _kept_way_ids(way_pairs, inside_ids)
+
+    if complete:
+        # J2: distinct refs of kept ways (incl. outside nodes) back-join
+        kept_pairs = J.broadcast_is_in(way_pairs, "way_id", way_ids,
+                                       mode="semi")
+        needed = J.collect_key_array(kept_pairs, "node_id")
+        node_ids = np.union1d(inside_ids, needed)
+    else:
+        node_ids = inside_ids
+
+    # --- phase 3: relations (J3 + J4) ---
+    mem = J.explode(relations.select_columns([id_col, "members"])
+                    .map_batches(lambda t: t.rename_columns(
+                        ["rel_id", "members"]), batch_format="pyarrow"),
+                    ["rel_id"], "members", "m")
+    mem = mem.map_batches(
+        lambda t: pa.table({
+            "rel_id": t["rel_id"],
+            "m_type": pc.struct_field(t["m"], "type"),
+            "m_ref": pc.struct_field(t["m"], "ref"),
+        }), batch_format="pyarrow")
+    # relation graph + direct matches are tiny vs the corpus (SURVEY J4):
+    # collect to the driver and close there.
+    mem_tbl = pa.concat_tables(
+        list(mem.iter_batches(batch_size=None, batch_format="pyarrow")))
+    mt = mem_tbl["m_type"].to_numpy(zero_copy_only=False)
+    mref = mem_tbl["m_ref"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mrel = mem_tbl["rel_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    node_set = set(node_ids.tolist())
+    way_set = set(way_ids.tolist())
+    direct = set(mrel[((mt == "node") & np.isin(mref, node_ids))
+                      | ((mt == "way") & np.isin(mref, way_ids))].tolist())
+    edges = list(zip(mref[mt == "relation"].tolist(),
+                     mrel[mt == "relation"].tolist()))  # (child, parent)
+
+    if complete:
+        # J4: unbounded fixpoint — parents of kept relations are kept.
+        kept = set(direct)
+        changed = True
+        while changed:
+            changed = False
+            for child, parent in edges:
+                if child in kept and parent not in kept:
+                    kept.add(parent)
+                    changed = True
+    else:
+        # single forward pass in id order (non_complete.erl:90-105)
+        kept = set()
+        by_parent: dict[int, list[int]] = {}
+        for child, parent in edges:
+            by_parent.setdefault(parent, []).append(child)
+        for rid in sorted(set(mrel.tolist())):
+            if rid in direct or any(c in kept
+                                    for c in by_parent.get(rid, ())):
+                kept.add(rid)
+    rel_ids = np.array(sorted(kept), dtype=np.int64)
+
+    # --- phase 4: emit (semi-join payloads + rewrites) ---
+    out_nodes = J.broadcast_is_in(nodes, id_col, node_ids, mode="semi")
+    out_ways = J.broadcast_is_in(ways, id_col, way_ids, mode="semi")
+    if not complete:
+        keep_arr = pa.array(node_ids)
+        out_ways = out_ways.map_batches(
+            lambda t: rewrite_id_list(t, "node_ids", keep_arr),
+            batch_format="pyarrow")  # M8 (non-complete only)
+    out_rels = J.broadcast_is_in(relations, id_col, rel_ids, mode="semi")
+    na, wa, ra = pa.array(node_ids), pa.array(way_ids), pa.array(rel_ids)
+    out_rels = out_rels.map_batches(
+        lambda t: rewrite_member_list(t, "members", na, wa, ra),
+        batch_format="pyarrow")  # J5/M7
+
+    return CutResult(nodes=out_nodes, ways=out_ways, relations=out_rels,
+                     node_ids=node_ids.astype(np.int64), way_ids=way_ids,
+                     rel_ids=rel_ids)

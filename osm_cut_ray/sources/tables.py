@@ -1,0 +1,36 @@
+"""Table sources (reference: streaming XML source S1, osm_parser.erl:26-48).
+
+The reference SAX-parses OSM XML incrementally; our inputs are columnar
+(Parquet today, Lance when the library is present), so the "source" is
+``ray.data.read_parquet`` with column pruning and predicate pushdown —
+streaming block reads replace the 100 KB SAX chunks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def sf_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs):
+    """Read a columnar table as a streaming Dataset.
+
+    Prefers Lance when a `.lance` path is given and the lance reader is
+    available (the production format per BASELINE.json); otherwise
+    Parquet. Always pass `columns` in pipelines — a read that loads all
+    columns for a narrow transform is wrong at 100 TB.
+    """
+    if path.endswith(".lance"):
+        try:
+            return rd.read_lance(path, columns=columns, **kwargs)
+        except (AttributeError, ImportError) as exc:  # lance not installed here
+            raise NotImplementedError(
+                "Lance reader unavailable in this environment; "
+                "use parquet inputs"
+            ) from exc
+    return rd.read_parquet(path, columns=columns, **kwargs)

@@ -1,0 +1,206 @@
+"""Join / explode / distinct building blocks (reference J1-J5 patterns).
+
+The reference holds a single-process membership set and checks ids
+against it (src/osm_set.erl:29-63); at Ray scale that state becomes
+either a broadcast id array (`ray.put` once + `pc.is_in` per batch —
+small side) or an explicit hash-shuffle semi-join (`groupby(key)` over
+a tagged union — both sides large). The explode/regroup pair turns
+list columns (way node lists, relation member lists) into shuffleable
+pair tables and back, the columnar analog of the reference's per-way
+`lists:partition` (src/osm_process_complete.erl:86-100).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+# Above this many distinct keys the broadcast path is refused and the
+# shuffle path used instead (keys no longer fit comfortably per-actor).
+BROADCAST_MAX_KEYS = 20_000_000
+
+
+# --------------------------------------------------------------- explode
+
+def explode_batch(t: pa.Table, id_cols: list[str], list_col: str,
+                  value_col: str = "value",
+                  pos_col: str | None = None) -> pa.Table:
+    """Vectorized unnest of a list column: one output row per element.
+
+    Pure Arrow/numpy — no Python row loop. Null/empty lists produce no
+    rows (matching the reference, which simply iterates the list).
+    """
+    col = t[list_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pc.fill_null(pc.list_value_length(col), 0)\
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    values = pc.list_flatten(col)
+    parent = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+    cols = {c: t[c].take(pa.array(parent)) for c in id_cols}
+    cols[value_col] = values
+    if pos_col is not None:
+        starts = np.zeros(len(t), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        cols[pos_col] = pa.array(
+            np.arange(int(lengths.sum()), dtype=np.int64)
+            - np.repeat(starts, lengths))
+    return pa.table(cols)
+
+
+def explode(ds, id_cols: list[str], list_col: str, value_col: str = "value",
+            pos_col: str | None = None):
+    return ds.map_batches(
+        lambda t: explode_batch(t, id_cols, list_col, value_col, pos_col),
+        batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- distinct
+
+def distinct(ds, cols: list[str]):
+    """Exact distinct = pre-dedup per batch, then hash-shuffle groupby.
+
+    The per-batch combiner shrinks the shuffle input (A2:
+    src/osm_process_complete.erl:218-227 dedups refs in a gb_set before
+    the replay join).
+    """
+    slim = ds.select_columns(cols).map_batches(
+        lambda t: t.group_by(cols).aggregate([]), batch_format="pyarrow")
+    return slim.groupby(cols[0] if len(cols) == 1 else cols).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ----------------------------------------------------- broadcast id joins
+
+def collect_key_array(ds, col: str) -> np.ndarray:
+    """Driver-side distinct key collection for the broadcast path.
+
+    Only for sets known to be broadcastable (<= BROADCAST_MAX_KEYS);
+    raises otherwise so a pipeline can't silently materialize a huge
+    side on the driver.
+    """
+    parts = [t[col].to_numpy(zero_copy_only=False)
+             for t in ds.select_columns([col]).map_batches(
+                 lambda t: t.group_by([col]).aggregate([]),
+                 batch_format="pyarrow").iter_batches(
+                     batch_size=None, batch_format="pyarrow")]
+    keys = np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
+    if len(keys) > BROADCAST_MAX_KEYS:
+        raise ValueError(
+            f"{len(keys)} keys exceed broadcast limit; use shuffle join")
+    return keys
+
+
+class _IsInStage:
+    """Actor: holds the broadcast key set, appends/filters via pc.is_in."""
+
+    def __init__(self, keys_ref, col: str, mode: str, out_col: str):
+        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) \
+            else keys_ref
+        self.keys = pa.array(keys)
+        self.col = col
+        self.mode = mode
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hit = pc.is_in(t[self.col], value_set=self.keys)
+        hit = pc.fill_null(hit, False)
+        if self.mode == "semi":
+            return t.filter(hit)
+        if self.mode == "anti":
+            return t.filter(pc.invert(hit))
+        return t.append_column(self.out_col, hit)  # mode == "flag"
+
+
+def broadcast_is_in(ds, col: str, keys: np.ndarray, mode: str = "semi",
+                    out_col: str = "hit", concurrency=None):
+    """Semi/anti join or membership flag against a broadcast key set."""
+    if concurrency is None:
+        from .pip import default_pool_size
+        concurrency = default_pool_size()
+    ref = ray.put(np.asarray(keys))
+    return ds.map_batches(
+        _IsInStage,
+        fn_constructor_kwargs={"keys_ref": ref, "col": col, "mode": mode,
+                               "out_col": out_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+# ------------------------------------------------------- shuffle joins
+
+def _align_for_union(left, right_keys, key: str):
+    """Project both sides to a common (key, __side) schema."""
+    lk = left.select_columns([key]).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(len(t), np.int8))),
+        batch_format="pyarrow")
+    rk = right_keys.select_columns([key]).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow")
+    return lk, rk
+
+
+def shuffle_semi_join_keys(left, right_keys, key: str):
+    """Distinct left keys that also appear in right_keys — a pure
+    hash-shuffle semi-join on the key column (both sides large).
+
+    Returns a Dataset with the single `key` column. The caller then
+    flags/filters the (wide) left rows against this much smaller key
+    set, so wide payloads never transit the shuffle (SURVEY §7.4:
+    "image bytes must never transit the J1-J5 shuffles").
+    """
+    lk, rk = _align_for_union(left, right_keys, key)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["__side"] == 1).any() and (g["__side"] == 0).any():
+            return g.iloc[:1][[key]]
+        return g.iloc[:0][[key]]
+
+    return lk.union(rk).groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def shuffle_inner_join(left, right, key: str, num_partitions: int | None = None):
+    """General hash equi-join: tagged union -> groupby(key) -> pandas
+    merge per key group. Portable across Ray versions; used when both
+    sides are too large to broadcast. Prefer joining slim projections.
+    """
+    lschema: pa.Schema = left.schema().base_schema
+    rschema: pa.Schema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    shared = [c for c in rcols if c in lcols and c != key]
+    if shared:
+        raise ValueError(f"rename overlapping columns first: {shared}")
+
+    # Ray's union does NOT unify differing schemas — pad each side with
+    # typed null columns so every block carries the full column set.
+    pad_for_left = [(c, rschema.field(c).type) for c in rcols if c != key]
+    pad_for_right = [(c, lschema.field(c).type) for c in lcols if c != key]
+
+    def tag(side, pad):
+        def f(t: pa.Table) -> pa.Table:
+            for c, typ in pad:
+                t = t.append_column(c, pa.nulls(len(t), typ))
+            return t.select([key] + [c for c in lcols + rcols if c != key])\
+                .append_column("__side",
+                               pa.array(np.full(len(t), side, np.int8)))
+        return f
+
+    lt = left.map_batches(tag(0, pad_for_left), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, pad_for_right), batch_format="pyarrow")
+
+    out_cols = lcols + [c for c in rcols if c != key]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0]
+        rg = g[g["__side"] == 1]
+        if lg.empty or rg.empty:
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype)
+                                 for c in out_cols})
+        return lg[lcols].merge(rg[[key] + [c for c in rcols if c != key]],
+                               on=key)
+
+    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")

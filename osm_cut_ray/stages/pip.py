@@ -1,0 +1,77 @@
+"""PIP stage — the flagship filter (reference M6/T1).
+
+The reference applies a compiled polygon closure per streamed node
+(src/osm_process_complete.erl:67-83); here the compiled
+`PolygonIndex` is broadcast once via `ray.put` and rehydrated in each
+actor's `__init__` (once per worker, amortized over every batch), then
+evaluated vectorized over whole Arrow batches — never `ds.filter(row_fn)`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..geometry.geotag import decode_geotag
+from ..geometry.polygon import PolygonIndex
+
+
+class PIPStage:
+    """Callable class for ``map_batches(PIPStage, concurrency=N, ...)``.
+
+    Reads (lon, lat) columns — or decodes them from `phash` when
+    ``from_phash=True`` (the graft image-corpus path) — and appends a
+    boolean ``inside`` column. Zero-copy Arrow in/out.
+    """
+
+    def __init__(self, index_ref, lon_col: str = "lon", lat_col: str = "lat",
+                 out_col: str = "inside", from_phash: bool = False,
+                 phash_col: str = "phash"):
+        self.idx: PolygonIndex = (ray.get(index_ref)
+                                  if isinstance(index_ref, ray.ObjectRef)
+                                  else index_ref)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.out_col = out_col
+        self.from_phash = from_phash
+        self.phash_col = phash_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.from_phash:
+            lon, lat = decode_geotag(
+                batch[self.phash_col].to_numpy(zero_copy_only=False))
+        else:
+            lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+            lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        inside = self.idx.contains(np.asarray(lon, np.float64),
+                                   np.asarray(lat, np.float64))
+        return batch.append_column(self.out_col, pa.array(inside))
+
+
+def default_pool_size() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: leave head
+    room for the read/write stages so the pool doesn't starve them."""
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, ncpu - 2))
+
+
+def apply_pip(ds, index: PolygonIndex, *, concurrency=None, batch_size=65536,
+              **stage_kwargs):
+    """Attach an `inside` column via an actor pool holding the index.
+
+    `concurrency=None` autoscales the pool to the cluster size; pass an
+    int or (min, max) to pin it. The index travels through the object
+    store exactly once (ray.put), not per task.
+    """
+    if concurrency is None:
+        concurrency = default_pool_size()
+    ref = ray.put(index)
+    return ds.map_batches(
+        PIPStage,
+        fn_constructor_kwargs={"index_ref": ref, **stage_kwargs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
