@@ -1,0 +1,87 @@
+"""Derive OSM-shaped tables (nodes / ways / relations) from the events
+table — deterministic, mirrored by the SQL oracle CTEs in queries.py.
+
+- nodes:      one per event; (id=event_id, lon/lat dyadic formulas).
+- ways:       one per user; node_ids = that user's event ids (sorted).
+- relations:  one per user u with members:
+                way u                              (always)
+                node min(event_id of u)            (if u is odd)
+                relation (u - REL_STEP)            (if that user exists)
+  The relation->relation edges form ascending chains, giving the
+  transitive-closure J4 real multi-hop work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sources.tables import sf_path
+from .derive import REL_STEP, points_batch
+
+
+def derive_nodes(sf_dir: str):
+    ev = rd.read_parquet(sf_path(sf_dir, "events"), columns=["event_id"])
+    return ev.map_batches(points_batch, batch_format="pyarrow")
+
+
+def derive_way_pairs(sf_dir: str):
+    """Normalized (way_id, node_id) pair table — the shuffle-friendly
+    form (J1 operates on this directly)."""
+    ev = rd.read_parquet(sf_path(sf_dir, "events"),
+                         columns=["user_id", "event_id"])
+    return ev.map_batches(
+        lambda t: pa.table({"way_id": t["user_id"], "node_id": t["event_id"]}),
+        batch_format="pyarrow")
+
+
+def derive_ways(sf_dir: str):
+    """List-column form (way_id, node_ids) via keyed regroup."""
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": [int(g["user_id"].iloc[0])],
+            "node_ids": [sorted(int(x) for x in g["event_id"])],
+        })
+    ev = rd.read_parquet(sf_path(sf_dir, "events"),
+                         columns=["user_id", "event_id"])
+    ds = ev.groupby("user_id").map_groups(build, batch_format="pandas")
+    return ds.map_batches(
+        lambda t: pa.table({
+            "id": t["id"].cast(pa.int64()),
+            "node_ids": t["node_ids"].cast(pa.list_(pa.int64())),
+        }), batch_format="pyarrow")
+
+
+def derive_relations(sf_dir: str):
+    ev = rd.read_parquet(sf_path(sf_dir, "events"),
+                         columns=["user_id", "event_id"])
+    per_user = ev.groupby("user_id").map_groups(
+        lambda g: pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                                "min_event": [int(g["event_id"].min())]}),
+        batch_format="pandas")
+    rows = per_user.take_all()  # one row per user: tiny (relations are
+    # ~1e-4 of the corpus — same argument as the J4 driver closure)
+    users = {int(r["user_id"]) for r in rows}
+    ids, members = [], []
+    for r in sorted(rows, key=lambda r: r["user_id"]):
+        u = int(r["user_id"])
+        m = [{"type": "way", "ref": u, "role": ""}]
+        if u % 2 == 1:
+            m.append({"type": "node", "ref": int(r["min_event"]),
+                      "role": ""})
+        if (u - REL_STEP) in users:
+            m.append({"type": "relation", "ref": u - REL_STEP, "role": ""})
+        ids.append(u)
+        members.append(m)
+    tbl = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "members": pa.array(members, pa.list_(pa.struct([
+            ("type", pa.large_string()), ("ref", pa.int64()),
+            ("role", pa.large_string())]))),
+        "tags": pa.array([[]] * len(ids),
+                         pa.map_(pa.large_string(), pa.large_string())),
+    })
+    return rd.from_arrow(tbl)

@@ -1,0 +1,899 @@
+"""The operator-coverage query suite + DuckDB oracle SQL.
+
+Each entry is a full Ray Data pipeline over the sf parquet tables plus
+(where SQL-expressible) an equivalent ANSI-SQL string for the driver's
+DuckDB parity check (row count + schema + order-insensitive value
+hash). Column names match exactly between both sides.
+
+Determinism discipline (see derive.py): dyadic coordinates, convex
+oracle polygon, int64-quantized aggregate inputs, rounded cosines with
+id tie-breaks.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..geometry import cells as CellsMod
+from ..geometry.geotag import decode_geotag
+from ..geometry.polygon import PolygonIndex
+from ..sources.images import ImageDecodeStage, images_batch_from_keys
+from ..sources.tables import sf_path
+from ..stages import join as J
+from ..stages import window as W
+from ..stages.dedup import (SimHasher, embedding_dup_pairs,
+                            minhash_lsh_pairs)
+from ..stages.knn import knn_brute, knn_ivf
+from ..stages.pip import apply_pip, default_pool_size
+from ..stages.text import LangId, TextStats, md5_fingerprint
+from . import derive as D
+from . import osm_derive as OD
+from .cut import cut
+
+QUERIES: dict[str, Callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def collect(ds) -> pa.Table:
+    parts = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(sf_path(sf_dir, table), columns=columns)
+
+
+# ======================================================================
+# spatial: PIP + tiles (M6, cell assignment)
+# ======================================================================
+
+_PENTAGON_IDX = None
+
+
+def pentagon_index() -> PolygonIndex:
+    global _PENTAGON_IDX
+    if _PENTAGON_IDX is None:
+        _PENTAGON_IDX = PolygonIndex.compile([("include", D.PENTAGON)])
+    return _PENTAGON_IDX
+
+
+_PTS_CTE = (f"pts AS (SELECT event_id AS id, {D.sql_lon('event_id')} AS lon,"
+            f" {D.sql_lat('event_id')} AS lat FROM events)")
+
+
+@q("pip_points", f"""
+WITH {_PTS_CTE}
+SELECT id, lon, lat, {D.sql_convex_pip()} AS inside FROM pts
+""")
+def pip_points(sf_dir: str):
+    nodes = OD.derive_nodes(sf_dir)
+    return collect(apply_pip(nodes, pentagon_index()))
+
+
+@q("tile_assign_grid", f"""
+WITH {_PTS_CTE}
+SELECT id, {D.sql_grid_cell()} AS cell FROM pts
+""")
+def tile_assign_grid(sf_dir: str):
+    nodes = OD.derive_nodes(sf_dir)
+    return collect(nodes.map_batches(
+        lambda t: pa.table({
+            "id": t["id"],
+            "cell": CellsMod.grid_cell(
+                t["lon"].to_numpy(), t["lat"].to_numpy(), D.GRID_DEG)}),
+        batch_format="pyarrow"))
+
+
+def _shifted_pentagon(p: int) -> list[tuple[float, float]]:
+    dx = 30.0 * p - 30.0
+    return [(x + dx, y) for x, y in D.PENTAGON]
+
+
+def _raster_vector_sql() -> str:
+    cases = []
+    for p in range(3):
+        pred = D.sql_convex_pip("cx", "cy", _shifted_pentagon(p))
+        cases.append(f"SELECT cell, {p} AS poly_id FROM tiles WHERE {pred}")
+    return f"""
+WITH {_PTS_CTE},
+cells AS (SELECT DISTINCT {D.sql_grid_cell()} AS cell FROM pts),
+tiles AS (SELECT cell,
+  ((cell // 4294967296) + 0.5) * {D.GRID_DEG} - 180.0 AS cx,
+  ((cell % 4294967296) + 0.5) * {D.GRID_DEG} - 90.0 AS cy FROM cells)
+{' UNION ALL '.join(cases)}
+"""
+
+
+@q("raster_vector_join", _raster_vector_sql())
+def raster_vector_join(sf_dir: str):
+    """Raster-tile <-> vector-polygon join: tiles (grid cells of the
+    point corpus) matched to the polygons containing their centers.
+    Engine path: distinct cells via hash groupby, then the real
+    ray-cast kernel per polygon over tile centers (cell-key equi-join
+    shape per SURVEY J-graft)."""
+    nodes = OD.derive_nodes(sf_dir)
+    tiles = nodes.map_batches(
+        lambda t: pa.table({"cell": CellsMod.grid_cell(
+            t["lon"].to_numpy(), t["lat"].to_numpy(), D.GRID_DEG)}),
+        batch_format="pyarrow")
+    distinct_cells = tiles.groupby("cell").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    polys = [PolygonIndex.compile([("include", _shifted_pentagon(p))])
+             for p in range(3)]
+
+    def match(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((cell // 4294967296) + 0.5) * D.GRID_DEG - 180.0
+        cy = ((cell % 4294967296) + 0.5) * D.GRID_DEG - 90.0
+        out_c, out_p = [], []
+        for p, idx in enumerate(polys):
+            hit = idx.contains(cx, cy)
+            out_c.append(cell[hit])
+            out_p.append(np.full(int(hit.sum()), p, np.int32))
+        return pa.table({"cell": np.concatenate(out_c),
+                         "poly_id": np.concatenate(out_p)})
+
+    return collect(distinct_cells.map_batches(match, batch_format="pyarrow"))
+
+
+_QLON, _QLAT = D.sql_quantized_lonlat("img_key")
+
+
+@q("image_tile_assign", f"""
+WITH imgs AS (SELECT {D.SQL_IMAGE_ID} AS img_key FROM lineitem)
+SELECT printf('img%08d', img_key) AS image_id,
+       {D.sql_grid_cell(_QLON, _QLAT)} AS cell,
+       printf('caption for img%08d', img_key) AS caption
+FROM imgs
+""")
+def image_tile_assign(sf_dir: str):
+    """Flagship graft slice: synthesize the input_hint image table from
+    lineitem keys, route the geotag through the int64 phash, assign
+    tiles. The oracle replays the phash quantization in SQL."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    imgs = li.map_batches(
+        lambda t: images_batch_from_keys(D.image_ids_from_lineitem(t)),
+        batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon, lat = decode_geotag(t["phash"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "image_id": t["image_id"],
+            "cell": CellsMod.grid_cell(lon, lat, D.GRID_DEG),
+            "caption": t["caption"]})
+
+    return collect(imgs.map_batches(assign, batch_format="pyarrow"))
+
+
+@q("image_decode_meta")  # no SQL oracle: codec not expressible in SQL
+def image_decode_meta(sf_dir: str):
+    """Multimodal decode stage: actor pool decodes the binary column,
+    enforces the per-row invariant (exact/PSNR>=40dB), emits features."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    imgs = li.map_batches(
+        lambda t: images_batch_from_keys(D.image_ids_from_lineitem(t)),
+        batch_format="pyarrow")
+    dec = imgs.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                           concurrency=default_pool_size(), batch_size=2048)
+    return collect(dec.select_columns(
+        ["image_id", "dec_w", "dec_h", "mean_px"]))
+
+
+# ======================================================================
+# the cut itself (J1-J5) vs a recursive-CTE oracle
+# ======================================================================
+
+def _cut_ctes(complete: bool) -> str:
+    node_src = "final_nodes" if complete else "inside"
+    return f"""
+{_PTS_CTE},
+inside AS (SELECT id FROM pts WHERE {D.sql_convex_pip()}),
+wp AS (SELECT user_id AS way_id, event_id AS node_id FROM events),
+kept_ways AS (
+  SELECT way_id FROM wp GROUP BY way_id
+  HAVING bool_or(node_id IN (SELECT id FROM inside))),
+-- NB: under WITH RECURSIVE, DuckDB gives UNION inside ANY cte the
+-- recursive-iteration (non-deduplicating) semantics — use explicit
+-- DISTINCT over UNION ALL for plain set union.
+final_nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM inside
+    UNION ALL
+    SELECT node_id AS id FROM wp
+    WHERE way_id IN (SELECT way_id FROM kept_ways)) u),
+users AS (SELECT DISTINCT user_id AS rel_id FROM events),
+nm AS (SELECT user_id AS rel_id, min(event_id) AS node_ref
+       FROM events GROUP BY user_id),
+direct AS (
+  SELECT rel_id FROM users
+  WHERE rel_id IN (SELECT way_id FROM kept_ways)
+  UNION
+  SELECT rel_id FROM nm WHERE rel_id % 2 = 1
+    AND node_ref IN (SELECT id FROM {node_src})),
+rec AS (
+  SELECT rel_id FROM direct
+  UNION
+  SELECT u.rel_id FROM users u
+  JOIN rec r ON u.rel_id = r.rel_id + {D.REL_STEP})
+"""
+
+
+def _run_cut(sf_dir: str, complete: bool):
+    nodes = OD.derive_nodes(sf_dir)
+    ways = OD.derive_ways(sf_dir)
+    rels = OD.derive_relations(sf_dir)
+    return cut(nodes, ways, rels, pentagon_index(), complete=complete)
+
+
+@q("cut_complete_kept", f"""
+WITH RECURSIVE {_cut_ctes(True)}
+SELECT 'node' AS elem_type, id FROM final_nodes
+UNION ALL SELECT 'way', way_id FROM kept_ways
+UNION ALL SELECT 'relation', rel_id FROM rec
+""")
+def cut_complete_kept(sf_dir: str):
+    return _run_cut(sf_dir, True).kept_table()
+
+
+@q("cut_noncomplete_kept", f"""
+WITH RECURSIVE {_cut_ctes(False)}
+SELECT 'node' AS elem_type, id FROM inside
+UNION ALL SELECT 'way', way_id FROM kept_ways
+UNION ALL SELECT 'relation', rel_id FROM rec
+""")
+def cut_noncomplete_kept(sf_dir: str):
+    return _run_cut(sf_dir, False).kept_table()
+
+
+@q("cut_noncomplete_way_pairs", f"""
+WITH RECURSIVE {_cut_ctes(False)}
+SELECT DISTINCT way_id, node_id FROM wp
+WHERE way_id IN (SELECT way_id FROM kept_ways)
+  AND node_id IN (SELECT id FROM inside)
+""")
+def cut_noncomplete_way_pairs(sf_dir: str):
+    res = _run_cut(sf_dir, False)
+    pairs = J.explode(
+        res.ways.map_batches(
+            lambda t: pa.table({"way_id": t["id"],
+                                "node_ids": t["node_ids"]}),
+            batch_format="pyarrow"),
+        ["way_id"], "node_ids", "node_id")
+    tbl = collect(pairs)
+    return tbl.group_by(["way_id", "node_id"]).aggregate([])
+
+
+@q("cut_complete_members", f"""
+WITH RECURSIVE {_cut_ctes(True)}
+SELECT rel_id, m_type, m_ref FROM (
+  SELECT u.rel_id, 'way' AS m_type, u.rel_id AS m_ref FROM users u
+    WHERE u.rel_id IN (SELECT way_id FROM kept_ways)
+  UNION ALL
+  SELECT nm.rel_id, 'node', nm.node_ref FROM nm
+    WHERE nm.rel_id % 2 = 1
+      AND nm.node_ref IN (SELECT id FROM final_nodes)
+  UNION ALL
+  SELECT u.rel_id, 'relation', u.rel_id - {D.REL_STEP} FROM users u
+    WHERE (u.rel_id - {D.REL_STEP}) IN (SELECT rel_id FROM rec)
+) m WHERE rel_id IN (SELECT rel_id FROM rec)
+""")
+def cut_complete_members(sf_dir: str):
+    res = _run_cut(sf_dir, True)
+    mem = J.explode(
+        res.relations.map_batches(
+            lambda t: pa.table({"rel_id": t["id"], "members": t["members"]}),
+            batch_format="pyarrow"),
+        ["rel_id"], "members", "m")
+    return collect(mem.map_batches(
+        lambda t: pa.table({
+            "rel_id": t["rel_id"],
+            "m_type": pc.struct_field(t["m"], "type"),
+            "m_ref": pc.struct_field(t["m"], "ref")}),
+        batch_format="pyarrow"))
+
+
+# ======================================================================
+# relational operator coverage (A1/A2, J-patterns, sorts, unions)
+# ======================================================================
+
+def _partial_sum(ds, keys: list[str], quant_cols: dict[str, tuple[str, int]],
+                 count_alias: str | None = None):
+    """Per-batch int-quantized partial sums (combiner) + global groupby.
+
+    quant_cols: out_name -> (source_col, quant). Sums happen on int64
+    so they are order-independent (cross-engine hash-safe).
+    """
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: df[k] for k in keys}
+        for out, (src, qt) in quant_cols.items():
+            cols[out] = np.floor(df[src].to_numpy() * qt).astype(np.int64)
+        tmp = pd.DataFrame(cols)
+        aggs = {out: (out, "sum") for out in quant_cols}
+        if count_alias:
+            tmp["__one"] = np.int64(1)
+            aggs[count_alias] = ("__one", "sum")
+        return tmp.groupby(keys, as_index=False).agg(**aggs)
+
+    partial = ds.map_batches(combine, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for out in quant_cols]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partial.groupby(keys[0] if len(keys) == 1 else keys)\
+        .aggregate(*aggs)
+
+
+@q("q1_lineitem_agg", """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_price_c,
+  CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS BIGINT)
+    AS sum_disc_b,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q1_lineitem_agg(sf_dir: str):
+    """A1-style grouped aggregate with per-batch combiner (pre-agg
+    before the shuffle, guide §aggregation-at-scale)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    return collect(_partial_sum(
+        li, ["l_returnflag", "l_linestatus"],
+        {"sum_qty_c": ("l_quantity", 100),
+         "sum_price_c": ("l_extendedprice", 100),
+         "sum_disc_b": ("l_discount", 10000)},
+        count_alias="n"))
+
+
+@q("semi_join_orders", """
+SELECT o.o_orderkey FROM orders o WHERE EXISTS
+  (SELECT 1 FROM lineitem l
+   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""")
+def semi_join_orders(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    hot = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0))
+        .select(["l_orderkey"]), batch_format="pyarrow")
+    keys = J.collect_key_array(hot, "l_orderkey")
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    return collect(J.broadcast_is_in(orders, "o_orderkey", keys,
+                                     mode="semi"))
+
+
+@q("anti_join_orders", """
+SELECT o.o_orderkey FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM lineitem l
+   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""")
+def anti_join_orders(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    hot = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0))
+        .select(["l_orderkey"]), batch_format="pyarrow")
+    keys = J.collect_key_array(hot, "l_orderkey")
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    return collect(J.broadcast_is_in(orders, "o_orderkey", keys,
+                                     mode="anti"))
+
+
+@q("back_join_suppliers", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN
+  (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity > 49)
+""")
+def back_join_suppliers(sf_dir: str):
+    """J2 shape: distinct needed keys (phase 1 groupby) then back-join
+    the payload rows (phase 2)."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    need = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 49.0))
+        .select(["l_suppkey"]), batch_format="pyarrow")
+    keys = J.collect_key_array(need, "l_suppkey")
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return collect(J.broadcast_is_in(sup, "s_suppkey", keys, mode="semi"))
+
+
+@q("distinct_parts",
+   "SELECT DISTINCT l_partkey FROM lineitem")
+def distinct_parts(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    return collect(J.distinct(li, ["l_partkey"]))
+
+
+@q("topk_orders", """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 10
+""")
+def topk_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    quant = orders.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_c": pc.cast(pc.floor(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())}),
+        batch_format="pyarrow")
+    top = quant.sort(["price_c", "o_orderkey"],
+                     descending=[True, False]).limit(10)
+    return collect(top)
+
+
+@q("revenue_by_nation", """
+SELECT n_name,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_c,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def revenue_by_nation(sf_dir: str):
+    """Broadcast dimension join: customer->nation lookup shipped via
+    ray.put once, applied vectorized per batch; then combiner+groupby."""
+    cust = collect(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    nat = collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    cn = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    ck = cust["c_custkey"].to_numpy()
+    order_idx = np.argsort(ck)
+    ck_sorted = ck[order_idx]
+    cnat = cust["c_nationkey"].to_numpy()[order_idx]
+    lookup_ref = ray.put((ck_sorted, np.array(
+        [cn[int(x)] for x in cnat], dtype=object)))
+
+    class Attach:
+        def __init__(self):
+            self.keys, self.names = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pos = np.searchsorted(self.keys, df["o_custkey"].to_numpy())
+            df = df.copy()
+            df["n_name"] = self.names[pos]
+            return df
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    with_n = orders.map_batches(Attach, batch_format="pandas",
+                                concurrency=default_pool_size())
+    return collect(_partial_sum(with_n, ["n_name"],
+                                {"revenue_c": ("o_totalprice", 100)},
+                                count_alias="n_orders"))
+
+
+@q("union_keys", """
+SELECT 'c' AS src, c_custkey AS key FROM customer
+UNION ALL SELECT 's', s_suppkey FROM supplier
+""")
+def union_keys(sf_dir: str):
+    c = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({
+            "src": pa.array(["c"] * len(t)),
+            "key": t["c_custkey"]}), batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda t: pa.table({
+            "src": pa.array(["s"] * len(t)),
+            "key": t["s_suppkey"]}), batch_format="pyarrow")
+    return collect(c.union(s))
+
+
+# ======================================================================
+# stream-shaped: windows, sessions, JSON/date scalar fns
+# ======================================================================
+
+@q("window_tumbling_events", """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q,
+  count(*) AS n
+FROM events GROUP BY event_type, hour
+""")
+def window_tumbling_events(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    partial = ev.map_batches(W.tumbling_batch, batch_format="pandas")
+    return collect(partial.groupby(["event_type", "hour"]).aggregate(
+        Sum("sum_v_q", alias_name="sum_v_q"), Sum("n", alias_name="n")))
+
+
+@q("sessionize_events", """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+         ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT user_id, event_id,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(event_id) AS first_event
+FROM t GROUP BY user_id, session_id
+""")
+def sessionize_events(sf_dir: str):
+    """Stateful stream analog: keyed shuffle + per-key ts-ordered scan
+    (reference's single-reducer state T2 dissolved into groupby)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return collect(ev.groupby("user_id").map_groups(
+        W.sessionize_group, batch_format="pandas"))
+
+
+@q("json_extract_events", """
+SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+FROM events
+""")
+def json_extract_events(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+
+    def ext(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r"([0-9]+)", expand=False)\
+            .astype(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"], "k": k})
+
+    return collect(ev.map_batches(ext, batch_format="pandas"))
+
+
+@q("orders_by_month", """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+FROM orders GROUP BY month
+""")
+def orders_by_month(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["o_orderdate"].dt.strftime("%Y-%m")
+        out = pd.DataFrame({"month": m})
+        out["n"] = np.int64(1)
+        return out.groupby("month", as_index=False).agg(n=("n", "sum"))
+
+    partial = orders.map_batches(bucket, batch_format="pandas")
+    return collect(partial.groupby("month").aggregate(
+        Sum("n", alias_name="n")))
+
+
+# ======================================================================
+# text analysis + dedup family over documents
+# ======================================================================
+
+_DOCS2_CTE = """docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents)"""
+
+
+def _docs2(sf_dir: str):
+    """Documents with planted exact duplicates (ids shifted by 1e6) —
+    gives the dedup family real work with a constructible oracle."""
+    d = _read(sf_dir, "documents", ["doc_id", "text"])
+    dup = d.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.add(t["doc_id"], 1000000), "text": t["text"]}),
+        batch_format="pyarrow")
+    return d.union(dup)
+
+
+@q("dedup_exact_docs", f"""
+WITH {_DOCS2_CTE}
+SELECT min(doc_id) AS doc_id FROM docs2 GROUP BY text
+""")
+def dedup_exact_docs(sf_dir: str):
+    """Exact dedup: md5 content hash per batch -> hash-partition
+    groupby -> min id per group (hash, not raw text, transits the
+    shuffle)."""
+    docs = _docs2(sf_dir)
+    hashed = docs.map_batches(md5_fingerprint, batch_format="pandas")
+    return collect(hashed.groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id")).select_columns(["doc_id"]))
+
+
+@q("token_count_docs", r"""
+SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens
+FROM documents
+""")
+def token_count_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.count(r"\S+").astype(np.int64)})
+
+    return collect(docs.map_batches(f, batch_format="pandas"))
+
+
+@q("quality_docs", r"""
+WITH t AS (SELECT doc_id,
+  length(text) AS n_chars_calc,
+  length(regexp_extract_all(text, '\S+')) AS n_tokens,
+  length(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b'))
+    AS n_stop,
+  length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+FROM documents)
+SELECT doc_id, n_chars_calc, n_tokens, n_stop, n_punct,
+  CASE WHEN n_tokens > 0
+       THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+  CASE WHEN n_chars_calc > 0
+       THEN CAST(n_punct AS DOUBLE) / n_chars_calc ELSE 0.0 END
+    AS punct_ratio
+FROM t
+""")
+def quality_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return collect(docs.map_batches(TextStats, batch_format="pandas",
+                                    concurrency=default_pool_size()))
+
+
+_LANG_SQL_COUNTS = """
+  length(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is)\\b'))
+    AS c_en,
+  length(regexp_extract_all(lower(text),
+    '\\b(?:der|die|und|das|ist|nicht)\\b')) AS c_de,
+  length(regexp_extract_all(lower(text), '\\b(?:le|la|et|les|des|un)\\b'))
+    AS c_fr,
+  length(regexp_extract_all(lower(text),
+    '\\b(?:el|los|las|una|por|que)\\b')) AS c_es,
+  length(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS c_zh
+"""
+
+
+@q("lang_id_docs", f"""
+WITH t AS (SELECT doc_id, {_LANG_SQL_COUNTS} FROM documents)
+SELECT doc_id,
+  CASE WHEN c_zh > 0 THEN 'zh'
+       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM t
+""")
+def lang_id_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return collect(docs.map_batches(LangId, batch_format="pandas",
+                                    concurrency=default_pool_size()))
+
+
+@q("fingerprint_docs", "SELECT doc_id, md5(text) AS fp FROM documents")
+def fingerprint_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return collect(docs.map_batches(md5_fingerprint, batch_format="pandas"))
+
+
+@q("minhash_dedup_docs", rf"""
+WITH {_DOCS2_CTE},
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+         FROM docs2),
+sh AS (SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM toks, UNNEST(range(1, length(w) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+""")
+def minhash_dedup_docs(sf_dir: str):
+    """MinHash+LSH near-dup detection over the doubled corpus (planted
+    exact copies + the generator's own natural near-dups). Oracle =
+    true 3-gram-shingle Jaccard >= 0.8 computed in SQL; the LSH recall
+    at J>=0.8 with 16 bands x 4 rows makes a miss ~1e-4-improbable per
+    pair, and the engine verifies every candidate with exact Jaccard,
+    so both sides converge on the true pair set."""
+    return minhash_lsh_pairs(_docs2(sf_dir))
+
+
+@q("simhash_docs")  # no SQL oracle (bit-level hash not ANSI-expressible)
+def simhash_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return collect(docs.map_batches(SimHasher, batch_format="pandas",
+                                    concurrency=default_pool_size()))
+
+
+# ======================================================================
+# embeddings: similarity search + embedding dedup
+# ======================================================================
+
+def _probe_matrix(sf_dir: str, n: int = 10):
+    emb = collect(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    ids = emb["vec_id"].to_numpy()
+    take = np.argsort(ids)[:n]
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in emb["embedding"].take(pa.array(take)).to_pylist()])
+    return ids[take].astype(np.int64), mat
+
+
+@q("knn_brute_embeddings", """
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+  ORDER BY vec_id LIMIT 10)
+SELECT probe_id, neighbor_id, sim FROM (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+    round(
+      list_inner_product(CAST(p.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      / (sqrt(list_inner_product(CAST(p.pe AS DOUBLE[]),
+                                 CAST(p.pe AS DOUBLE[])))
+         * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])))), 6)
+      AS sim
+  FROM probes p, embeddings e WHERE e.vec_id != p.probe_id) s
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY sim DESC, neighbor_id) <= 5
+""")
+def knn_brute_embeddings(sf_dir: str):
+    ids, mat = _probe_matrix(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_brute(emb, ids, mat, k=5)
+
+
+@q("knn_ivf_embeddings")  # approximate — rows-only check; recall pinned
+def knn_ivf_embeddings(sf_dir: str):
+    ids, mat = _probe_matrix(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(emb, ids, mat, k=5)
+
+
+@q("embedding_dup_pairs", """
+SELECT vec_id AS a_id, vec_id + 1000000 AS b_id FROM embeddings
+""")
+def embedding_dup_pairs_q(sf_dir: str):
+    """Embedding-cosine near-dup via hyperplane LSH + exact verify on a
+    planted-duplicate corpus (copies at vec_id + 1e6; random 64-dim
+    vectors never reach cosine 0.999)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dup = emb.map_batches(
+        lambda t: pa.table({"vec_id": pc.add(t["vec_id"], 1000000),
+                            "embedding": t["embedding"]}),
+        batch_format="pyarrow")
+    return embedding_dup_pairs(emb.union(dup))
+
+
+# ======================================================================
+# geographic kNN over derived points
+# ======================================================================
+
+@q("knn_points_brute", f"""
+WITH RECURSIVE {_PTS_CTE},
+probes AS (SELECT id AS probe_id, lon AS plon, lat AS plat FROM pts
+           WHERE id < 8)
+SELECT probe_id, neighbor_id, d2 FROM (
+  SELECT p.probe_id, n.id AS neighbor_id,
+    (n.lon - p.plon) * (n.lon - p.plon)
+      + (n.lat - p.plat) * (n.lat - p.plat) AS d2
+  FROM probes p, pts n WHERE n.id != p.probe_id) s
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) <= 5
+""")
+def knn_points_brute(sf_dir: str):
+    """Spatial kNN baseline: exact top-5 nearest points per probe.
+    Distances are exact dyadic arithmetic -> identical ordering in SQL.
+    Same partial-top-k + merge shape as the embedding kNN."""
+    nodes = OD.derive_nodes(sf_dir)
+    probes = collect(nodes.map_batches(
+        lambda t: t.filter(pc.less(t["id"], 8)), batch_format="pyarrow"))
+    p_ids = probes["id"].to_numpy().astype(np.int64)
+    p_lon = probes["lon"].to_numpy()
+    p_lat = probes["lat"].to_numpy()
+    ref = ray.put((p_ids, p_lon, p_lat))
+
+    class Partial:
+        def __init__(self):
+            self.p_ids, self.p_lon, self.p_lat = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            lon = t["lon"].to_numpy(zero_copy_only=False)
+            lat = t["lat"].to_numpy(zero_copy_only=False)
+            frames = []
+            for j, pid in enumerate(self.p_ids):
+                d2 = (lon - self.p_lon[j]) ** 2 + (lat - self.p_lat[j]) ** 2
+                mask = ids != pid
+                cid, cd = ids[mask], d2[mask]
+                if len(cid) == 0:
+                    continue
+                k = min(5, len(cid))
+                top = np.argpartition(cd, k - 1)[:k]
+                frames.append(pd.DataFrame({
+                    "probe_id": np.full(k, pid), "neighbor_id": cid[top],
+                    "d2": cd[top]}))
+            if not frames:
+                return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
+                                     "neighbor_id": pd.Series(dtype=np.int64),
+                                     "d2": pd.Series(dtype=np.float64)})
+            return pd.concat(frames, ignore_index=True)
+
+    partial = nodes.map_batches(Partial, batch_format="pyarrow",
+                                concurrency=default_pool_size())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["neighbor_id"].to_numpy(),
+                            g["d2"].to_numpy()))[:5]
+        return g.iloc[order]
+
+    return collect(partial.groupby("probe_id").map_groups(
+        merge, batch_format="pandas"))
+
+
+@q("knn_points_cell")  # approximate cell-kNN — rows-only; recall pinned
+def knn_points_cell(sf_dir: str):
+    """Cell kNN the scale way: bucket points by hex cell, search each
+    probe's cell + ring-1 disk (SURVEY §2.4 graft additions)."""
+    nodes = OD.derive_nodes(sf_dir)
+    # res 0 (~10 deg hexes): the sparse global test corpus needs coarse
+    # cells for ring-1 to hold candidates; at production density the
+    # same pipeline runs at res 7-9 (cell size must track point
+    # density — this is the knob the north_star's skew section is
+    # about).
+    res = 0
+    bucketed = nodes.map_batches(
+        lambda t: pa.table({
+            "id": t["id"], "lon": t["lon"], "lat": t["lat"],
+            "cell": CellsMod.hex_cell(t["lon"].to_numpy(),
+                                      t["lat"].to_numpy(), res)}),
+        batch_format="pyarrow")
+    probes = collect(bucketed.map_batches(
+        lambda t: t.filter(pc.less(t["id"], 8)), batch_format="pyarrow"))
+    want: dict[int, list[int]] = {}
+    for pid, pcell in zip(probes["id"].to_pylist(),
+                          probes["cell"].to_pylist()):
+        for c in CellsMod.hex_disk(int(pcell), 1):
+            want.setdefault(int(c), []).append(int(pid))
+    pmap = {int(i): (float(lo), float(la)) for i, lo, la in zip(
+        probes["id"].to_pylist(), probes["lon"].to_pylist(),
+        probes["lat"].to_pylist())}
+    ref = ray.put((want, pmap))
+
+    def search(g: pd.DataFrame) -> pd.DataFrame:
+        w, pm = ray.get(ref)
+        cell = int(g["cell"].iloc[0])
+        plist = w.get(cell, [])
+        frames = []
+        for pid in plist:
+            plon, plat = pm[pid]
+            ids = g["id"].to_numpy()
+            d2 = (g["lon"].to_numpy() - plon) ** 2 \
+                + (g["lat"].to_numpy() - plat) ** 2
+            mask = ids != pid
+            cid, cd = ids[mask], d2[mask]
+            if len(cid) == 0:
+                continue
+            k = min(5, len(cid))
+            top = np.argpartition(cd, k - 1)[:k]
+            frames.append(pd.DataFrame({
+                "probe_id": np.full(k, pid), "neighbor_id": cid[top],
+                "d2": cd[top]}))
+        if not frames:
+            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
+                                 "neighbor_id": pd.Series(dtype=np.int64),
+                                 "d2": pd.Series(dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    partial = bucketed.groupby("cell").map_groups(search,
+                                                  batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["neighbor_id"].to_numpy(),
+                            g["d2"].to_numpy()))[:5]
+        return g.iloc[order]
+
+    return collect(partial.groupby("probe_id").map_groups(
+        merge, batch_format="pandas"))

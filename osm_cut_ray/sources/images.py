@@ -1,0 +1,140 @@
+"""Synthetic image corpus at the exact `input_hint` shape (FIXTURES.md §1):
+
+    image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64
+
+No real codec libraries exist in this container (no PIL/cv2), so the
+codec is a clearly-marked deterministic stand-in ("fpng" lossless,
+"fjpg" lossy-quantized) with REAL Ray-side plumbing: binary Arrow
+columns, per-actor codec state, batched decode, PSNR verification.
+The lossy path quantizes pixels to 4 levels-steps, giving PSNR ≈ 47 dB
+(>= the 40 dB gate the north_star's per-row invariant requires).
+
+Swap `encode_image`/`decode_image` for a real codec on a cluster with
+PIL — the pipeline stages don't change.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..geometry.geotag import encode_geotag
+from ..pipelines.derive import lat_of, lon_of
+
+_MAGIC_LOSSLESS = b"FPNG"
+_MAGIC_LOSSY = b"FJPG"
+_SIZES = np.array([16, 32, 64], dtype=np.int32)
+
+
+def pixels_for_key(key: int, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient+checker test pattern (uint8, h x w)."""
+    xx = np.arange(w, dtype=np.int64)[None, :]
+    yy = np.arange(h, dtype=np.int64)[:, None]
+    return ((3 * xx + 7 * yy + ((xx // 4) ^ (yy // 4)) * 17 + key)
+            % 256).astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape
+    head = (_MAGIC_LOSSLESS if fmt == "fpng" else _MAGIC_LOSSY) \
+        + int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
+    if fmt == "fpng":
+        payload = pixels.tobytes()
+    elif fmt == "fjpg":
+        payload = (pixels // 4).astype(np.uint8).tobytes()  # lossy quantize
+    else:
+        raise NotImplementedError(
+            f"real codec '{fmt}' not available in this container — "
+            "plug PIL/libjpeg here on a full cluster")
+    return head + zlib.compress(payload, 1)
+
+
+def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
+    magic, w, h = buf[:4], int.from_bytes(buf[4:8], "little"), \
+        int.from_bytes(buf[8:12], "little")
+    raw = np.frombuffer(zlib.decompress(buf[12:]), np.uint8).reshape(h, w)
+    if magic == _MAGIC_LOSSLESS:
+        return raw, "fpng"
+    if magic == _MAGIC_LOSSY:
+        return (raw * 4 + 1).astype(np.uint8), "fjpg"  # dequantize midpoint
+    raise NotImplementedError("unknown image container")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def images_batch_from_keys(keys: np.ndarray) -> pa.Table:
+    """Vectorized synthesis of an input_hint-shaped batch from int64 keys.
+
+    Geotags ride in `phash` (FIXTURES.md §1): lon/lat derive from the
+    key via the shared dyadic formulas, then quantize through
+    encode_geotag — identical to what the SQL oracle replays.
+    """
+    keys = np.asarray(keys, np.int64)
+    lon = lon_of(keys)
+    lat = lat_of(keys)
+    ph = encode_geotag(lon, lat)
+    w = _SIZES[keys % 3]
+    fmt = np.where(keys % 3 == 0, "fjpg", "fpng")
+    blobs = []
+    for k, wi, f in zip(keys.tolist(), w.tolist(), fmt.tolist()):
+        blobs.append(encode_image(pixels_for_key(k, wi, wi), f))
+    return pa.table({
+        "image_id": pa.array([f"img{k:08d}" for k in keys.tolist()]),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(w, pa.int32()),
+        "h": pa.array(w, pa.int32()),
+        "fmt": pa.array(fmt.tolist()),
+        "caption": pa.array([f"caption for img{k:08d}" for k in keys.tolist()]),
+        "phash": pa.array(ph),
+    })
+
+
+class ImageDecodeStage:
+    """Actor-pool decode stage (multimodal plumbing, SURVEY §2.3-style).
+
+    Decodes the binary column, checks the per-row invariant (exact for
+    lossless, PSNR >= 40 dB for lossy, vs the deterministic reference
+    pattern), and emits compact features: mean pixel, decoded w/h,
+    psnr_db. Batched; codec state lives in __init__.
+    """
+
+    def __init__(self, check_invariant: bool = True):
+        self.check = check_invariant
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["bytes"].to_pylist()
+        ids = t["image_id"].to_pylist()
+        mean_px = np.empty(len(bufs), np.float64)
+        dw = np.empty(len(bufs), np.int32)
+        dh = np.empty(len(bufs), np.int32)
+        ps = np.empty(len(bufs), np.float64)
+        for i, buf in enumerate(bufs):
+            px, fmt = decode_image(buf)
+            dh[i], dw[i] = px.shape
+            mean_px[i] = px.mean()
+            if self.check:
+                key = int(ids[i][3:])
+                ref = pixels_for_key(key, px.shape[1], px.shape[0])
+                p = psnr(ref, px)
+                ps[i] = 99.0 if p == float("inf") else p
+                if fmt == "fpng" and not np.array_equal(ref, px):
+                    raise ValueError(f"lossless roundtrip mismatch {ids[i]}")
+                if p < 40.0:
+                    raise ValueError(f"PSNR {p:.1f} < 40 dB for {ids[i]}")
+            else:
+                ps[i] = np.nan
+        return pa.table({
+            "image_id": t["image_id"],
+            "caption": t["caption"],
+            "phash": t["phash"],
+            "dec_w": pa.array(dw), "dec_h": pa.array(dh),
+            "mean_px": pa.array(mean_px), "psnr_db": pa.array(ps),
+        })

@@ -1,0 +1,250 @@
+"""Deduplication family over the documents/embeddings tables.
+
+Scale shapes (per the Ray guide / SURVEY):
+- exact:     content-hash in map_batches -> hash-partition groupby ->
+             keep first (min id) per group.
+- MinHash+LSH: shingle -> minhash signature per batch (vectorized) ->
+             explode to (band_id, band_hash, doc_id) rows -> groupby
+             bands -> candidate pairs -> verify true n-gram Jaccard.
+- SimHash:   per-token hash sign-sum -> 64-bit fingerprint; near-dups
+             have small Hamming distance.
+- embedding: random-hyperplane LSH bucket -> exact cosine verify.
+
+Only ids/signatures transit the shuffles; texts/vectors stay columnar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN = re.compile(r"\S+")
+
+
+def _hash64(arr_of_bytes) -> np.ndarray:
+    """Stable 64-bit hashes via blake2b (seedable, C speed)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(x, digest_size=8).digest(), "little")
+         for x in arr_of_bytes), np.uint64)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of k-word shingles (the n-gram set for Jaccard)."""
+    toks = _TOKEN.findall(text.lower())
+    if len(toks) < k:
+        return _hash64([" ".join(toks).encode()]) if toks else \
+            np.array([], np.uint64)
+    return _hash64((" ".join(toks[i:i + k]).encode()
+                    for i in range(len(toks) - k + 1)))
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact n-gram Jaccard over shingle-hash SETS (duplicates within a
+    document collapse — set semantics, matching the SQL oracle's
+    SELECT DISTINCT shingles)."""
+    ua, ub = np.unique(a), np.unique(b)
+    if len(ua) == 0 or len(ub) == 0:
+        return 0.0
+    inter = len(np.intersect1d(ua, ub))
+    return inter / (len(ua) + len(ub) - inter)
+
+
+# ---------------------------------------------------------------- minhash
+
+class MinHasher:
+    """Vectorized MinHash signatures (n_perm universal-hash rows).
+
+    Stateful stage: permutation parameters generated once per actor
+    from `seed`.
+    """
+
+    MERSENNE = np.uint64((1 << 61) - 1)
+
+    def __init__(self, n_perm: int = 64, seed: int = 42, shingle_k: int = 3):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, self.MERSENNE, n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, self.MERSENNE, n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = shingle_k
+
+    def signature(self, sh: np.ndarray) -> np.ndarray:
+        if len(sh) == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, np.uint64)
+        # (n_perm, n_shingles) universal hash, min over shingles
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % self.MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(shingle_hashes(t, self.k))
+                         for t in df["text"]])
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "sig": list(sigs)})
+
+
+def band_rows(df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
+    """Explode signatures to (band_id, band_hash, doc_id) LSH rows."""
+    sigs = np.stack(df["sig"].to_numpy())  # (n, n_perm)
+    n, n_perm = sigs.shape
+    rows_per_band = n_perm // n_bands
+    out_doc, out_band, out_hash = [], [], []
+    for bnd in range(n_bands):
+        seg = sigs[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
+        h = np.bitwise_xor.reduce(
+            seg * np.uint64(0x9E3779B97F4A7C15) + np.uint64(bnd), axis=1)
+        out_doc.append(df["doc_id"].to_numpy())
+        out_band.append(np.full(n, bnd, np.int32))
+        out_hash.append(h)
+    return pd.DataFrame({
+        "band_id": np.concatenate(out_band),
+        "band_hash": np.concatenate(out_hash).astype(np.int64),
+        "doc_id": np.concatenate(out_doc),
+    })
+
+
+def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
+                      jaccard_threshold=0.8, seed=42, concurrency=None):
+    """Full MinHash-LSH near-dup pipeline -> verified (a_id, b_id) pairs.
+
+    docs_ds: Dataset with (doc_id, text). Returns a pyarrow Table of
+    pairs (a_id < b_id) whose exact shingle Jaccard >= threshold.
+    Candidate generation is a pure groupby shuffle on (band_id,
+    band_hash); verification re-computes true Jaccard per candidate
+    group (texts fetched per group — at scale, pass a slim
+    (doc_id, shingle-sig) projection instead of full texts).
+    """
+    if concurrency is None:
+        from .pip import default_pool_size
+        concurrency = default_pool_size()
+    sigged = docs_ds.map_batches(
+        MinHasher, fn_constructor_kwargs={
+            "n_perm": n_perm, "seed": seed, "shingle_k": shingle_k},
+        batch_format="pandas", concurrency=concurrency)
+    bands = sigged.map_batches(
+        lambda df: band_rows(df, n_bands), batch_format="pandas")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype(np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    cand = bands.groupby(["band_id", "band_hash"])\
+        .map_groups(emit_pairs, batch_format="pandas")
+    cand_tbl = pa.concat_tables(
+        list(cand.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
+    if len(cand_tbl) == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    cand_df = cand_tbl.to_pandas().drop_duplicates()
+
+    # verification: true Jaccard on the candidate ids' texts
+    need = np.unique(np.concatenate([cand_df["a_id"], cand_df["b_id"]]))
+    from . import join as J
+    texts = {}
+    for t in J.broadcast_is_in(docs_ds, "doc_id", need, mode="semi")\
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            texts[i] = s
+    sh = {i: shingle_hashes(texts[i], shingle_k) for i in texts}
+    keep = [jaccard(sh[a], sh[b]) >= jaccard_threshold
+            for a, b in zip(cand_df["a_id"], cand_df["b_id"])]
+    out = cand_df[np.array(keep, bool)] if len(keep) else cand_df
+    out = out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    return pa.table({"a_id": out["a_id"].astype(np.int64),
+                     "b_id": out["b_id"].astype(np.int64)})
+
+
+# ---------------------------------------------------------------- simhash
+
+class SimHasher:
+    """64-bit SimHash over token hashes (near-dup fingerprint)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = np.empty(len(df), np.uint64)
+        for i, text in enumerate(df["text"]):
+            toks = _TOKEN.findall(str(text).lower())
+            if not toks:
+                out[i] = 0
+                continue
+            hs = _hash64((t.encode() for t in toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            out[i] = ((vote >= 0).astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)).sum()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "simhash": out.view(np.int64)})
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, np.int64).view(np.uint64)
+         ^ np.asarray(b, np.int64).view(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+# ------------------------------------------------------------- embeddings
+
+class HyperplaneLSH:
+    """Random-hyperplane sign bucket for embedding near-dup / ANN.
+
+    Identical vectors always share a bucket; cosine-near vectors share
+    with high probability. Seeded per-actor state.
+    """
+
+    def __init__(self, dim: int = 64, n_bits: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes) >= 0
+        return (signs.astype(np.uint64)
+                << np.arange(signs.shape[1], dtype=np.uint64)[None, :])\
+            .sum(axis=1).view(np.int64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "bucket": self.bucket(vecs),
+                             "embedding": df["embedding"]})
+
+
+def embedding_dup_pairs(emb_ds, *, cosine_threshold=0.999, n_bits=16,
+                        seed=42, concurrency=None):
+    """Near-duplicate embedding pairs: LSH bucket -> exact cosine verify."""
+    if concurrency is None:
+        from .pip import default_pool_size
+        concurrency = default_pool_size()
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"n_bits": n_bits, "seed": seed},
+        batch_format="pandas", concurrency=concurrency)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a_id": pd.Series(dtype=np.int64),
+                                 "b_id": pd.Series(dtype=np.int64)})
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        vecs = np.stack(g["embedding"].to_numpy())[order].astype(np.float64)
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        ai, bi = np.where(np.triu(sims >= cosine_threshold, k=1))
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    pairs = bucketed.groupby("bucket").map_groups(verify,
+                                                  batch_format="pandas")
+    tbl = pa.concat_tables(
+        list(pairs.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
+    if len(tbl) == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    df = tbl.to_pandas().drop_duplicates().sort_values(["a_id", "b_id"])
+    return pa.table({"a_id": df["a_id"].astype(np.int64),
+                     "b_id": df["b_id"].astype(np.int64)})

@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (graft addition).
+
+- `knn_brute`: exact cosine top-k — numpy matmul per batch against a
+  broadcast probe matrix, per-batch partial top-k, final merge per
+  probe. The baseline and the oracle-checked path.
+- `knn_ivf`: IVF-style scale path — deterministic coarse centroids,
+  assign vectors to nearest centroid (the "cell"), probes search only
+  `nprobe` nearest cells. Same groupby-shuffle shape as the spatial
+  cell kNN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
+class _BruteSim:
+    """Per-batch cosine vs broadcast probes; emits per-batch top-k."""
+
+    def __init__(self, probes_ref, k: int):
+        probe_ids, probe_mat = ray.get(probes_ref) \
+            if isinstance(probes_ref, ray.ObjectRef) else probes_ref
+        self.probe_ids = probe_ids
+        self.probes = _normalize(probe_mat.astype(np.float64)).T  # (d, p)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        vecs = _normalize(np.stack(df["embedding"].to_numpy())
+                          .astype(np.float64))
+        sims = vecs @ self.probes                      # (n, p)
+        out_p, out_n, out_s = [], [], []
+        for j, pid in enumerate(self.probe_ids):
+            col = sims[:, j]
+            mask = ids != pid                          # exclude self
+            cid, cs = ids[mask], col[mask]
+            if len(cid) == 0:
+                continue
+            k = min(self.k, len(cid))
+            top = np.argpartition(-cs, k - 1)[:k]
+            out_p.append(np.full(k, pid))
+            out_n.append(cid[top])
+            out_s.append(cs[top])
+        if not out_p:
+            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
+                                 "neighbor_id": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=np.float64)})
+        return pd.DataFrame({"probe_id": np.concatenate(out_p),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s)})
+
+
+def knn_brute(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
+              k: int = 5, concurrency=None, round_to: int | None = 6
+              ) -> pa.Table:
+    """Exact top-k cosine neighbors for each probe.
+
+    Two-phase: batch-local top-k (cheap, parallel) then a tiny global
+    merge per probe. `round_to` quantizes sims so results hash-match
+    the SQL oracle regardless of summation order (ties broken by
+    neighbor_id, matching ORDER BY sim DESC, neighbor_id).
+    """
+    if concurrency is None:
+        from .pip import default_pool_size
+        concurrency = default_pool_size()
+    ref = ray.put((np.asarray(probe_ids, np.int64),
+                   np.asarray(probe_mat, np.float64)))
+    partial = emb_ds.map_batches(
+        _BruteSim, fn_constructor_kwargs={"probes_ref": ref, "k": k},
+        batch_format="pandas", concurrency=concurrency)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["sim"].to_numpy()
+        if round_to is not None:
+            s = np.round(s, round_to)
+        order = np.lexsort((g["neighbor_id"].to_numpy(), -s))[:k]
+        out = g.iloc[order][["probe_id", "neighbor_id"]].copy()
+        out["sim"] = s[order]
+        return out
+
+    res = partial.groupby("probe_id").map_groups(merge, batch_format="pandas")
+    tbl = pa.concat_tables(
+        list(res.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
+    return tbl
+
+
+def deterministic_centroids(emb_ds, n_centroids: int = 16) -> np.ndarray:
+    """IVF "training" without sklearn: the first n vectors by vec_id
+    (deterministic; swap for k-means on a real cluster)."""
+    rows = emb_ds.sort("vec_id").limit(n_centroids).take_all()
+    return _normalize(np.stack([np.asarray(r["embedding"], np.float64)
+                                for r in rows]))
+
+
+class _IVFAssign:
+    def __init__(self, cent_ref):
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+            else cent_ref
+        self.centroids = c.T  # (d, c)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(np.stack(df["embedding"].to_numpy())
+                          .astype(np.float64))
+        cell = (vecs @ self.centroids).argmax(axis=1).astype(np.int64)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "cell": cell,
+                             "embedding": df["embedding"]})
+
+
+def knn_ivf(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
+            k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+            concurrency=None) -> pa.Table:
+    """Approximate kNN: search only the nprobe nearest IVF cells.
+
+    The scale path: cell assignment is one map_batches, search is a
+    groupby(cell) over only the probed cells. Recall < 1 by design;
+    pinned by tests against knn_brute.
+    """
+    if concurrency is None:
+        from .pip import default_pool_size
+        concurrency = default_pool_size()
+    cents = deterministic_centroids(emb_ds, n_centroids)
+    cref = ray.put(cents)
+    assigned = emb_ds.map_batches(
+        _IVFAssign, fn_constructor_kwargs={"cent_ref": cref},
+        batch_format="pandas", concurrency=concurrency)
+
+    probes = _normalize(np.asarray(probe_mat, np.float64))
+    probe_cells = np.argsort(-(probes @ cents.T), axis=1)[:, :nprobe]
+    # map cell -> probe indexes that search it
+    cell_probes: dict[int, list[int]] = {}
+    for pi, cells_row in enumerate(probe_cells):
+        for c in cells_row:
+            cell_probes.setdefault(int(c), []).append(pi)
+    cp_ref = ray.put((np.asarray(probe_ids, np.int64), probes, cell_probes))
+
+    def search(g: pd.DataFrame) -> pd.DataFrame:
+        pids, pmat, cmap = ray.get(cp_ref)
+        cell = int(g["cell"].iloc[0])
+        plist = cmap.get(cell, [])
+        if not plist:
+            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
+                                 "neighbor_id": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=np.float64)})
+        ids = g["vec_id"].to_numpy()
+        vecs = _normalize(np.stack(g["embedding"].to_numpy())
+                          .astype(np.float64))
+        sims = vecs @ pmat[plist].T
+        frames = []
+        for col, pi in enumerate(plist):
+            pid = pids[pi]
+            mask = ids != pid
+            cid, cs = ids[mask], sims[mask, col]
+            if len(cid) == 0:
+                continue
+            kk = min(k, len(cid))
+            top = np.argpartition(-cs, kk - 1)[:kk]
+            frames.append(pd.DataFrame({"probe_id": np.full(kk, pid),
+                                        "neighbor_id": cid[top],
+                                        "sim": cs[top]}))
+        if not frames:
+            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
+                                 "neighbor_id": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    partial = assigned.groupby("cell").map_groups(search,
+                                                  batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.round(g["sim"].to_numpy(), 6)
+        order = np.lexsort((g["neighbor_id"].to_numpy(), -s))[:k]
+        out = g.iloc[order][["probe_id", "neighbor_id"]].copy()
+        out["sim"] = s[order]
+        return out
+
+    res = partial.groupby("probe_id").map_groups(merge, batch_format="pandas")
+    return pa.concat_tables(
+        list(res.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
