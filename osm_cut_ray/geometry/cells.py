@@ -96,17 +96,19 @@ def s2_cell_id(lon: np.ndarray, lat: np.ndarray,
 
     n = face.astype(np.uint64)
     orient = (n & np.uint64(1)).astype(np.uint64)  # bits = face & kSwapMask
-    for k in range(S2_MAX_LEVEL - 1, -1, -1):
+    # Walk only the top `level` Hilbert steps: bits below the target
+    # level are cleared by parent truncation anyway, so the id can be
+    # assembled directly at `level` (2.5x fewer vector ops at level 12).
+    for k in range(S2_MAX_LEVEL - 1, S2_MAX_LEVEL - 1 - level, -1):
         bit_i = (i >> np.uint64(k)) & np.uint64(1)
         bit_j = (j >> np.uint64(k)) & np.uint64(1)
         ij = (bit_i << np.uint64(1)) | bit_j
         pos = _IJ_TO_POS[orient, ij]
         n = (n << np.uint64(2)) | pos
         orient = orient ^ _POS_TO_ORIENTATION[pos]
-    cell = (n << np.uint64(1)) | np.uint64(1)  # level-30 id
-    if level < S2_MAX_LEVEL:
-        lsb = np.uint64(1) << np.uint64(2 * (S2_MAX_LEVEL - level))
-        cell = (cell & ~((lsb << np.uint64(1)) - np.uint64(1))) | lsb
+    shift = np.uint64(2 * (S2_MAX_LEVEL - level) + 1)
+    lsb = np.uint64(1) << np.uint64(2 * (S2_MAX_LEVEL - level))
+    cell = (n << shift) | lsb
     return cell.view(np.int64)
 
 

@@ -29,10 +29,8 @@ def image_corpus(sf_dir: str, include_bytes: bool = True):
                          columns=["l_orderkey", "l_linenumber"])
 
     def build(t: pa.Table) -> pa.Table:
-        out = images_batch_from_keys(D.image_ids_from_lineitem(t))
-        if not include_bytes:
-            out = out.drop_columns(["bytes"])
-        return out
+        return images_batch_from_keys(D.image_ids_from_lineitem(t),
+                                      with_bytes=include_bytes)
 
     return li.map_batches(build, batch_format="pyarrow")
 

@@ -70,31 +70,42 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 ** 2 / mse)
 
 
-def images_batch_from_keys(keys: np.ndarray) -> pa.Table:
+def images_batch_from_keys(keys: np.ndarray,
+                           with_bytes: bool = True) -> pa.Table:
     """Vectorized synthesis of an input_hint-shaped batch from int64 keys.
 
     Geotags ride in `phash` (FIXTURES.md §1): lon/lat derive from the
     key via the shared dyadic formulas, then quantize through
     encode_geotag — identical to what the SQL oracle replays.
+    `with_bytes=False` skips blob encoding for benchmarks that measure
+    the metadata path (PIP + tile assign) rather than codec cost.
     """
+    import pyarrow.compute as pc
     keys = np.asarray(keys, np.int64)
     lon = lon_of(keys)
     lat = lat_of(keys)
     ph = encode_geotag(lon, lat)
     w = _SIZES[keys % 3]
     fmt = np.where(keys % 3 == 0, "fjpg", "fpng")
-    blobs = []
-    for k, wi, f in zip(keys.tolist(), w.tolist(), fmt.tolist()):
-        blobs.append(encode_image(pixels_for_key(k, wi, wi), f))
-    return pa.table({
-        "image_id": pa.array([f"img{k:08d}" for k in keys.tolist()]),
-        "bytes": pa.array(blobs, pa.binary()),
+    # vectorized 'img%08d' via Arrow kernels (no per-row Python)
+    padded = pc.utf8_lpad(pc.cast(pa.array(keys), pa.string()), 8, "0")
+    image_id = pc.binary_join_element_wise("img", padded, "")
+    caption = pc.binary_join_element_wise("caption for ", image_id, "")
+    cols = {
+        "image_id": image_id,
         "w": pa.array(w, pa.int32()),
         "h": pa.array(w, pa.int32()),
         "fmt": pa.array(fmt.tolist()),
-        "caption": pa.array([f"caption for img{k:08d}" for k in keys.tolist()]),
+        "caption": caption,
         "phash": pa.array(ph),
-    })
+    }
+    if with_bytes:
+        blobs = [encode_image(pixels_for_key(k, wi, wi), f)
+                 for k, wi, f in zip(keys.tolist(), w.tolist(), fmt.tolist())]
+        cols = {"image_id": cols["image_id"],
+                "bytes": pa.array(blobs, pa.binary()), **{
+                    k: v for k, v in cols.items() if k != "image_id"}}
+    return pa.table(cols)
 
 
 class ImageDecodeStage:

@@ -58,20 +58,35 @@ def default_pool_size() -> tuple[int, int]:
 
 
 def apply_pip(ds, index: PolygonIndex, *, concurrency=None, batch_size=65536,
-              **stage_kwargs):
-    """Attach an `inside` column via an actor pool holding the index.
-
-    `concurrency=None` autoscales the pool to the cluster size; pass an
-    int or (min, max) to pin it. The index travels through the object
+              use_actors: bool = False, **stage_kwargs):
+    """Attach an `inside` column; the index travels through the object
     store exactly once (ray.put), not per task.
+
+    Two execution modes:
+    - tasks (default): stateless ``map_batches`` fn that ``ray.get``s
+      the broadcast index per task. The compiled index is plain numpy,
+      so the get is a zero-copy view of shared memory — no rebuild
+      cost — and tasks reuse already-warm worker processes (no actor
+      pool cold start). Right choice when per-task state hydration is
+      O(1).
+    - actor pool (``use_actors=True``): hydrate once per actor in
+      ``__init__``. Right choice when hydration is expensive and NOT
+      zero-copy (models, compiled regexes, Python indexes).
     """
-    if concurrency is None:
-        concurrency = default_pool_size()
     ref = ray.put(index)
-    return ds.map_batches(
-        PIPStage,
-        fn_constructor_kwargs={"index_ref": ref, **stage_kwargs},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        if concurrency is None:
+            concurrency = default_pool_size()
+        return ds.map_batches(
+            PIPStage,
+            fn_constructor_kwargs={"index_ref": ref, **stage_kwargs},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = PIPStage(ref, **stage_kwargs)
+        return stage(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
