@@ -1,0 +1,80 @@
+"""CLI — drop-in analog of the reference's `cut.escript`
+(/root/reference/cut.escript:4-7: cut.escript <osm> <poly> <out> with
+complete_objects on by default).
+
+    python -m osm_cut_ray.cli cut <in.osm[.xml]|dir-of-parquet> \
+        <polygon.poly> <out> [--non-complete] [--format xml|parquet]
+
+Owns the Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+
+def _cmd_cut(args) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    from .geometry.polygon import PolygonIndex, parse_poly_file
+    from .pipelines.cut import cut
+    from .sources.osm_xml import load_osm_xml, write_osm_xml
+
+    poly = PolygonIndex.compile(parse_poly_file(args.polygon))
+
+    if os.path.isdir(args.input):  # parquet layout: nodes/ ways/ relations/
+        nodes = rd.read_parquet(os.path.join(args.input, "nodes"))
+        ways = rd.read_parquet(os.path.join(args.input, "ways"))
+        rels = rd.read_parquet(os.path.join(args.input, "relations"))
+        work = None
+    else:
+        work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
+        nodes, ways, rels = load_osm_xml(args.input, work)
+
+    res = cut(nodes, ways, rels, poly, complete=not args.non_complete)
+
+    if args.format == "xml":
+        n = write_osm_xml(args.output,
+                          res.nodes.iter_rows(), res.ways.iter_rows(),
+                          res.relations.iter_rows())
+        print(f"wrote {n} elements to {args.output}")
+    else:
+        os.makedirs(args.output, exist_ok=True)
+        res.nodes.write_parquet(os.path.join(args.output, "nodes"))
+        res.ways.write_parquet(os.path.join(args.output, "ways"))
+        res.relations.write_parquet(os.path.join(args.output, "relations"))
+        print(f"wrote parquet to {args.output} "
+              f"(nodes={len(res.node_ids)}, ways={len(res.way_ids)}, "
+              f"relations={len(res.rel_ids)})")
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="osm_cut_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("cut", help="polygon-cut an OSM corpus")
+    c.add_argument("input", help="OSM XML file or parquet directory")
+    c.add_argument("polygon", help="Osmosis .poly file")
+    c.add_argument("output", help="output .osm path (xml) or directory")
+    c.add_argument("--non-complete", action="store_true",
+                   help="drop referenced-but-outside objects "
+                        "(reference default keeps them: complete_objects)")
+    c.add_argument("--format", choices=["xml", "parquet"], default="xml")
+    c.set_defaults(fn=_cmd_cut)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

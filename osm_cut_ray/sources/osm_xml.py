@@ -1,0 +1,223 @@
+"""Streaming OSM XML source + sink (reference S1/S4).
+
+The reference SAX-parses OSM XML in 100 KB chunks
+(src/osm_parser.erl:26-48 via vendored erlsom) and serializes kept
+elements back to XML through a 1,000-element buffered writer
+(src/osm_writer.erl:72-88, src/osm_simple_xml_formatter.erl:22-103).
+
+Here the source is `xml.etree.iterparse` (incremental, elements cleared
+as consumed — never materializes the document) emitting Arrow record
+batches that land in partitioned parquet; downstream pipelines then
+read columnar and parallel. The sink serializes a CutResult back to
+OSM XML (nodes -> ways -> relations order, the OSM dump convention the
+reference's FSM depends on, src/osm_process_complete.erl:102-106 —
+our batch engine doesn't need the order, but emits it for
+compatibility).
+
+Attribute typing mirrors M1/M2 (src/osm_parser.erl:232-325): id/
+version/changeset/uid -> int64, lon/lat -> float64, user/timestamp ->
+string, unknown attributes dropped; missing stay null.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape, quoteattr
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_META = [("version", pa.int64()), ("changeset", pa.int64()),
+         ("uid", pa.int64()), ("user", pa.large_string()),
+         ("timestamp", pa.large_string())]
+_TAGS = ("tags", pa.map_(pa.large_string(), pa.large_string()))
+
+XML_NODE_SCHEMA = pa.schema([("id", pa.int64()), ("lon", pa.float64()),
+                             ("lat", pa.float64()), *_META, _TAGS])
+XML_WAY_SCHEMA = pa.schema([("id", pa.int64()),
+                            ("node_ids", pa.list_(pa.int64())),
+                            *_META, _TAGS])
+XML_REL_SCHEMA = pa.schema([
+    ("id", pa.int64()),
+    ("members", pa.list_(pa.struct([("type", pa.large_string()),
+                                    ("ref", pa.int64()),
+                                    ("role", pa.large_string())]))),
+    *_META, _TAGS])
+
+
+def _meta_of(attrib: dict) -> dict:
+    def _i(k):
+        v = attrib.get(k)
+        return int(v) if v is not None else None
+    return {"version": _i("version"), "changeset": _i("changeset"),
+            "uid": _i("uid"), "user": attrib.get("user"),
+            "timestamp": attrib.get("timestamp")}
+
+
+def _tags_of(elem) -> list[tuple[str, str]]:
+    return [(t.get("k"), t.get("v")) for t in elem if t.tag == "tag"]
+
+
+def parse_osm_xml(path: str, batch_rows: int = 100_000):
+    """Yield ("node"|"way"|"relation", pa.Table) batches, streaming."""
+    rows: dict[str, list[dict]] = {"node": [], "way": [], "relation": []}
+    schemas = {"node": XML_NODE_SCHEMA, "way": XML_WAY_SCHEMA,
+               "relation": XML_REL_SCHEMA}
+
+    def flush(kind):
+        if rows[kind]:
+            tbl = pa.Table.from_pylist(rows[kind], schema=schemas[kind])
+            rows[kind] = []
+            return tbl
+        return None
+
+    for _, elem in ET.iterparse(path, events=("end",)):
+        kind = elem.tag
+        if kind == "node":
+            rows["node"].append({
+                "id": int(elem.get("id")),
+                "lon": float(elem.get("lon")),
+                "lat": float(elem.get("lat")),
+                **_meta_of(elem.attrib), "tags": _tags_of(elem)})
+        elif kind == "way":
+            rows["way"].append({
+                "id": int(elem.get("id")),
+                "node_ids": [int(nd.get("ref")) for nd in elem
+                             if nd.tag == "nd"],
+                **_meta_of(elem.attrib), "tags": _tags_of(elem)})
+        elif kind == "relation":
+            rows["relation"].append({
+                "id": int(elem.get("id")),
+                "members": [{"type": m.get("type"),
+                             "ref": int(m.get("ref")),
+                             "role": m.get("role") or ""}
+                            for m in elem if m.tag == "member"],
+                **_meta_of(elem.attrib), "tags": _tags_of(elem)})
+        else:
+            continue
+        elem.clear()  # streaming: drop the subtree immediately
+        if len(rows[kind]) >= batch_rows:
+            yield kind, flush(kind)
+    for kind in ("node", "way", "relation"):
+        tbl = flush(kind)
+        if tbl is not None:
+            yield kind, tbl
+
+
+def osm_xml_to_parquet(xml_path: str, out_dir: str,
+                       batch_rows: int = 100_000) -> dict[str, str]:
+    """Convert an OSM XML dump to three partitioned parquet dirs.
+
+    One part file per batch — downstream reads parallelize per part and
+    a re-run can resume per part (write is atomic via temp+rename).
+    """
+    writers: dict[str, int] = {"node": 0, "way": 0, "relation": 0}
+    dirs = {k: os.path.join(out_dir, f"{k}s") for k in writers}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    schemas = {"node": XML_NODE_SCHEMA, "way": XML_WAY_SCHEMA,
+               "relation": XML_REL_SCHEMA}
+    for kind, tbl in parse_osm_xml(xml_path, batch_rows):
+        part = os.path.join(dirs[kind], f"part-{writers[kind]:05d}.parquet")
+        tmp = part + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, part)
+        writers[kind] += 1
+    for kind, d in dirs.items():  # empty inputs still need a schema file
+        if writers[kind] == 0:
+            pq.write_table(schemas[kind].empty_table(),
+                           os.path.join(d, "part-00000.parquet"))
+    return dirs
+
+
+def load_osm_xml(xml_path: str, work_dir: str):
+    """OSM XML -> (nodes, ways, relations) Ray Datasets via parquet."""
+    import ray.data as rd
+    dirs = osm_xml_to_parquet(xml_path, work_dir)
+    return (rd.read_parquet(dirs["node"]), rd.read_parquet(dirs["way"]),
+            rd.read_parquet(dirs["relation"]))
+
+
+# ------------------------------------------------------------------ sink
+
+_ATTR_ORDER = ["version", "changeset", "uid", "user", "timestamp"]
+
+
+def _attrs(row: dict, extra: list[tuple[str, object]]) -> str:
+    parts = [f'id={quoteattr(str(row["id"]))}']
+    for k, v in extra:
+        parts.append(f"{k}={quoteattr(str(v))}")
+    for k in _ATTR_ORDER:
+        v = row.get(k)
+        if v is not None:
+            parts.append(f"{k}={quoteattr(str(v))}")
+    return " ".join(parts)
+
+
+def _fmt_num(x: float) -> str:
+    return f"{x:g}"
+
+
+def _tags_xml(row: dict, indent: str) -> list[str]:
+    out = []
+    for k, v in (row.get("tags") or []):
+        out.append(f'{indent}<tag k={quoteattr(str(k))} '
+                   f'v={quoteattr(str(v))}/>')
+    return out
+
+
+def write_osm_xml(out_path: str, nodes_iter, ways_iter, rels_iter,
+                  buffer_elements: int = 1000) -> int:
+    """Serialize row iterables back to OSM XML (buffered, S4 analog).
+
+    Each *_iter yields dict rows (as from Dataset.iter_rows()). Returns
+    the element count written. Output order: nodes, ways, relations.
+    """
+    n = 0
+    buf: list[str] = ['<?xml version="1.0" encoding="UTF-8"?>',
+                      '<osm version="0.6" generator="osm_cut_ray">']
+    tmp = out_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        def flush():
+            f.write("\n".join(buf) + "\n")
+            buf.clear()
+
+        for row in nodes_iter:
+            extra = [("lat", _fmt_num(row["lat"])),
+                     ("lon", _fmt_num(row["lon"]))]
+            head = f'  <node {_attrs(row, extra)}'
+            tags = _tags_xml(row, "    ")
+            if tags:
+                buf.append(head + ">")
+                buf.extend(tags)
+                buf.append("  </node>")
+            else:
+                buf.append(head + "/>")
+            n += 1
+            if len(buf) >= buffer_elements:
+                flush()
+        for row in ways_iter:
+            buf.append(f'  <way {_attrs(row, [])}>')
+            for ref in row["node_ids"]:
+                buf.append(f'    <nd ref="{int(ref)}"/>')
+            buf.extend(_tags_xml(row, "    "))
+            buf.append("  </way>")
+            n += 1
+            if len(buf) >= buffer_elements:
+                flush()
+        for row in rels_iter:
+            buf.append(f'  <relation {_attrs(row, [])}>')
+            for m in row["members"]:
+                buf.append(f'    <member type={quoteattr(m["type"])} '
+                           f'ref="{int(m["ref"])}" '
+                           f'role={quoteattr(m.get("role") or "")}/>')
+            buf.extend(_tags_xml(row, "    "))
+            buf.append("  </relation>")
+            n += 1
+            if len(buf) >= buffer_elements:
+                flush()
+        buf.append("</osm>")
+        flush()
+    os.replace(tmp, out_path)
+    return n

@@ -1,0 +1,119 @@
+"""OSM XML source/sink + end-to-end parity with the reference fixture:
+parse the verbatim 1.osm/simple.poly content, cut, compare against the
+golden sets from processor_SUITE.erl, write XML, re-parse, re-cut."""
+
+import os
+
+import pytest
+
+FIXTURE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="Hands">
+  <node id="1" lat="0" lon="0" version="1" changeset="440330" user="smsm1" uid="6871" timestamp="2008-12-17T01:18:42Z"/>
+  <node id="2" lat="0" lon="5" version="1" changeset="440330" user="smsm1" uid="6871" timestamp="2008-12-17T01:18:42Z"/>
+  <node id="3" lat="5" lon="10" version="3" changeset="2980587" user="nickb" uid="1697" timestamp="2009-10-29T12:14:35Z">
+    <tag k="name" v="Jam's Sandwich Bar"/>
+    <tag k="amenity" v="cafe"/>
+  </node>
+  <node id="4" lat="10" lon="10" version="2" changeset="388960" user="BiIbo" uid="3516" timestamp="2009-02-13T00:41:47Z">
+    <tag k="barrier" v="gate"/>
+  </node>
+  <node id="5" lat="10" lon="0" version="1" changeset="374143" user="Matt" uid="70" timestamp="2008-10-16T16:35:57Z"/>
+  <node id="6" lat="15" lon="15" version="4" changeset="2114003" user="jamicu" uid="38244" timestamp="2009-08-12T01:33:32Z"/>
+  <way id="1" timestamp="2009-05-31T13:39:15Z" version="3" changeset="1368552" user="Matt" uid="70">
+    <nd ref="1"/>
+    <nd ref="2"/>
+    <nd ref="3"/>
+    <nd ref="4"/>
+    <nd ref="1"/>
+    <tag k="access" v="private"/>
+    <tag k="highway" v="service"/>
+  </way>
+  <way id="2">
+    <nd ref="4"/>
+  </way>
+  <relation id="1" version="1" timestamp="2009-12-13T17:06:48Z" uid="118927" user="DSem" changeset="3364749">
+    <member type="way" ref="1" role=""/>
+    <member type="node" ref="6" role=""/>
+    <tag k="admin_level" v="8"/>
+    <tag k="boundary" v="administrative"/>
+    <tag k="name" v="Warsaw"/>
+    <tag k="type" v="boundary"/>
+  </relation>
+  <relation id="2">
+    <member type="node" ref="4" role=""/>
+  </relation>
+  <relation id="3">
+    <member type="way" ref="2" role=""/>
+  </relation>
+  <relation id="4">
+    <member type="relation" ref="2" role=""/>
+    <member type="relation" ref="3" role=""/>
+  </relation>
+</osm>
+"""
+
+SIMPLE_POLY = "simple\n1\n0 0\n5 0\n10 5\nEND\nEND\n"
+
+
+@pytest.fixture()
+def xml_path(tmp_path):
+    p = tmp_path / "1.osm"
+    p.write_text(FIXTURE_XML)
+    return str(p)
+
+
+def _cut_from_xml(xml_path, tmp_path, complete):
+    from osm_cut_ray.geometry.polygon import PolygonIndex, parse_poly_text
+    from osm_cut_ray.pipelines.cut import cut
+    from osm_cut_ray.sources.osm_xml import load_osm_xml
+    nodes, ways, rels = load_osm_xml(xml_path, str(tmp_path / "pq"))
+    poly = PolygonIndex.compile(parse_poly_text(SIMPLE_POLY))
+    return cut(nodes, ways, rels, poly, complete=complete)
+
+
+def test_xml_parse_schema(xml_path, tmp_path, ray_session):
+    from osm_cut_ray.sources.osm_xml import load_osm_xml
+    nodes, ways, rels = load_osm_xml(xml_path, str(tmp_path / "pq"))
+    assert nodes.count() == 6 and ways.count() == 2 and rels.count() == 4
+    n3 = [r for r in nodes.take_all() if r["id"] == 3][0]
+    assert n3["lon"] == 10.0 and n3["lat"] == 5.0
+    assert dict(n3["tags"])["name"] == "Jam's Sandwich Bar"
+    assert n3["version"] == 3 and n3["user"] == "nickb"
+    w2 = [r for r in ways.take_all() if r["id"] == 2][0]
+    assert list(w2["node_ids"]) == [4] and w2["version"] is None
+
+
+def test_xml_cut_complete_golden(xml_path, tmp_path, ray_session):
+    # processor_SUITE.erl:223-264 golden expectations on the real file
+    res = _cut_from_xml(xml_path, tmp_path, complete=True)
+    assert sorted(res.node_ids.tolist()) == [1, 2, 3, 4]
+    assert sorted(res.way_ids.tolist()) == [1]
+    assert sorted(res.rel_ids.tolist()) == [1, 2, 4]
+    way1 = res.ways.take_all()[0]
+    assert list(way1["node_ids"]) == [1, 2, 3, 4, 1]  # verbatim
+    assert way1["user"] == "Matt"  # metadata preserved through the cut
+
+
+def test_xml_cut_noncomplete_golden(xml_path, tmp_path, ray_session):
+    res = _cut_from_xml(xml_path, tmp_path, complete=False)
+    assert sorted(res.node_ids.tolist()) == [1, 2, 3]
+    assert sorted(res.way_ids.tolist()) == [1]
+    assert sorted(res.rel_ids.tolist()) == [1]
+    assert list(res.ways.take_all()[0]["node_ids"]) == [1, 2, 3, 1]
+
+
+def test_xml_roundtrip(xml_path, tmp_path, ray_session):
+    from osm_cut_ray.sources.osm_xml import load_osm_xml, write_osm_xml
+    res = _cut_from_xml(xml_path, tmp_path, complete=True)
+    out = str(tmp_path / "out.osm")
+    n = write_osm_xml(out, res.nodes.iter_rows(), res.ways.iter_rows(),
+                      res.relations.iter_rows())
+    assert n == 4 + 1 + 3
+    nodes2, ways2, rels2 = load_osm_xml(out, str(tmp_path / "pq2"))
+    assert sorted(r["id"] for r in nodes2.take_all()) == [1, 2, 3, 4]
+    w1 = ways2.take_all()[0]
+    assert list(w1["node_ids"]) == [1, 2, 3, 4, 1]
+    assert dict(w1["tags"])["highway"] == "service"
+    r4 = [r for r in rels2.take_all() if r["id"] == 4][0]
+    assert [(m["type"], m["ref"]) for m in r4["members"]] \
+        == [("relation", 2)]

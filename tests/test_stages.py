@@ -1,0 +1,107 @@
+"""Unit tests for stages without SQL oracles: image codec invariants,
+simhash nearness, IVF recall vs brute force, rolling fingerprint,
+minhash signature behavior."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def test_image_codec_roundtrip_and_psnr():
+    from osm_cut_ray.sources.images import (decode_image, encode_image,
+                                            pixels_for_key, psnr)
+    px = pixels_for_key(12345, 32, 32)
+    # lossless: exact
+    dec, fmt = decode_image(encode_image(px, "fpng"))
+    assert fmt == "fpng" and np.array_equal(dec, px)
+    # lossy: PSNR >= 40 dB (north_star per-row invariant threshold)
+    dec2, fmt2 = decode_image(encode_image(px, "fjpg"))
+    assert fmt2 == "fjpg"
+    assert psnr(px, dec2) >= 40.0
+    assert dec2.shape == px.shape
+
+
+def test_image_decode_stage_enforces_invariant(ray_session):
+    from osm_cut_ray.sources.images import ImageDecodeStage, \
+        images_batch_from_keys
+    t = images_batch_from_keys(np.arange(50, dtype=np.int64))
+    out = ImageDecodeStage()(t)
+    assert out.num_rows == 50
+    assert (np.asarray(out["psnr_db"].to_numpy()) >= 40.0).all()
+    # corrupt one blob -> stage raises (invariant is enforced, not logged)
+    bad = t.set_column(t.schema.get_field_index("bytes"), "bytes",
+                       pa.array([b"FPNG" + bytes(20)] * 50, pa.binary()))
+    import pytest
+    with pytest.raises(Exception):
+        ImageDecodeStage()(bad)
+
+
+def test_simhash_near_dup_behavior():
+    from osm_cut_ray.stages.dedup import SimHasher, hamming64
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different words entirely unrelated content " * 8
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    out = SimHasher()(df)
+    h = out["simhash"].to_numpy()
+    # deterministic
+    h2 = SimHasher()(df)["simhash"].to_numpy()
+    np.testing.assert_array_equal(h, h2)
+    d_near = hamming64(h[:1], h[1:2])[0]
+    d_far = hamming64(h[:1], h[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 16 and d_far > 16
+
+
+def test_minhash_signature_similarity():
+    from osm_cut_ray.stages.dedup import MinHasher, shingle_hashes
+    mh = MinHasher(n_perm=128, seed=1)
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    b = a + " extra"          # high overlap
+    c = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16"
+    sa = mh.signature(shingle_hashes(a))
+    sb = mh.signature(shingle_hashes(b))
+    sc = mh.signature(shingle_hashes(c))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.7 and sim_ac < 0.2
+
+
+def test_knn_ivf_recall_vs_brute(ray_session):
+    from osm_cut_ray.stages.knn import knn_brute, knn_ivf
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((400, 32)).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": np.arange(400, dtype=np.int64),
+        "embedding": list(vecs)}))
+    ids = np.arange(5, dtype=np.int64)
+    mat = vecs[:5].astype(np.float64)
+    bt = knn_brute(emb, ids, mat, k=5).to_pandas()
+    it = knn_ivf(emb, ids, mat, k=5, n_centroids=8, nprobe=4).to_pandas()
+    recall = 0.0
+    for pid in ids:
+        bset = set(bt[bt.probe_id == pid].neighbor_id)
+        iset = set(it[it.probe_id == pid].neighbor_id)
+        recall += len(bset & iset) / max(1, len(bset))
+    recall /= len(ids)
+    # nprobe=4 of 8 cells: approximate by design, but must find a
+    # meaningful fraction — and never return self
+    assert recall >= 0.5
+    assert not (it.probe_id == it.neighbor_id).any()
+
+
+def test_rolling_fingerprint_properties():
+    from osm_cut_ray.stages.text import rolling_fingerprint
+    a = rolling_fingerprint("some document body with words")
+    assert a == rolling_fingerprint("some document body with words")
+    assert a != rolling_fingerprint("some document body with words!")
+    assert a != rolling_fingerprint("other document body with words")
+
+
+def test_hex_disk_ring_sizes():
+    from osm_cut_ray.geometry.cells import hex_cell, hex_disk
+    c = int(hex_cell(np.array([0.0]), np.array([0.0]), 5)[0])
+    for k, expect in [(0, 1), (1, 7), (2, 19), (3, 37)]:
+        assert len(hex_disk(c, k)) == expect
