@@ -897,3 +897,146 @@ def knn_points_cell(sf_dir: str):
 
     return collect(partial.groupby("probe_id").map_groups(
         merge, batch_format="pandas"))
+
+
+# ======================================================================
+# round-1 widening: as-of join, running windows, sampling, group top-k,
+# exclude-ring composition, cell indexers
+# ======================================================================
+
+@q("asof_join_events", """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_join_events(sf_dir: str):
+    """As-of join (guide: sort within key buckets + merge_asof per
+    group): each purchase matched to the user's latest click at or
+    before it."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]\
+            .sort_values(["ts", "event_id"])
+        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if p.empty or c.empty:
+            return pd.DataFrame({"purchase_id": pd.Series(dtype=np.int64),
+                                 "click_id": pd.Series(dtype=np.int64)})
+        m = pd.merge_asof(p[["ts", "event_id"]], c[["ts", "event_id"]],
+                          on="ts", direction="backward",
+                          suffixes=("_p", "_c")).dropna()
+        return pd.DataFrame({
+            "purchase_id": m["event_id_p"].astype(np.int64),
+            "click_id": m["event_id_c"].astype(np.int64)})
+
+    return collect(ev.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"))
+
+
+@q("running_total_orders", """
+SELECT o_orderkey,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_price_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def running_total_orders(sf_dir: str):
+    """Keyed running window (rank + cumulative sum) via per-key sorted
+    group scan — the batch analog of a stream's per-key state."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        price_c = np.floor(g["o_totalprice"].to_numpy() * 100)\
+            .astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            "running_price_c": np.cumsum(price_c)})
+
+    return collect(orders.groupby("o_custkey").map_groups(
+        per_cust, batch_format="pandas"))
+
+
+@q("sample_lineitem", """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761) % 100 < 10
+""")
+def sample_lineitem(sf_dir: str):
+    """Deterministic hash sampling (seeded sampling the reproducible
+    way — NOT random_sample, which cannot be oracle-checked)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def f(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False) * 8 \
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
+        keep = (key * 2654435761) % 100 < 10
+        return t.filter(pa.array(keep))
+
+    return collect(li.map_batches(f, batch_format="pyarrow"))
+
+
+@q("top2_per_order", """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY price_c DESC, l_linenumber) <= 2
+""")
+def top2_per_order(sf_dir: str):
+    """Per-group top-k (rank within key) — groupby + argsort head."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.floor(g["l_extendedprice"].to_numpy() * 100)\
+            .astype(np.int64)
+        order = np.lexsort((g["l_linenumber"].to_numpy(), -price_c))[:2]
+        return pd.DataFrame({
+            "l_orderkey": g["l_orderkey"].to_numpy()[order],
+            "l_linenumber": g["l_linenumber"].to_numpy()[order],
+            "price_c": price_c[order]})
+
+    return collect(li.groupby("l_orderkey").map_groups(
+        per_order, batch_format="pandas"))
+
+
+_HOLE = [(-40.0, -40.0), (40.0, -40.0), (0.0, 20.0)]
+
+
+@q("pip_with_hole", f"""
+WITH {_PTS_CTE}
+SELECT id, ({D.sql_convex_pip()}
+        AND NOT {D.sql_convex_pip(poly=_HOLE)}) AS inside
+FROM pts
+""")
+def pip_with_hole(sf_dir: str):
+    """Include/exclude ring composition (U1/U2,
+    src/osm_polygon_compiler.erl:168-180): pentagon minus a triangular
+    hole; on-hole-edge points are inside the hole => excluded, which
+    the SQL mirrors as NOT(all half-planes >= 0)."""
+    idx = PolygonIndex.compile([("include", D.PENTAGON),
+                                ("exclude", _HOLE)])
+    nodes = OD.derive_nodes(sf_dir)
+    return collect(apply_pip(nodes, idx).select_columns(["id", "inside"]))
+
+
+@q("cell_assign_s2_hex")  # rows-only: S2/hex ids aren't ANSI-expressible
+def cell_assign_s2_hex(sf_dir: str):
+    """The north-star cell assignment itself: S2 level-12 + hex res
+    7-9 ids per point (hierarchy + determinism pinned in
+    tests/test_cells.py)."""
+    nodes = OD.derive_nodes(sf_dir)
+    from ..stages.cells import assign_cells
+    return collect(nodes.map_batches(
+        lambda t: assign_cells(t), batch_format="pyarrow")
+        .select_columns(["id", "s2_12", "hex_7", "hex_8", "hex_9"]))
