@@ -1,0 +1,266 @@
+"""Shuffle-strategy cut: the 10^12-row path.
+
+`pipelines.cut` broadcasts its membership id sets (`ray.put` +
+`pc.is_in`), which is the right call while the sets fit
+(BROADCAST_MAX_KEYS). At full corpus scale the inside-node set is
+billions of ids, so every membership decision must instead be a
+hash-partitioned join. This module re-expresses J1/J2/M8/J5 as native
+`Dataset.join` operations (Ray >= 2.47 hash shuffle) over SLIM
+projections — payload columns never transit a shuffle; they re-attach
+by a final id join (SURVEY §7.4).
+
+The relation phase intentionally stays on the driver: the relation
+graph is ~1e-4 of the corpus (SURVEY J4), and the transitive closure
+is a worklist algorithm with data-dependent depth.
+
+List rewrites at scale use explode -> join -> regroup with position
+columns (order restored by sorting on pos inside the regroup), instead
+of in-batch `is_in` against a broadcast array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Max
+
+from ..geometry.polygon import PolygonIndex
+from ..stages import join as J
+from ..stages.pip import apply_pip
+
+# type codes for (type, ref) -> single int64 join key
+_TYPE_CODE = {"node": 0, "way": 1, "relation": 2}
+
+
+def _num_partitions() -> int:
+    """Hash-join partition count: 2x cores locally; on a real cluster
+    size to total cores (each partition is an aggregator actor task —
+    too many partitions on a small machine just burns scheduling)."""
+    import ray
+    return max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+
+def _coerce_single_int64(ds: Dataset, col: str) -> Dataset:
+    """Normalize to exactly one int64 column named `col`.
+
+    Ray's sort-based groupby/map_groups emits EMPTY blocks with an
+    empty schema for group-less partitions; Acero's hash join then
+    fails with "No match for key field" on those blocks. Rebuilding
+    every block with an explicit dtype fixes the schema drift."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if col not in df.columns:
+            return pd.DataFrame({col: pd.Series(dtype=np.int64)})
+        return pd.DataFrame({col: df[col].astype(np.int64)})
+    # repartition merges away schema-LESS empty Arrow blocks that Ray
+    # leaves for group-less partitions and skips UDFs on — Acero's
+    # hash join rejects them ("No match for key field")
+    return ds.map_batches(f, batch_format="pandas")\
+        .repartition(_num_partitions())
+
+
+def _distinct_keys(ds: Dataset, col: str) -> Dataset:
+    return _coerce_single_int64(J.distinct(ds, [col]), col)
+
+
+def semi_join(left: Dataset, key: str, keys_ds: Dataset,
+              keys_col: str | None = None) -> Dataset:
+    """left ⋉ keys. Native Acero hash join for flat schemas; the
+    Arrow-native bucketed join when the payload carries nested columns
+    (Acero rejects list/map non-key fields)."""
+    keys_col = keys_col or key
+    slim = _distinct_keys(keys_ds, keys_col)
+    schema: pa.Schema = left.schema().base_schema
+    if any(pa.types.is_nested(f.type) for f in schema):
+        return J.bucketed_semi_join(left, key, slim, keys_col,
+                                    num_buckets=_num_partitions())
+    if keys_col != key:
+        slim = slim.map_batches(lambda t: t.rename_columns([key]),
+                                batch_format="pyarrow")
+    return left.join(slim, join_type="inner",
+                     num_partitions=_num_partitions(), on=(key,))
+
+
+def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
+                polygon: PolygonIndex, *, complete: bool = True,
+                id_col: str = "id") -> dict:
+    """Returns dict with Datasets: nodes, ways, relations, and the
+    kept-id Datasets (node_ids/way_ids/rel_ids, single `id` column).
+
+    Semantics identical to pipelines.cut.cut (tested for equality);
+    only the join strategy differs.
+    """
+    # phase 1: PIP -> inside id Dataset (slim: id only)
+    flagged = apply_pip(nodes.select_columns([id_col, "lon", "lat"]),
+                        polygon)
+    inside_ids = flagged.map_batches(
+        lambda t: t.filter(t["inside"]).select([id_col])
+        .rename_columns(["node_id"]), batch_format="pyarrow")\
+        .materialize()  # phase barrier (T5): id sets are slim; keeps
+    # successive hash joins from contending in one streaming DAG
+
+    # phase 2: ways — explode with positions, join inside flags
+    pairs = J.explode(
+        ways.select_columns([id_col, "node_ids"]).map_batches(
+            lambda t: t.rename_columns(["way_id", "node_ids"]),
+            batch_format="pyarrow"),
+        ["way_id"], "node_ids", "node_id", pos_col="pos").materialize()
+    # pairs feeds three joins; materializing avoids recomputing the
+    # explode per consumer (slim columns only — payloads stay behind)
+    hit_pairs = pairs.join(
+        _distinct_keys(inside_ids, "node_id"), join_type="inner",
+        num_partitions=_num_partitions(), on=("node_id",))
+    way_ids = hit_pairs.map_batches(
+        lambda t: t.select(["way_id"]).group_by(["way_id"]).aggregate([]),
+        batch_format="pyarrow").groupby("way_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    way_ids = _coerce_single_int64(way_ids, "way_id").materialize()
+
+    kept_pairs = pairs.join(
+        way_ids.map_batches(lambda t: t.rename_columns(["way_id"]),
+                            batch_format="pyarrow"),
+        join_type="inner", num_partitions=_num_partitions(),
+        on=("way_id",))
+
+    if complete:
+        # J2: all refs of kept ways become needed nodes
+        needed = _distinct_keys(kept_pairs.select_columns(["node_id"]),
+                                "node_id")
+        node_ids = _distinct_keys(
+            inside_ids.union(needed), "node_id").materialize()
+    else:
+        node_ids = inside_ids
+
+    # emit ways: complete keeps verbatim lists; non-complete rebuilds
+    # the list from inside pairs (explode->join->regroup, order by pos)
+    out_ways = semi_join(ways, id_col, way_ids, "way_id")
+    if not complete:
+        inside_pairs = kept_pairs.join(
+            _distinct_keys(inside_ids, "node_id"), join_type="inner",
+            num_partitions=_num_partitions(), on=("node_id",))
+
+        def regroup(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("pos")
+            return pd.DataFrame({
+                "way_id": [int(g["way_id"].iloc[0])],
+                "node_ids": [[int(x) for x in g["node_id"]]]})
+
+        rebuilt = inside_pairs.groupby("way_id").map_groups(
+            regroup, batch_format="pandas").map_batches(
+            lambda t: pa.table({
+                "way_id": t["way_id"].cast(pa.int64()),
+                "node_ids": t["node_ids"].cast(pa.list_(pa.int64()))}),
+            batch_format="pyarrow")
+        meta = out_ways.drop_columns(["node_ids"])
+        out_ways = J.bucketed_attach_column(
+            meta, id_col, rebuilt, "way_id", "node_ids",
+            num_buckets=_num_partitions())
+
+    # phase 3: relations (driver-side closure, as in pipelines.cut) —
+    # member matching joins stay distributed via typed keys
+    mem = J.explode(
+        relations.select_columns([id_col, "members"]).map_batches(
+            lambda t: t.rename_columns(["rel_id", "members"]),
+            batch_format="pyarrow"),
+        ["rel_id"], "members", "m", pos_col="pos")
+    mem = mem.map_batches(
+        lambda t: pa.table({
+            "rel_id": t["rel_id"], "pos": t["pos"],
+            "m_type": pc.struct_field(t["m"], "type"),
+            "m_ref": pc.struct_field(t["m"], "ref")}),
+        batch_format="pyarrow")
+
+    def typed_key(t: pa.Table, type_arr, ref_arr) -> np.ndarray:
+        codes = np.select(
+            [np.asarray(type_arr) == "node",
+             np.asarray(type_arr) == "way"],
+            [0, 1], default=2).astype(np.int64)
+        return np.asarray(ref_arr, np.int64) * 4 + codes
+
+    mem_keyed = mem.map_batches(
+        lambda t: t.append_column("mkey", pa.array(typed_key(
+            t, t["m_type"].to_numpy(zero_copy_only=False),
+            t["m_ref"].to_numpy(zero_copy_only=False)))),
+        batch_format="pyarrow")
+
+    membership = node_ids.map_batches(
+        lambda t: pa.table({"mkey": t["node_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64) * 4 + 0}),
+        batch_format="pyarrow").union(
+        way_ids.map_batches(
+            lambda t: pa.table({"mkey": t["way_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64) * 4 + 1}),
+            batch_format="pyarrow"))
+
+    mem_keyed = mem_keyed.materialize()
+    direct_rows = mem_keyed.join(
+        _distinct_keys(membership, "mkey").materialize(), join_type="inner",
+        num_partitions=_num_partitions(), on=("mkey",))
+    direct = {int(r["rel_id"]) for r in
+              J.distinct(direct_rows.select_columns(["rel_id"]),
+                         ["rel_id"]).take_all()}
+    edge_rows = mem.map_batches(
+        lambda t: t.filter(pc.equal(t["m_type"], "relation"))
+        .select(["m_ref", "rel_id"]), batch_format="pyarrow")
+    edges = [(int(r["m_ref"]), int(r["rel_id"]))
+             for r in edge_rows.take_all()]
+
+    if complete:
+        kept = set(direct)
+        changed = True
+        while changed:
+            changed = False
+            for child, parent in edges:
+                if child in kept and parent not in kept:
+                    kept.add(parent)
+                    changed = True
+    else:
+        kept = set()
+        by_parent: dict[int, list[int]] = {}
+        for child, parent in edges:
+            by_parent.setdefault(parent, []).append(child)
+        all_rels = {int(r["rel_id"]) for r in J.distinct(
+            mem.select_columns(["rel_id"]), ["rel_id"]).take_all()}
+        for rid in sorted(all_rels):
+            if rid in direct or any(c in kept
+                                    for c in by_parent.get(rid, ())):
+                kept.add(rid)
+
+    import ray.data as rd
+    rel_ids = rd.from_arrow(pa.table({
+        "rel_id": pa.array(sorted(kept), pa.int64())}))
+
+    # J5 member projection: explode->join membership (incl. kept
+    # relations)->regroup by pos
+    full_membership = _distinct_keys(membership.union(
+        rel_ids.map_batches(
+            lambda t: pa.table({"mkey": t["rel_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64) * 4 + 2}),
+            batch_format="pyarrow")), "mkey")
+    kept_mem = mem_keyed.join(
+        rel_ids, join_type="inner", num_partitions=_num_partitions(),
+        on=("rel_id",)).join(
+        full_membership, join_type="inner",
+        num_partitions=_num_partitions(), on=("mkey",))
+
+    def regroup_members(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos")
+        return pd.DataFrame({
+            "rel_id": [int(g["rel_id"].iloc[0])],
+            "members": [[{"type": t, "ref": int(r), "role": ""}
+                         for t, r in zip(g["m_type"], g["m_ref"])]]})
+
+    out_members = kept_mem.groupby("rel_id").map_groups(
+        regroup_members, batch_format="pandas")
+    out_rels_meta = semi_join(relations, id_col, rel_ids, "rel_id")
+
+    out_nodes = semi_join(nodes, id_col, node_ids, "node_id")
+
+    return {
+        "nodes": out_nodes, "ways": out_ways,
+        "relations_meta": out_rels_meta, "relation_members": out_members,
+        "node_ids": node_ids, "way_ids": way_ids, "rel_ids": rel_ids,
+    }

@@ -204,3 +204,106 @@ def shuffle_inner_join(left, right, key: str, num_partitions: int | None = None)
                                on=key)
 
     return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------- Arrow-native bucket joins
+
+def _hash_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((np.asarray(arr, np.int64) * np.int64(2654435761))
+            % np.int64(num_buckets)).astype(np.int64)
+
+
+def bucketed_semi_join(payload, key: str, keys_ds, keys_col: str,
+                       num_buckets: int = 64):
+    """payload ⋉ keys as a pure-Arrow hash-bucket join.
+
+    Unlike Acero-backed `Dataset.join`, this supports ANY payload
+    column types (list/map/struct survive untouched): both sides get a
+    `__bucket = hash(key) % B` column, the keys side is padded to the
+    payload schema with typed nulls, and each bucket group filters its
+    payload rows with `pc.is_in` against its key rows. One sort-shuffle
+    on the bucket column; payload bytes move once.
+    """
+    schema: pa.Schema = payload.schema().base_schema
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        b = _hash_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column("__bucket", pa.array(b))\
+            .append_column("__side", pa.array(np.zeros(len(t), np.int8)))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        karr = pc.cast(t[keys_col], schema.field(key).type)
+        cols = {}
+        for f in schema:
+            cols[f.name] = karr if f.name == key else pa.nulls(len(t), f.type)
+        out = pa.table(cols)
+        b = _hash_bucket(np.asarray(karr.to_numpy(zero_copy_only=False)),
+                         num_buckets)
+        return out.append_column("__bucket", pa.array(b))\
+            .append_column("__side", pa.array(np.ones(len(t), np.int8)))
+
+    lp = payload.map_batches(tag_payload, batch_format="pyarrow")
+    rk = keys_ds.map_batches(tag_keys, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["__side"]
+        keys_in = t.filter(pc.equal(side, 1))[key]
+        left = t.filter(pc.equal(side, 0))
+        hit = pc.fill_null(pc.is_in(left[key], value_set=keys_in), False)
+        return left.filter(hit).drop_columns(["__bucket", "__side"])
+
+    return lp.union(rk).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
+def bucketed_attach_column(payload, key: str, attach_ds, attach_key: str,
+                           attach_col: str, num_buckets: int = 64):
+    """Inner-join a single column onto payload by key, Arrow-native.
+
+    attach_ds must have exactly one row per key (e.g. a regrouped list
+    column). Payload rows without a match are dropped (inner).
+    """
+    schema: pa.Schema = payload.schema().base_schema
+    attach_type = attach_ds.schema().base_schema.field(attach_col).type
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        b = _hash_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column(attach_col, pa.nulls(len(t), attach_type))\
+            .append_column("__bucket", pa.array(b))\
+            .append_column("__side", pa.array(np.zeros(len(t), np.int8)))
+
+    def tag_attach(t: pa.Table) -> pa.Table:
+        karr = pc.cast(t[attach_key], schema.field(key).type)
+        cols = {}
+        for f in schema:
+            cols[f.name] = karr if f.name == key else pa.nulls(len(t), f.type)
+        cols[attach_col] = t[attach_col]
+        out = pa.table(cols)
+        b = _hash_bucket(np.asarray(karr.to_numpy(zero_copy_only=False)),
+                         num_buckets)
+        return out.append_column("__bucket", pa.array(b))\
+            .append_column("__side", pa.array(np.ones(len(t), np.int8)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["__side"]
+        left = t.filter(pc.equal(side, 0))
+        right = t.filter(pc.equal(side, 1))
+        lk = left[key].to_numpy(zero_copy_only=False)
+        rk = right[key].to_numpy(zero_copy_only=False)
+        if len(right) == 0 or len(left) == 0:
+            return left.drop_columns(["__bucket", "__side"]).slice(0, 0)
+        order = np.argsort(rk, kind="stable")
+        pos_in_sorted = np.searchsorted(rk[order], lk)
+        pos_in_sorted = np.clip(pos_in_sorted, 0, len(rk) - 1)
+        matched = rk[order][pos_in_sorted] == lk
+        left = left.filter(pa.array(matched))
+        take_idx = order[pos_in_sorted[matched]]
+        new_col = right[attach_col].take(pa.array(take_idx))
+        i = left.schema.get_field_index(attach_col)
+        return left.set_column(i, attach_col, new_col)\
+            .drop_columns(["__bucket", "__side"])
+
+    lp = payload.map_batches(tag_payload, batch_format="pyarrow")
+    rk = attach_ds.map_batches(tag_attach, batch_format="pyarrow")
+    return lp.union(rk).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow")

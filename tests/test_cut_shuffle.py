@@ -1,0 +1,89 @@
+"""Shuffle-strategy cut must produce identical results to the
+broadcast-strategy cut (same semantics, different join physics)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from osm_cut_ray.geometry.polygon import PolygonIndex
+from osm_cut_ray.pipelines.cut import cut
+from osm_cut_ray.pipelines.cut_shuffle import cut_shuffle
+from osm_cut_ray.sources.osm_fixture import (FIXTURE_POLY, fixture_nodes,
+                                             fixture_relations, fixture_ways)
+
+
+def _ids(ds, col):
+    return sorted(r[col] for r in ds.take_all())
+
+
+@pytest.mark.parametrize("complete", [True, False])
+def test_shuffle_cut_matches_broadcast_on_fixture(ray_session, complete):
+    nodes = rd.from_arrow(fixture_nodes())
+    ways = rd.from_arrow(fixture_ways())
+    rels = rd.from_arrow(fixture_relations())
+    poly = PolygonIndex.compile(FIXTURE_POLY)
+
+    b = cut(nodes, ways, rels, poly, complete=complete)
+    s = cut_shuffle(nodes, ways, rels, poly, complete=complete)
+
+    assert _ids(s["node_ids"], "node_id") == sorted(b.node_ids.tolist())
+    assert _ids(s["way_ids"], "way_id") == sorted(b.way_ids.tolist())
+    assert _ids(s["rel_ids"], "rel_id") == sorted(b.rel_ids.tolist())
+
+    # way node lists match (incl. the mode-divergent rewrite M8)
+    b_ways = {r["id"]: list(r["node_ids"]) for r in b.ways.take_all()}
+    s_ways = {r["id"]: list(r["node_ids"]) for r in s["ways"].take_all()}
+    assert b_ways == s_ways
+
+    # member projections match as (rel, type, ref) sets
+    b_mem = {(r["id"], m["type"], m["ref"])
+             for r in b.relations.take_all() for m in r["members"]}
+    s_mem = {(r["rel_id"], m["type"], m["ref"])
+             for r in s["relation_members"].take_all()
+             for m in r["members"]}
+    assert b_mem == s_mem
+
+    # payload columns survive the id semi-join
+    assert _ids(s["nodes"], "id") == sorted(b.node_ids.tolist())
+
+
+def test_shuffle_cut_matches_broadcast_on_corpus(ray_session):
+    # bigger randomized corpus: 2000 nodes, 100 ways, relation chain
+    rng = np.random.default_rng(17)
+    n = 2000
+    nodes = rd.from_arrow(pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-90, 90, n)}))
+    way_ids = np.arange(100, dtype=np.int64)
+    node_lists = [sorted(rng.choice(n, size=20, replace=False).tolist())
+                  for _ in way_ids]
+    ways = rd.from_arrow(pa.table({
+        "id": way_ids, "node_ids": node_lists}))
+    members = []
+    for u in range(40):
+        m = [{"type": "way", "ref": int(u), "role": ""}]
+        if u >= 5:
+            m.append({"type": "relation", "ref": u - 5, "role": ""})
+        members.append(m)
+    rels = rd.from_arrow(pa.table({
+        "id": np.arange(40, dtype=np.int64),
+        "members": pa.array(members, pa.list_(pa.struct([
+            ("type", pa.large_string()), ("ref", pa.int64()),
+            ("role", pa.large_string())])))}))
+    poly = PolygonIndex.compile(
+        [("include", [(-60.0, -30.0), (60.0, -30.0), (60.0, 30.0),
+                      (-60.0, 30.0)])])
+
+    for complete in (True, False):
+        b = cut(nodes, ways, rels, poly, complete=complete)
+        s = cut_shuffle(nodes, ways, rels, poly, complete=complete)
+        assert _ids(s["node_ids"], "node_id") == sorted(b.node_ids.tolist())
+        assert _ids(s["way_ids"], "way_id") == sorted(b.way_ids.tolist())
+        assert _ids(s["rel_ids"], "rel_id") == sorted(b.rel_ids.tolist())
+        b_ways = {r["id"]: list(r["node_ids"]) for r in b.ways.take_all()}
+        s_ways = {r["id"]: list(r["node_ids"])
+                  for r in s["ways"].take_all()}
+        assert b_ways == s_ways
