@@ -21,6 +21,7 @@ from ..sources.tables import sf_path
 from ..stages.cells import assign_cells
 from ..stages.pip import apply_pip
 from . import derive as D
+from ..state.checkpoint import run_resumable
 
 
 def image_corpus(sf_dir: str, include_bytes: bool = True):
@@ -53,3 +54,35 @@ def flagship(sf_dir: str, *, polygon: PolygonIndex | None = None,
     flagged = apply_pip(tagged, polygon, concurrency=concurrency)
     return flagged.map_batches(lambda t: t.filter(t["inside"]),
                                batch_format="pyarrow")
+
+
+def flagship_resumable(sf_dir: str, out_dir: str, *, polygon=None,
+                       params_version: str = "flagship-v1") -> dict:
+    """Checkpointed flagship run: one output partition per input shard
+    (here: per source parquet file; at production scale, per Lance
+    fragment / file group). A re-run skips shards whose manifest
+    matches the input fingerprint + params (north_rule resumability).
+    """
+    import glob
+    import os
+    shards = [(os.path.splitext(os.path.basename(p))[0] + f"-{i}", p)
+              for i, p in enumerate(sorted(glob.glob(
+                  os.path.join(sf_dir, "lineitem*.parquet"))))]
+
+    def process(path: str):
+        li = rd.read_parquet(path, columns=["l_orderkey", "l_linenumber"])
+        poly = polygon or PolygonIndex.compile([("include", D.PENTAGON)])
+        from ..sources.images import images_batch_from_keys
+        corpus = li.map_batches(
+            lambda t: images_batch_from_keys(
+                D.image_ids_from_lineitem(t), with_bytes=False),
+            batch_format="pyarrow")
+        tagged = corpus.map_batches(
+            lambda t: assign_cells(t, from_phash=True),
+            batch_format="pyarrow")
+        flagged = apply_pip(tagged, poly)
+        return flagged.map_batches(lambda t: t.filter(t["inside"]),
+                                   batch_format="pyarrow")
+
+    return run_resumable(shards, process, out_dir,
+                         params={"version": params_version})

@@ -22,6 +22,11 @@ import ray.data as rd
 from ..sources.tables import sf_path
 from .derive import REL_STEP, points_batch
 
+# Per-sf_dir memo of the derived (materialized) tables: the cut query
+# family shares one derivation instead of re-deriving per query. The
+# materialized datasets live in the Ray object store for the session.
+_CACHE: dict = {}
+
 
 def derive_nodes(sf_dir: str):
     ev = rd.read_parquet(sf_path(sf_dir, "events"), columns=["event_id"])
@@ -40,6 +45,9 @@ def derive_way_pairs(sf_dir: str):
 
 def derive_ways(sf_dir: str):
     """List-column form (way_id, node_ids) via keyed regroup."""
+    key = ("ways", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
     def build(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "id": [int(g["user_id"].iloc[0])],
@@ -48,14 +56,19 @@ def derive_ways(sf_dir: str):
     ev = rd.read_parquet(sf_path(sf_dir, "events"),
                          columns=["user_id", "event_id"])
     ds = ev.groupby("user_id").map_groups(build, batch_format="pandas")
-    return ds.map_batches(
+    out = ds.map_batches(
         lambda t: pa.table({
             "id": t["id"].cast(pa.int64()),
             "node_ids": t["node_ids"].cast(pa.list_(pa.int64())),
-        }), batch_format="pyarrow")
+        }), batch_format="pyarrow").materialize()
+    _CACHE[key] = out
+    return out
 
 
 def derive_relations(sf_dir: str):
+    key = ("relations", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
     ev = rd.read_parquet(sf_path(sf_dir, "events"),
                          columns=["user_id", "event_id"])
     per_user = ev.groupby("user_id").map_groups(
@@ -84,4 +97,6 @@ def derive_relations(sf_dir: str):
         "tags": pa.array([[]] * len(ids),
                          pa.map_(pa.large_string(), pa.large_string())),
     })
-    return rd.from_arrow(tbl)
+    out = rd.from_arrow(tbl)
+    _CACHE[key] = out
+    return out

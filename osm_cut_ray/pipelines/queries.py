@@ -1040,3 +1040,40 @@ def cell_assign_s2_hex(sf_dir: str):
     return collect(nodes.map_batches(
         lambda t: assign_cells(t), batch_format="pyarrow")
         .select_columns(["id", "s2_12", "hex_7", "hex_8", "hex_9"]))
+
+
+_PAIR_TRUTH_SQL = rf"""
+{_DOCS2_CTE},
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+         FROM docs2),
+sh AS (SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM toks, UNNEST(range(1, length(w) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT a_id, b_id FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+"""
+
+
+@q("dup_clusters_docs", f"""
+WITH RECURSIVE {_PAIR_TRUTH_SQL},
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+walk(id, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id)
+SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+""")
+def dup_clusters_docs(sf_dir: str):
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    (min-id labels). Oracle: true-Jaccard pairs + recursive min-label
+    propagation in SQL."""
+    from ..stages.dedup import dup_clusters
+    pairs = minhash_lsh_pairs(_docs2(sf_dir))
+    return dup_clusters(pairs)

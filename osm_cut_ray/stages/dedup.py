@@ -248,3 +248,35 @@ def embedding_dup_pairs(emb_ds, *, cosine_threshold=0.999, n_bits=16,
     df = tbl.to_pandas().drop_duplicates().sort_values(["a_id", "b_id"])
     return pa.table({"a_id": df["a_id"].astype(np.int64),
                      "b_id": df["b_id"].astype(np.int64)})
+
+
+def dup_clusters(pairs: pa.Table, a_col: str = "a_id",
+                 b_col: str = "b_id") -> pa.Table:
+    """Connected components over verified dup pairs ->
+    (doc_id, cluster_id = min id in the component).
+
+    Driver-side union-find is justified here: the VERIFIED pair set is
+    orders of magnitude smaller than the corpus (guide: union-find on
+    the driver only when the candidate set is provably small — the
+    Jaccard/cosine verification already shrank it). A distributed
+    min-label-propagation loop (groupby min per round) is the fallback
+    if pairs ever outgrow the driver.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    a = pairs[a_col].to_numpy(zero_copy_only=False)
+    b = pairs[b_col].to_numpy(zero_copy_only=False)
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    ids = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array([find(i) for i in ids], pa.int64())})

@@ -109,3 +109,17 @@ def test_salt_spreads_hot_cell(ray_session):
     salts = np.array([r["salt"] for r in salted.take_all()])
     counts = np.bincount(salts, minlength=8)
     assert (counts > 0).all() and counts.max() < 1000  # actually split
+
+
+def test_flagship_resumable(tmp_path, ray_session):
+    from osm_cut_ray.pipelines.flagship import flagship_resumable
+    out = str(tmp_path / "ck")
+    r1 = flagship_resumable("/root/testdata/sf0.001", out)
+    assert len(r1["completed"]) == 1 and r1["rows_out"] > 0
+    r2 = flagship_resumable("/root/testdata/sf0.001", out)
+    assert r2["skipped"] == r1["completed"] and r2["completed"] == []
+    assert r2["rows_out"] == r1["rows_out"]
+    # param change invalidates
+    r3 = flagship_resumable("/root/testdata/sf0.001", out,
+                            params_version="flagship-v2")
+    assert r3["completed"] == r1["completed"]
