@@ -1077,3 +1077,23 @@ def dup_clusters_docs(sf_dir: str):
     from ..stages.dedup import dup_clusters
     pairs = minhash_lsh_pairs(_docs2(sf_dir))
     return dup_clusters(pairs)
+
+
+@q("salted_cell_counts_points", f"""
+WITH {_PTS_CTE}
+SELECT {D.sql_grid_cell()} AS cell, count(*) AS n
+FROM pts GROUP BY cell
+""")
+def salted_cell_counts_points(sf_dir: str):
+    """Per-cell row counts THROUGH the hot-cell salting path (histogram
+    pre-pass -> salted two-stage aggregate). Result must equal a plain
+    GROUP BY — the oracle proves the skew mechanism is lossless. The
+    low threshold forces real splitting at test scale."""
+    from ..stages.salt import salted_cell_counts
+    nodes = OD.derive_nodes(sf_dir)
+    tiles = nodes.map_batches(
+        lambda t: pa.table({"cell": CellsMod.grid_cell(
+            t["lon"].to_numpy(), t["lat"].to_numpy(), D.GRID_DEG)}),
+        batch_format="pyarrow")
+    return collect(salted_cell_counts(tiles, "cell", hot_threshold=50,
+                                      split_factor=8))
