@@ -1113,3 +1113,38 @@ def salted_cell_counts_points(sf_dir: str):
         batch_format="pyarrow")
     return collect(salted_cell_counts(tiles, "cell", hot_threshold=50,
                                       split_factor=8))
+
+
+@q("window_sliding_events", """
+WITH ev2 AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(floor(value * 1000) AS BIGINT) AS vq FROM events),
+expd AS (
+  SELECT event_type, h AS wstart, vq FROM ev2
+  UNION ALL
+  SELECT event_type, h - INTERVAL 1 HOUR, vq FROM ev2)
+SELECT event_type, strftime(wstart, '%Y-%m-%d %H:00') AS wstart,
+  CAST(sum(vq) AS BIGINT) AS sum_v_q, count(*) AS n
+FROM expd GROUP BY event_type, wstart
+""")
+def window_sliding_events(sf_dir: str):
+    """Sliding window (2h wide, 1h step): each event lands in two
+    windows — vectorized double-emit per batch, then the same
+    combiner+groupby as the tumbling path."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("h")
+        vq = np.floor(df["value"].to_numpy() * 1000).astype(np.int64)
+        base = pd.DataFrame({"event_type": df["event_type"],
+                             "wstart": h, "vq": vq})
+        prev = base.copy()
+        prev["wstart"] = prev["wstart"] - pd.Timedelta(hours=1)
+        both = pd.concat([base, prev], ignore_index=True)
+        both["wstart"] = both["wstart"].dt.strftime("%Y-%m-%d %H:00")
+        return both.groupby(["event_type", "wstart"], as_index=False)\
+            .agg(sum_v_q=("vq", "sum"), n=("vq", "size"))
+
+    partial = ev.map_batches(expand, batch_format="pandas")
+    return collect(partial.groupby(["event_type", "wstart"]).aggregate(
+        Sum("sum_v_q", alias_name="sum_v_q"), Sum("n", alias_name="n")))

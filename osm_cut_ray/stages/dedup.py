@@ -32,14 +32,33 @@ def _hash64(arr_of_bytes) -> np.ndarray:
          for x in arr_of_bytes), np.uint64)
 
 
+_SHINGLE_MULS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                          0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                          0x85EBCA77C2B2AE63], dtype=np.uint64)
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of k-word shingles (the n-gram set for Jaccard)."""
+    """Hashes of k-word shingles (the n-gram set for Jaccard).
+
+    One blake2b per TOKEN (not per shingle), then a vectorized
+    position-weighted combine over the k-window — the shingle identity
+    is a bijection of the token-hash k-tuple up to 64-bit collisions,
+    so set semantics (and therefore Jaccard) match string shingles.
+    """
     toks = _TOKEN.findall(text.lower())
+    if not toks:
+        return np.array([], np.uint64)
+    th = _hash64((t.encode() for t in toks))
     if len(toks) < k:
-        return _hash64([" ".join(toks).encode()]) if toks else \
-            np.array([], np.uint64)
-    return _hash64((" ".join(toks[i:i + k]).encode()
-                    for i in range(len(toks) - k + 1)))
+        acc = np.uint64(0)
+        for i, h in enumerate(th):
+            acc ^= h * _SHINGLE_MULS[i % len(_SHINGLE_MULS)]
+        return np.array([acc], np.uint64)
+    n = len(th) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc ^= th[j:j + n] * _SHINGLE_MULS[j % len(_SHINGLE_MULS)]
+    return acc
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

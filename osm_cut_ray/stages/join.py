@@ -307,3 +307,72 @@ def bucketed_attach_column(payload, key: str, attach_ds, attach_key: str,
     rk = attach_ds.map_batches(tag_attach, batch_format="pyarrow")
     return lp.union(rk).groupby("__bucket").map_groups(
         per_bucket, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ bloom filter
+
+class BloomFilter:
+    """Vectorized numpy Bloom filter over int64 keys.
+
+    The guide's scale pattern for semi joins when even the key ARRAY is
+    too big to broadcast comfortably: ship the filter (bits_per_key ~12
+    => ~1.5 bytes/key, ~10x smaller than int64 keys), pre-filter
+    batches (no false negatives), and run the exact membership check
+    only on the surviving minority.
+    """
+
+    _MULS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+    def __init__(self, keys: np.ndarray, bits_per_key: int = 12,
+                 n_hashes: int = 4):
+        keys = np.asarray(keys, np.int64).view(np.uint64)
+        m = 1
+        while m < max(64, len(keys) * bits_per_key):
+            m <<= 1
+        self.m = np.uint64(m)
+        self.n_hashes = n_hashes
+        self.words = np.zeros(m // 64, dtype=np.uint64)
+        for i in range(n_hashes):
+            idx = ((keys * self._MULS[i]) >> np.uint64(17)) % self.m
+            np.bitwise_or.at(self.words, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, np.int64).view(np.uint64)
+        out = np.ones(len(keys), dtype=bool)
+        for i in range(self.n_hashes):
+            idx = ((keys * self._MULS[i]) >> np.uint64(17)) % self.m
+            word = self.words[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) == 1
+        return out
+
+
+def broadcast_bloom_semi_join(ds, col: str, keys: np.ndarray,
+                              concurrency=None):
+    """Two-stage broadcast semi-join: Bloom pre-filter (tiny broadcast)
+    then exact `pc.is_in` on the survivors. Result identical to
+    `broadcast_is_in(mode="semi")`; the exact key array only has to be
+    consulted for the Bloom-positive minority."""
+    if concurrency is None:
+        from .pip import default_pool_size
+        concurrency = default_pool_size()
+    bloom_ref = ray.put(BloomFilter(keys))
+    keys_ref = ray.put(np.asarray(keys))
+
+    class Stage:
+        def __init__(self):
+            self.bloom: BloomFilter = ray.get(bloom_ref)
+            self.keys = pa.array(ray.get(keys_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            maybe = self.bloom.might_contain(
+                t[col].to_numpy(zero_copy_only=False))
+            cand = t.filter(pa.array(maybe))
+            hit = pc.fill_null(
+                pc.is_in(cand[col], value_set=self.keys), False)
+            return cand.filter(hit)
+
+    return ds.map_batches(Stage, batch_format="pyarrow",
+                          concurrency=concurrency)

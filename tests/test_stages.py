@@ -105,3 +105,37 @@ def test_hex_disk_ring_sizes():
     c = int(hex_cell(np.array([0.0]), np.array([0.0]), 5)[0])
     for k, expect in [(0, 1), (1, 7), (2, 19), (3, 37)]:
         assert len(hex_disk(c, k)) == expect
+
+
+def test_bloom_filter_semantics(ray_session):
+    from osm_cut_ray.stages.join import (BloomFilter, broadcast_is_in,
+                                         broadcast_bloom_semi_join)
+    rng = np.random.default_rng(12)
+    keys = np.unique(rng.integers(0, 1 << 40, 5000))
+    probe = np.unique(rng.integers(0, 1 << 40, 20000))
+    bf = BloomFilter(keys)
+    maybe = bf.might_contain(probe)
+    truth = np.isin(probe, keys)
+    assert maybe[truth].all()  # no false negatives, ever
+    fp = maybe[~truth].mean()
+    assert fp < 0.02, f"false-positive rate {fp:.4f}"
+
+    ds = rd.from_arrow(pa.table({"k": probe, "v": np.arange(len(probe))}))
+    via_bloom = sorted(r["k"] for r in
+                       broadcast_bloom_semi_join(ds, "k", keys).take_all())
+    via_exact = sorted(r["k"] for r in
+                       broadcast_is_in(ds, "k", keys, mode="semi").take_all())
+    assert via_bloom == via_exact
+
+
+def test_polygon_error_paths():
+    import pytest
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    with pytest.raises(ValueError):
+        PolygonIndex.compile([])  # no include ring
+    with pytest.raises(ValueError):
+        PolygonIndex.compile([("exclude", [(0, 0), (1, 0), (0, 1)])])
+    with pytest.raises(ValueError):
+        PolygonIndex.compile([("include", [(0, 0), (1, 0)])])  # <3 pts
+    with pytest.raises(ValueError):
+        PolygonIndex.compile([("banana", [(0, 0), (1, 0), (0, 1)])])
