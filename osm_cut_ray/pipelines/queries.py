@@ -1148,3 +1148,72 @@ def window_sliding_events(sf_dir: str):
     partial = ev.map_batches(expand, batch_format="pandas")
     return collect(partial.groupby(["event_type", "wstart"]).aggregate(
         Sum("sum_v_q", alias_name="sum_v_q"), Sum("n", alias_name="n")))
+
+
+@q("group_concat_ways", """
+SELECT user_id AS way_id,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+         AS node_csv
+FROM events GROUP BY user_id
+""")
+def group_concat_ways(sf_dir: str):
+    """List/group-concat aggregation: collect each way's sorted node
+    ids (the columnar regroup half of explode<->regroup), emitted as a
+    CSV string so the oracle hash matches exactly."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["event_id"].to_numpy())
+        return pd.DataFrame({
+            "way_id": [int(g["user_id"].iloc[0])],
+            "node_csv": [",".join(str(int(x)) for x in ids)]})
+
+    return collect(ev.groupby("user_id").map_groups(
+        build, batch_format="pandas"))
+
+
+@q("median_quantity", """
+SELECT l_returnflag,
+  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def median_quantity(sf_dir: str):
+    """Grouped exact median (percentile_disc semantics: the lower
+    element at even counts — lexsorted element pick, no midpoint
+    interpolation, so floats hash-match)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["l_quantity"].to_numpy())
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "median_qty": [float(v[(len(v) - 1) // 2])]})
+
+    return collect(li.groupby("l_returnflag").map_groups(
+        med, batch_format="pandas"))
+
+
+@q("hll_distinct_parts")  # sketch: approximate by design -> rows-only
+def hll_distinct_parts(sf_dir: str):
+    """Mergeable-sketch aggregation: one HLL per batch, merged on the
+    driver — the guide's sketch pattern. Error bound pinned by
+    tests/test_stages.py against the exact distinct count."""
+    from ..functions.hll import HyperLogLog
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p=12).add_int64(
+            t["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"registers": pa.array(
+            [h.registers.tobytes()], pa.binary())})
+
+    merged = None
+    from ..functions.hll import HyperLogLog as H
+    for b in li.map_batches(sketch, batch_format="pyarrow")\
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in b["registers"].to_pylist():
+            s = H(p=12)
+            s.registers = np.frombuffer(blob, np.uint8).copy()
+            merged = s if merged is None else merged.merge(s)
+    est = merged.estimate() if merged else 0.0
+    return pa.table({"approx_distinct_parts": pa.array([est])})

@@ -139,3 +139,23 @@ def test_polygon_error_paths():
         PolygonIndex.compile([("include", [(0, 0), (1, 0)])])  # <3 pts
     with pytest.raises(ValueError):
         PolygonIndex.compile([("banana", [(0, 0), (1, 0), (0, 1)])])
+
+
+
+def test_hll_error_bound():
+    from osm_cut_ray.functions.hll import HyperLogLog
+    rng = np.random.default_rng(3)
+    for true_n in (100, 5000, 200000):
+        vals = rng.integers(0, 1 << 62, true_n)
+        # duplicates added: cardinality unchanged
+        vals = np.concatenate([vals, vals[: true_n // 2]])
+        h = HyperLogLog(p=12)
+        # merge path: sketch in chunks, merge
+        merged = None
+        for i in range(0, len(vals), 1000):
+            s = HyperLogLog(p=12).add_int64(vals[i:i + 1000])
+            merged = s if merged is None else merged.merge(s)
+        est = merged.estimate()
+        true_distinct = len(np.unique(vals))
+        err = abs(est - true_distinct) / true_distinct
+        assert err < 0.05, f"n={true_n} est={est:.0f} err={err:.3f}"
