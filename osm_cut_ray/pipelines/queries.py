@@ -1217,3 +1217,35 @@ def hll_distinct_parts(sf_dir: str):
             merged = s if merged is None else merged.merge(s)
     est = merged.estimate() if merged else 0.0
     return pa.table({"approx_distinct_parts": pa.array([est])})
+
+
+@q("video_frame_sample")  # multimodal stub codec -> rows-only
+def video_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing: binary clip column -> actor-pool
+    decode + stride sample -> per-clip features. Small batch_size for
+    wide rows (guide: large binary payloads need small batches)."""
+    from ..sources.media import VideoFrameSampleStage, media_batch_from_keys
+    ev = _read(sf_dir, "events", ["event_id"]).limit(2000)
+    vids = ev.map_batches(
+        lambda t: media_batch_from_keys(
+            t["event_id"].to_numpy(zero_copy_only=False), "video"),
+        batch_format="pyarrow", batch_size=256)
+    return collect(vids.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"stride": 2},
+        batch_format="pyarrow", batch_size=256,
+        concurrency=default_pool_size()))
+
+
+@q("audio_features")  # multimodal stub codec -> rows-only
+def audio_features(sf_dir: str):
+    """Audio feature extraction plumbing: waveform decode + RMS/ZCR/
+    duration per row in an actor pool."""
+    from ..sources.media import AudioFeatureStage, media_batch_from_keys
+    ev = _read(sf_dir, "events", ["event_id"]).limit(2000)
+    auds = ev.map_batches(
+        lambda t: media_batch_from_keys(
+            t["event_id"].to_numpy(zero_copy_only=False), "audio"),
+        batch_format="pyarrow", batch_size=256)
+    return collect(auds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=256,
+        concurrency=default_pool_size()))

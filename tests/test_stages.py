@@ -159,3 +159,29 @@ def test_hll_error_bound():
         true_distinct = len(np.unique(vals))
         err = abs(est - true_distinct) / true_distinct
         assert err < 0.05, f"n={true_n} est={est:.0f} err={err:.3f}"
+
+
+
+def test_media_codecs_and_stages(ray_session):
+    from osm_cut_ray.sources.media import (AudioFeatureStage,
+                                           VideoFrameSampleStage,
+                                           decode_audio, decode_video,
+                                           encode_audio, encode_video,
+                                           media_batch_from_keys)
+    frames = decode_video(encode_video(7, w=16, n_frames=8))
+    assert frames.shape == (8, 16, 16)
+    # deterministic
+    assert encode_video(7) == encode_video(7)
+    pcm, sr = decode_audio(encode_audio(7))
+    assert sr == 8000 and len(pcm) == 4000
+
+    vt = media_batch_from_keys(np.arange(20, dtype=np.int64), "video")
+    out = VideoFrameSampleStage(stride=2)(vt)
+    assert out.num_rows == 20
+    assert (np.asarray(out["frames_kept"].to_numpy()) == 4).all()
+
+    at = media_batch_from_keys(np.arange(20, dtype=np.int64), "audio")
+    ao = AudioFeatureStage()(at)
+    rms = np.asarray(ao["rms"].to_numpy())
+    assert ((rms > 0.3) & (rms < 0.5)).all()  # 0.5+0.25 sines -> ~0.395
+    assert (np.asarray(ao["duration_s"].to_numpy()) == 0.5).all()
