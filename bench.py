@@ -32,12 +32,18 @@ QUERY_SET = [
     "q1_lineitem_agg",
     "cut_complete_kept",
     "raster_vector_join",
+    "salted_cell_counts_points",
     "window_tumbling_events",
+    "window_sliding_events",
     "sessionize_events",
+    "asof_join_events",
     "dedup_exact_docs",
     "minhash_dedup_docs",
+    "dup_clusters_docs",
     "knn_brute_embeddings",
+    "knn_points_brute",
     "image_decode_meta",
+    "hll_distinct_parts",
 ]
 
 

@@ -26,15 +26,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Max
 
 from ..geometry.polygon import PolygonIndex
 from ..stages import join as J
 from ..stages.pip import apply_pip
-
-# type codes for (type, ref) -> single int64 join key
-_TYPE_CODE = {"node": 0, "way": 1, "relation": 2}
-
 
 def _num_partitions() -> int:
     """Hash-join partition count: 2x cores locally; on a real cluster

@@ -12,7 +12,6 @@ id tie-breaks.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Callable
 
 import numpy as np
@@ -22,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 from ..geometry import cells as CellsMod
 from ..geometry.geotag import decode_geotag
