@@ -1248,3 +1248,38 @@ def audio_features(sf_dir: str):
     return collect(auds.map_batches(
         AudioFeatureStage, batch_format="pyarrow", batch_size=256,
         concurrency=default_pool_size()))
+
+
+@q("range_join_parts", """
+SELECT l.l_orderkey, l.l_linenumber,
+  (SELECT count(*) FROM part p
+   WHERE p.p_size >= l.l_quantity - 2 AND p.p_size <= l.l_quantity + 2)
+    AS n_parts_in_range
+FROM lineitem l
+""")
+def range_join_parts(sf_dir: str):
+    """Range join (guide: interval matching): per lineitem, count parts
+    whose p_size falls in [qty-2, qty+2] — broadcast the small sorted
+    side, vectorized searchsorted interval count per batch (no
+    shuffle; at large-large scale, bucket by interval grid instead)."""
+    parts = collect(_read(sf_dir, "part", ["p_size"]))
+    sizes = np.sort(parts["p_size"].to_numpy().astype(np.float64))
+    ref = ray.put(sizes)
+
+    class Stage:
+        def __init__(self):
+            self.sizes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qv = t["l_quantity"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(self.sizes, qv - 2.0, side="left")
+            hi = np.searchsorted(self.sizes, qv + 2.0, side="right")
+            return pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "n_parts_in_range": pa.array((hi - lo).astype(np.int64))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    return collect(li.map_batches(Stage, batch_format="pyarrow",
+                                  concurrency=default_pool_size()))
