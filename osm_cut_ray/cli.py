@@ -60,6 +60,22 @@ def _cmd_cut(args) -> int:
     return 0
 
 
+def _cmd_flagship(args) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.flagship import flagship_resumable
+    report = flagship_resumable(args.sf_dir, args.output)
+    print(f"completed={report['completed']} skipped={report['skipped']} "
+          f"rows_out={report['rows_out']} wall={report['wall_sec']}s")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_cut_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -72,6 +88,12 @@ def main(argv=None) -> int:
                         "(reference default keeps them: complete_objects)")
     c.add_argument("--format", choices=["xml", "parquet"], default="xml")
     c.set_defaults(fn=_cmd_cut)
+    f = sub.add_parser("flagship",
+                       help="checkpointed flagship image-cut run "
+                            "(the `ray job submit` entry point)")
+    f.add_argument("sf_dir", help="input table directory")
+    f.add_argument("output", help="checkpoint output directory")
+    f.set_defaults(fn=_cmd_flagship)
     args = p.parse_args(argv)
     return args.fn(args)
 

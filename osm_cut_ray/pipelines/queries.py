@@ -1292,3 +1292,41 @@ def range_join_parts(sf_dir: str):
                ["l_orderkey", "l_linenumber", "l_quantity"])
     return collect(li.map_batches(Stage, batch_format="pyarrow",
                                   concurrency=default_pool_size()))
+
+
+def _point_polygon_tag_sql() -> str:
+    cases = []
+    for p in range(3):
+        pred = D.sql_convex_pip(poly=_shifted_pentagon(p))
+        cases.append(f"SELECT id, {p} AS poly_id FROM pts WHERE {pred}")
+    return f"WITH {_PTS_CTE}\n" + " UNION ALL ".join(cases)
+
+
+@q("point_polygon_tag", _point_polygon_tag_sql())
+def point_polygon_tag(sf_dir: str):
+    """Row-level vector join: tag each point with every polygon that
+    contains it (multi-polygon PIP in one actor pass — the point-side
+    sibling of the tile-level raster_vector_join)."""
+    nodes = OD.derive_nodes(sf_dir)
+    polys = [PolygonIndex.compile([("include", _shifted_pentagon(p))])
+             for p in range(3)]
+    ref = ray.put(polys)
+
+    class Tag:
+        def __init__(self):
+            self.polys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            lon = t["lon"].to_numpy(zero_copy_only=False)
+            lat = t["lat"].to_numpy(zero_copy_only=False)
+            out_i, out_p = [], []
+            for p, idx in enumerate(self.polys):
+                hit = idx.contains(lon, lat)
+                out_i.append(ids[hit])
+                out_p.append(np.full(int(hit.sum()), p, np.int32))
+            return pa.table({"id": np.concatenate(out_i),
+                             "poly_id": np.concatenate(out_p)})
+
+    return collect(nodes.map_batches(Tag, batch_format="pyarrow",
+                                     concurrency=default_pool_size()))
