@@ -1,0 +1,48 @@
+"""CLI regression: the reference cut.escript analog end-to-end in a
+subprocess (own Ray session), using the actual reference fixture
+content."""
+
+import json
+import os
+import subprocess
+import sys
+
+from tests.test_osm_xml import FIXTURE_XML, SIMPLE_POLY
+
+
+def _run(args, env_extra=None):
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run([sys.executable, "-m", "osm_cut_ray.cli", *args],
+                         capture_output=True, text=True, env=env,
+                         cwd="/root/repo", timeout=300)
+
+
+def test_cli_cut_complete_xml(tmp_path):
+    xml = tmp_path / "1.osm"
+    xml.write_text(FIXTURE_XML)
+    poly = tmp_path / "simple.poly"
+    poly.write_text(SIMPLE_POLY)
+    out = tmp_path / "out.osm"
+    r = _run(["cut", str(xml), str(poly), str(out)])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "wrote 8 elements" in r.stdout
+    text = out.read_text()
+    # complete-mode golden set, serialized
+    assert '<node id="4"' in text and '<node id="5"' not in text
+    assert text.count("<relation") == 3
+    assert '<member type="relation" ref="2"' in text
+
+
+def test_cli_flagship_resume(tmp_path):
+    out = str(tmp_path / "ck")
+    r1 = _run(["flagship", "/root/testdata/sf0.001", out])
+    assert r1.returncode == 0, r1.stderr[-800:]
+    assert "completed=['lineitem-0']" in r1.stdout
+    r2 = _run(["flagship", "/root/testdata/sf0.001", out])
+    assert "skipped=['lineitem-0']" in r2.stdout
+    man = json.load(open(os.path.join(out, "_manifests",
+                                      "lineitem-0.json")))
+    assert man["rows_out"] > 0 and man["params"] == {
+        "version": "flagship-v1"}
