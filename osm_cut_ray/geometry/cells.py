@@ -235,3 +235,27 @@ def grid_cell(lon: np.ndarray, lat: np.ndarray,
     iy = np.floor((np.asarray(lat, np.float64) + 90.0) / cell_deg
                   ).astype(np.int64)
     return (ix << np.int64(32)) | iy
+
+
+def auto_hex_res(lon: np.ndarray, lat: np.ndarray,
+                 target_per_cell: float = 8.0,
+                 res_range: tuple[int, int] = (0, 15)) -> int:
+    """Pick the finest resolution whose expected cell occupancy still
+    meets `target_per_cell`, from a (sample of the) point set.
+
+    Cell size must track point density (the knob behind cell-kNN ring
+    coverage and hot-cell salting): estimate the occupied-cell count at
+    each resolution on the sample and take the finest one that keeps
+    n_points / n_occupied_cells >= target.
+    """
+    n = len(lon)
+    if n == 0:
+        return res_range[0]
+    best = res_range[0]
+    for res in range(res_range[0], res_range[1] + 1):
+        occupied = len(np.unique(hex_cell(lon, lat, res)))
+        if n / occupied >= target_per_cell:
+            best = res
+        else:
+            break
+    return best

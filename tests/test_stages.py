@@ -193,3 +193,51 @@ def test_read_table_lance_gated():
     from osm_cut_ray.sources.tables import read_table
     with pytest.raises(NotImplementedError):
         read_table("/tmp/nonexistent.lance")
+
+
+
+def test_auto_hex_res_tracks_density():
+    from osm_cut_ray.geometry.cells import auto_hex_res, hex_cell
+    rng = np.random.default_rng(2)
+    # sparse global scatter -> coarse res; dense 0.1-degree cluster -> fine
+    sparse = auto_hex_res(rng.uniform(-180, 180, 2000),
+                          rng.uniform(-85, 85, 2000))
+    dense = auto_hex_res(10 + rng.uniform(0, 0.1, 2000),
+                         20 + rng.uniform(0, 0.1, 2000))
+    assert dense > sparse
+    assert 0 <= sparse <= 2
+
+
+def test_dictionary_encode_roundtrip(ray_session):
+    import pyarrow.compute as pc
+    from osm_cut_ray.functions.encode import (dictionary_decode_batch,
+                                              dictionary_encode_batch)
+    t = pa.table({"k": ["a", "b", "a", "a", "c"] * 100,
+                  "v": np.arange(500)})
+    enc = dictionary_encode_batch(t, ["k"])
+    assert pa.types.is_dictionary(enc["k"].type)
+    dec = dictionary_decode_batch(enc, ["k"])
+    assert dec["k"].to_pylist() == t["k"].to_pylist()
+    # survives a Ray Data roundtrip
+    import ray.data as rd2
+    ds = rd2.from_arrow(enc)
+    got = ds.map_batches(lambda b: b, batch_format="pyarrow").take_all()
+    assert len(got) == 500
+
+
+def test_cut_empty_intersection(ray_session):
+    import ray.data as rd2
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.pipelines.cut import cut
+    from osm_cut_ray.sources.osm_fixture import (fixture_nodes,
+                                                 fixture_relations,
+                                                 fixture_ways)
+    # polygon far away from every fixture node -> nothing kept
+    poly = PolygonIndex.compile(
+        [("include", [(100.0, 100.0), (101.0, 100.0), (101.0, 101.0)])])
+    res = cut(rd2.from_arrow(fixture_nodes()),
+              rd2.from_arrow(fixture_ways()),
+              rd2.from_arrow(fixture_relations()), poly, complete=True)
+    assert len(res.node_ids) == 0 and len(res.way_ids) == 0
+    assert len(res.rel_ids) == 0
+    assert res.nodes.count() == 0 and res.ways.count() == 0
