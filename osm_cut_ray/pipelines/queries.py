@@ -863,12 +863,15 @@ def knn_points_cell(sf_dir: str):
     """Cell kNN the scale way: bucket points by hex cell, search each
     probe's cell + ring-1 disk (SURVEY §2.4 graft additions)."""
     nodes = OD.derive_nodes(sf_dir)
-    # res 0 (~10 deg hexes): the sparse global test corpus needs coarse
-    # cells for ring-1 to hold candidates; at production density the
-    # same pipeline runs at res 7-9 (cell size must track point
-    # density — this is the knob the north_star's skew section is
-    # about).
-    res = 0
+    # density-adaptive resolution (cell size must track point density
+    # — the knob the north_star's skew section is about): pick the
+    # finest res keeping enough candidates per cell from a sample, so
+    # the same pipeline runs res ~0 on the sparse global test corpus
+    # and res 7-9 at production density.
+    sample = collect(nodes.limit(20000))
+    res = CellsMod.auto_hex_res(sample["lon"].to_numpy(),
+                                sample["lat"].to_numpy(),
+                                target_per_cell=8.0)
     bucketed = nodes.map_batches(
         lambda t: pa.table({
             "id": t["id"], "lon": t["lon"], "lat": t["lat"],
