@@ -24,8 +24,18 @@ from .derive import REL_STEP, points_batch
 
 # Per-sf_dir memo of the derived (materialized) tables: the cut query
 # family shares one derivation instead of re-deriving per query. The
-# materialized datasets live in the Ray object store for the session.
+# materialized datasets live in the Ray object store, so cache keys
+# include the Ray job id — a re-init in the same process must not
+# resurrect dead object refs.
 _CACHE: dict = {}
+
+
+def _session_token() -> str:
+    import ray
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return "no-session"
 
 
 def derive_nodes(sf_dir: str):
@@ -45,7 +55,7 @@ def derive_way_pairs(sf_dir: str):
 
 def derive_ways(sf_dir: str):
     """List-column form (way_id, node_ids) via keyed regroup."""
-    key = ("ways", sf_dir)
+    key = ("ways", sf_dir, _session_token())
     if key in _CACHE:
         return _CACHE[key]
     def build(g: pd.DataFrame) -> pd.DataFrame:
@@ -66,7 +76,7 @@ def derive_ways(sf_dir: str):
 
 
 def derive_relations(sf_dir: str):
-    key = ("relations", sf_dir)
+    key = ("relations", sf_dir, _session_token())
     if key in _CACHE:
         return _CACHE[key]
     ev = rd.read_parquet(sf_path(sf_dir, "events"),

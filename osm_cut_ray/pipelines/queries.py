@@ -246,7 +246,7 @@ _PAIRS_CACHE: dict = {}
 def _run_cut(sf_dir: str, complete: bool):
     """Session memo: the four cut queries share one cut execution per
     (sf_dir, mode) — the driver gate runs them back to back."""
-    key = (sf_dir, complete)
+    key = (sf_dir, complete, OD._session_token())
     if key not in _CUT_CACHE:
         nodes = OD.derive_nodes(sf_dir)
         ways = OD.derive_ways(sf_dir)
@@ -257,9 +257,10 @@ def _run_cut(sf_dir: str, complete: bool):
 
 
 def _minhash_pairs_cached(sf_dir: str):
-    if sf_dir not in _PAIRS_CACHE:
-        _PAIRS_CACHE[sf_dir] = minhash_lsh_pairs(_docs2(sf_dir))
-    return _PAIRS_CACHE[sf_dir]
+    key = (sf_dir, OD._session_token())
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = minhash_lsh_pairs(_docs2(sf_dir))
+    return _PAIRS_CACHE[key]
 
 
 @q("cut_complete_kept", f"""
