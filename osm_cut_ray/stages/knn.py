@@ -24,15 +24,35 @@ def _normalize(v: np.ndarray) -> np.ndarray:
     return v / n
 
 
+def _topk_rounded(cid: np.ndarray, cs: np.ndarray, k: int,
+                  round_to: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k under the GLOBAL merge order: round(sim, round_to) desc,
+    neighbor_id asc. Using the same total order locally makes the
+    batch-local truncation exact regardless of Ray batch boundaries
+    (a raw-sim argpartition could drop a rounded-tie winner whose id
+    would have won the global tie-break). Cheap path: argpartition on
+    the rounded sims keeps EVERY row tied with the k-th value, then the
+    exact lexsort runs only on that candidate set."""
+    r = np.round(cs, round_to) if round_to is not None else cs
+    k = min(k, len(cid))
+    if len(cid) > k:
+        kth = -np.partition(-r, k - 1)[k - 1]
+        keep = r >= kth
+        cid, r = cid[keep], r[keep]
+    order = np.lexsort((cid, -r))[:k]
+    return cid[order], r[order]
+
+
 class _BruteSim:
     """Per-batch cosine vs broadcast probes; emits per-batch top-k."""
 
-    def __init__(self, probes_ref, k: int):
+    def __init__(self, probes_ref, k: int, round_to: int | None = 6):
         probe_ids, probe_mat = ray.get(probes_ref) \
             if isinstance(probes_ref, ray.ObjectRef) else probes_ref
         self.probe_ids = probe_ids
         self.probes = _normalize(probe_mat.astype(np.float64)).T  # (d, p)
         self.k = k
+        self.round_to = round_to
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy()
@@ -46,11 +66,10 @@ class _BruteSim:
             cid, cs = ids[mask], col[mask]
             if len(cid) == 0:
                 continue
-            k = min(self.k, len(cid))
-            top = np.argpartition(-cs, k - 1)[:k]
-            out_p.append(np.full(k, pid))
-            out_n.append(cid[top])
-            out_s.append(cs[top])
+            top_id, top_s = _topk_rounded(cid, cs, self.k, self.round_to)
+            out_p.append(np.full(len(top_id), pid))
+            out_n.append(top_id)
+            out_s.append(top_s)
         if not out_p:
             return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
                                  "neighbor_id": pd.Series(dtype=np.int64),
@@ -76,7 +95,8 @@ def knn_brute(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
     ref = ray.put((np.asarray(probe_ids, np.int64),
                    np.asarray(probe_mat, np.float64)))
     partial = emb_ds.map_batches(
-        _BruteSim, fn_constructor_kwargs={"probes_ref": ref, "k": k},
+        _BruteSim, fn_constructor_kwargs={"probes_ref": ref, "k": k,
+                                          "round_to": round_to},
         batch_format="pandas", concurrency=concurrency)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -95,12 +115,49 @@ def knn_brute(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
     return tbl
 
 
-def deterministic_centroids(emb_ds, n_centroids: int = 16) -> np.ndarray:
-    """IVF "training" without sklearn: the first n vectors by vec_id
-    (deterministic; swap for k-means on a real cluster)."""
-    rows = emb_ds.sort("vec_id").limit(n_centroids).take_all()
-    return _normalize(np.stack([np.asarray(r["embedding"], np.float64)
-                                for r in rows]))
+def deterministic_centroids(emb_ds, n_centroids: int = 16,
+                            sample_size: int = 2048,
+                            n_iters: int = 10) -> np.ndarray:
+    """Deterministic sampled spherical k-means (Lloyd) — real IVF
+    training without sklearn.
+
+    Sample selection is a HASH filter on vec_id (deterministic under
+    any partitioning/batch order, unlike head-of-batch sampling), so
+    repeated runs and different cluster sizes train identical
+    centroids. The sample is tiny (<= ~2*sample_size rows) so Lloyd
+    runs on the driver; assignment stays fully distributed.
+    """
+    n = emb_ds.count()
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    # aim for ~2x sample_size survivors, trim deterministically after
+    frac = min(1.0, (2.0 * sample_size) / max(1, n))
+    thresh = np.uint64(min((1 << 64) - 1,
+                           int(frac * float(1 << 63)) * 2 + 1))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ids.view(np.uint64) * mul
+        return t.filter(pa.array(h < thresh))
+
+    rows = emb_ds.map_batches(pick, batch_format="pyarrow").take_all()
+    if not rows:  # degenerate tiny input: fall back to whole set
+        rows = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    order = np.argsort(ids.view(np.uint64) * mul, kind="stable")
+    sample = _normalize(np.stack(
+        [np.asarray(rows[i]["embedding"], np.float64)
+         for i in order[:sample_size]]))
+
+    k = min(n_centroids, len(sample))
+    cents = sample[:k].copy()  # hash-ranked init: spread, deterministic
+    for _ in range(n_iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
 
 
 class _IVFAssign:
@@ -164,11 +221,10 @@ def knn_ivf(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
             cid, cs = ids[mask], sims[mask, col]
             if len(cid) == 0:
                 continue
-            kk = min(k, len(cid))
-            top = np.argpartition(-cs, kk - 1)[:kk]
-            frames.append(pd.DataFrame({"probe_id": np.full(kk, pid),
-                                        "neighbor_id": cid[top],
-                                        "sim": cs[top]}))
+            top_id, top_s = _topk_rounded(cid, cs, k, 6)
+            frames.append(pd.DataFrame({
+                "probe_id": np.full(len(top_id), pid),
+                "neighbor_id": top_id, "sim": top_s}))
         if not frames:
             return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
                                  "neighbor_id": pd.Series(dtype=np.int64),

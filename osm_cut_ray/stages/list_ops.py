@@ -17,14 +17,23 @@ import pyarrow.compute as pc
 
 def filter_list_column(t: pa.Table, list_col: str, keep: np.ndarray,
                        lengths: np.ndarray, values: pa.Array) -> pa.Table:
-    """Rebuild `list_col` keeping only flattened elements where `keep`."""
+    """Rebuild `list_col` keeping only flattened elements where `keep`.
+
+    The rebuilt column keeps the ORIGINAL list dtype (list<T> stays
+    list<T>, large_list<T> stays large_list<T>) so rewritten outputs
+    share a schema with verbatim/complete-mode outputs and the
+    parquet-ingest schema (XML_WAY_SCHEMA/XML_REL_SCHEMA).
+    """
     n = len(t)
     row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
     kept_counts = np.bincount(row_idx[keep], minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(kept_counts, out=offsets[1:])
     new_values = values.filter(pa.array(keep))
+    orig_type = t.schema.field(list_col).type
     new_col = pa.LargeListArray.from_arrays(pa.array(offsets), new_values)
+    if not new_col.type.equals(orig_type):
+        new_col = new_col.cast(orig_type)
     i = t.schema.get_field_index(list_col)
     return t.set_column(i, list_col, new_col)
 
@@ -51,8 +60,18 @@ def rewrite_member_list(t: pa.Table, list_col: str,
                         node_ids: pa.Array, way_ids: pa.Array,
                         rel_ids: pa.Array,
                         type_field: str = "type",
-                        ref_field: str = "ref") -> pa.Table:
-    """M7/J5: keep members whose (type, ref) is in the membership sets."""
+                        ref_field: str = "ref",
+                        rel_lt_parent_col: str | None = None) -> pa.Table:
+    """M7/J5: keep members whose (type, ref) is in the membership sets.
+
+    `rel_lt_parent_col` models the reference's NON-COMPLETE forward
+    pass (osm_process_non_complete.erl:90-105): members are filtered
+    against the membership set AT PROCESSING TIME, so under the
+    declared ascending-id file order a relation-type member is only
+    visible if its id is LOWER than the parent's. Pass the parent-id
+    column name to enable that rule; complete mode (end-of-stream
+    re-projection, osm_process_complete.erl:253-257) leaves it None.
+    """
     lengths, values = _flatten(t, list_col)  # StructArray
     mtype = pc.struct_field(values, type_field)
     mref = pc.struct_field(values, ref_field)
@@ -63,8 +82,16 @@ def rewrite_member_list(t: pa.Table, list_col: str,
     is_node = pc.equal(mtype, "node")
     is_way = pc.equal(mtype, "way")
     is_rel = pc.equal(mtype, "relation")
+    rel_hit = pc.and_(is_rel, hit(rel_ids))
+    if rel_lt_parent_col is not None:
+        parent = np.repeat(
+            t[rel_lt_parent_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64), lengths)
+        before = pa.array(
+            mref.to_numpy(zero_copy_only=False) < parent)
+        rel_hit = pc.and_(rel_hit, before)
     keep = pc.or_(pc.or_(pc.and_(is_node, hit(node_ids)),
                          pc.and_(is_way, hit(way_ids))),
-                  pc.and_(is_rel, hit(rel_ids)))
+                  rel_hit)
     keep = pc.fill_null(keep, False).to_numpy(zero_copy_only=False)
     return filter_list_column(t, list_col, keep, lengths, values)

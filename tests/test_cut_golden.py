@@ -71,6 +71,19 @@ def test_noncomplete_mode_golden(datasets):
     assert _rels_as_dict(res) == {1: [("way", 1)]}
 
 
+def test_rewrite_preserves_list_dtype(datasets):
+    # ADVICE r1: rewritten list columns must keep list<T> (not drift to
+    # large_list<T>) so both modes share the parquet-ingest schema
+    nodes, ways, rels = datasets
+    poly = PolygonIndex.compile(FIXTURE_POLY)
+    c = cut(nodes, ways, rels, poly, complete=True)
+    nc = cut(nodes, ways, rels, poly, complete=False)
+    assert (nc.ways.schema().base_schema.field("node_ids").type
+            == c.ways.schema().base_schema.field("node_ids").type)
+    assert (nc.relations.schema().base_schema.field("members").type
+            == c.relations.schema().base_schema.field("members").type)
+
+
 def test_transitive_closure_depth(ray_session):
     # chain rel10 <- rel11 <- rel12 (parent contains child): all kept in
     # complete mode once the leaf matches; non-complete forward pass in

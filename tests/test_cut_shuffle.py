@@ -37,10 +37,11 @@ def test_shuffle_cut_matches_broadcast_on_fixture(ray_session, complete):
     s_ways = {r["id"]: list(r["node_ids"]) for r in s["ways"].take_all()}
     assert b_ways == s_ways
 
-    # member projections match as (rel, type, ref) sets
-    b_mem = {(r["id"], m["type"], m["ref"])
+    # member projections match as (rel, type, ref, role) sets — roles
+    # must survive the shuffle path's explode/regroup (ADVICE r1)
+    b_mem = {(r["id"], m["type"], m["ref"], m["role"])
              for r in b.relations.take_all() for m in r["members"]}
-    s_mem = {(r["rel_id"], m["type"], m["ref"])
+    s_mem = {(r["rel_id"], m["type"], m["ref"], m["role"])
              for r in s["relation_members"].take_all()
              for m in r["members"]}
     assert b_mem == s_mem
@@ -64,9 +65,9 @@ def test_shuffle_cut_matches_broadcast_on_corpus(ray_session):
         "id": way_ids, "node_ids": node_lists}))
     members = []
     for u in range(40):
-        m = [{"type": "way", "ref": int(u), "role": ""}]
+        m = [{"type": "way", "ref": int(u), "role": f"outer{u % 3}"}]
         if u >= 5:
-            m.append({"type": "relation", "ref": u - 5, "role": ""})
+            m.append({"type": "relation", "ref": u - 5, "role": "sub"})
         members.append(m)
     rels = rd.from_arrow(pa.table({
         "id": np.arange(40, dtype=np.int64),
@@ -87,3 +88,48 @@ def test_shuffle_cut_matches_broadcast_on_corpus(ray_session):
         s_ways = {r["id"]: list(r["node_ids"])
                   for r in s["ways"].take_all()}
         assert b_ways == s_ways
+        b_mem = {(r["id"], m["type"], m["ref"], m["role"])
+                 for r in b.relations.take_all() for m in r["members"]}
+        s_mem = {(r["rel_id"], m["type"], m["ref"], m["role"])
+                 for r in s["relation_members"].take_all()
+                 for m in r["members"]}
+        assert b_mem == s_mem
+
+
+def test_noncomplete_forward_pass_member_visibility(ray_session):
+    """Reference non-complete mode filters members against the set AT
+    PROCESSING TIME (osm_process_non_complete.erl:90-105): a kept
+    parent drops a member reference to a HIGHER-id kept relation.
+    Complete mode re-projects at end-of-stream and keeps it."""
+    nodes = rd.from_arrow(fixture_nodes())
+    ways = rd.from_arrow(fixture_ways())
+    schema = rd.from_arrow(fixture_relations()).schema().base_schema
+    rels = rd.from_arrow(pa.table({
+        "id": [10, 11, 12],
+        "members": [
+            [{"type": "node", "ref": 1, "role": ""}],
+            [{"type": "node", "ref": 1, "role": ""},
+             {"type": "relation", "ref": 12, "role": "fwd"},
+             {"type": "relation", "ref": 10, "role": "bwd"}],
+            [{"type": "node", "ref": 1, "role": ""}],
+        ],
+        "tags": [[], [], []],
+    }, schema=schema))
+    poly = PolygonIndex.compile(FIXTURE_POLY)
+
+    def mem_of(res_or_dict):
+        if isinstance(res_or_dict, dict):
+            return {r["rel_id"]: sorted((m["type"], m["ref"])
+                                        for m in r["members"])
+                    for r in res_or_dict["relation_members"].take_all()}
+        return {r["id"]: sorted((m["type"], m["ref"])
+                                for m in r["members"])
+                for r in res_or_dict.relations.take_all()}
+
+    for engine in (cut, cut_shuffle):
+        nc = engine(nodes, ways, rels, poly, complete=False)
+        c = engine(nodes, ways, rels, poly, complete=True)
+        # all three relations are kept in both modes (direct node hit)
+        assert mem_of(nc)[11] == [("node", 1), ("relation", 10)]
+        assert mem_of(c)[11] == [("node", 1), ("relation", 10),
+                                 ("relation", 12)]

@@ -72,7 +72,11 @@ def test_minhash_signature_similarity():
 def test_knn_ivf_recall_vs_brute(ray_session):
     from osm_cut_ray.stages.knn import knn_brute, knn_ivf
     rng = np.random.default_rng(4)
-    vecs = rng.standard_normal((400, 32)).astype(np.float32)
+    # mixture of 8 gaussian clusters — the data regime IVF exists for
+    # (isotropic noise has no cell structure and any IVF caps out low)
+    centers = rng.standard_normal((8, 32)) * 3.0
+    vecs = (centers[np.arange(400) % 8]
+            + rng.standard_normal((400, 32))).astype(np.float32)
     emb = rd.from_arrow(pa.table({
         "vec_id": np.arange(400, dtype=np.int64),
         "embedding": list(vecs)}))
@@ -86,10 +90,30 @@ def test_knn_ivf_recall_vs_brute(ray_session):
         iset = set(it[it.probe_id == pid].neighbor_id)
         recall += len(bset & iset) / max(1, len(bset))
     recall /= len(ids)
-    # nprobe=4 of 8 cells: approximate by design, but must find a
-    # meaningful fraction — and never return self
-    assert recall >= 0.5
+    # nprobe=4 of 8 k-means cells: recall must be high now that
+    # centroids are Lloyd-trained (round-1 verdict item #3) — and
+    # never return self
+    assert recall >= 0.9
     assert not (it.probe_id == it.neighbor_id).any()
+
+
+def test_minhash_hot_bucket_capped(ray_session):
+    """A degenerate band bucket (hundreds of EMPTY docs sharing the
+    sentinel signature) must not emit O(n^2) candidate pairs: the
+    over-cap bucket is dropped (surfaced, not silent) while genuine
+    near-dup pairs in normal buckets still verify (round-1 verdict #1).
+    """
+    from osm_cut_ray.stages.dedup import minhash_lsh_pairs
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band bucket overflows with empties")
+    texts = ["" for _ in range(300)] + [base, base + " tail"]
+    ids = np.arange(302, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                              max_bucket_df=50).to_pandas()
+    # only the genuine near-dup pair survives; the 300-empty bucket
+    # would have been 44,850 candidate pairs without the cap
+    assert list(map(tuple, pairs.itertuples(index=False))) == [(300, 301)]
 
 
 def test_rolling_fingerprint_properties():
