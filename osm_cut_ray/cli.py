@@ -28,7 +28,7 @@ def _cmd_cut(args) -> int:
     import ray.data as rd
     from .geometry.polygon import PolygonIndex, parse_poly_file
     from .pipelines.cut import cut
-    from .sources.osm_xml import load_osm_xml, write_osm_xml
+    from .sources.osm_xml import load_osm_xml
 
     poly = PolygonIndex.compile(parse_poly_file(args.polygon))
 
@@ -43,19 +43,15 @@ def _cmd_cut(args) -> int:
 
     res = cut(nodes, ways, rels, poly, complete=not args.non_complete)
 
-    if args.format == "xml":
-        n = write_osm_xml(args.output,
-                          res.nodes.iter_rows(), res.ways.iter_rows(),
-                          res.relations.iter_rows())
-        print(f"wrote {n} elements to {args.output}")
-    else:
-        os.makedirs(args.output, exist_ok=True)
-        res.nodes.write_parquet(os.path.join(args.output, "nodes"))
-        res.ways.write_parquet(os.path.join(args.output, "ways"))
-        res.relations.write_parquet(os.path.join(args.output, "relations"))
-        print(f"wrote parquet to {args.output} "
-              f"(nodes={len(res.node_ids)}, ways={len(res.way_ids)}, "
-              f"relations={len(res.rel_ids)})")
+    # pluggable writer (reference S5 writer_module analog): --format
+    # picks from the registry; library callers can pass any Sink to
+    # write_cut_result (tests inject CollectSink)
+    from .sources.sink import SINK_REGISTRY, write_cut_result
+    sink = SINK_REGISTRY[args.format](args.output)
+    counts = write_cut_result(res, sink)
+    print(f"wrote {args.format} to {args.output} "
+          f"(nodes={counts['node']}, ways={counts['way']}, "
+          f"relations={counts['relation']})")
     ray.shutdown()
     return 0
 

@@ -31,12 +31,50 @@ from ..geometry.polygon import PolygonIndex
 from ..stages import join as J
 from ..stages.pip import apply_pip
 
+import os
+import time
+
+
+# Partition sizing: every hash join / repartition here spawns one
+# aggregator task (actor) per partition, each with a ~100ms-1s fixed
+# cost — so the count must track DATA VOLUME, capped by cluster cores.
+# cut_shuffle() measures its slim inputs once and pins the value;
+# OSM_CUT_PARTITIONS overrides for experiments.
+_ROWS_PER_PARTITION = 2_000_000  # slim (int64 id) rows per aggregator
+_PARTS_STATE: dict = {"value": None}
+
+
 def _num_partitions() -> int:
-    """Hash-join partition count: 2x cores locally; on a real cluster
-    size to total cores (each partition is an aggregator actor task —
-    too many partitions on a small machine just burns scheduling)."""
     import ray
-    return max(4, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    env = os.environ.get("OSM_CUT_PARTITIONS")
+    if env:
+        return max(2, int(env))
+    if _PARTS_STATE["value"]:
+        return _PARTS_STATE["value"]
+    return max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _size_partitions(n_rows: int) -> int:
+    import ray
+    cpu = int(ray.cluster_resources().get("CPU", 8))
+    return int(min(max(4, 2 * cpu),
+                   max(8, n_rows // _ROWS_PER_PARTITION + 1)))
+
+
+_TRACE = bool(os.environ.get("OSM_CUT_TRACE"))
+
+
+class _Phase:
+    """Env-gated wall-clock phase tracing (OSM_CUT_TRACE=1)."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def mark(self, label: str):
+        if _TRACE:
+            t = time.perf_counter()
+            print(f"[cut_shuffle] {label}: {t - self.t0:.2f}s")
+            self.t0 = t
 
 
 def _coerce_single_int64(ds: Dataset, col: str) -> Dataset:
@@ -62,12 +100,18 @@ def _distinct_keys(ds: Dataset, col: str) -> Dataset:
 
 
 def semi_join(left: Dataset, key: str, keys_ds: Dataset,
-              keys_col: str | None = None) -> Dataset:
+              keys_col: str | None = None, *,
+              keys_distinct: bool = False) -> Dataset:
     """left ⋉ keys. Native Acero hash join for flat schemas; the
     Arrow-native bucketed join when the payload carries nested columns
-    (Acero rejects list/map non-key fields)."""
+    (Acero rejects list/map non-key fields). Pass `keys_distinct=True`
+    when the key set is distinct BY CONSTRUCTION (the kept-id sets all
+    are) — re-distincting an already-unique set costs a full extra
+    shuffle per call."""
     keys_col = keys_col or key
-    slim = _distinct_keys(keys_ds, keys_col)
+    # keys_distinct callers hand over an already-coerced single-int64
+    # key Dataset (the materialized kept-id sets) — use it verbatim
+    slim = keys_ds if keys_distinct else _distinct_keys(keys_ds, keys_col)
     schema: pa.Schema = left.schema().base_schema
     if any(pa.types.is_nested(f.type) for f in schema):
         return J.bucketed_semi_join(left, key, slim, keys_col,
@@ -88,6 +132,7 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
     Semantics identical to pipelines.cut.cut (tested for equality);
     only the join strategy differs.
     """
+    ph = _Phase()
     # phase 1: PIP -> inside id Dataset (slim: id only)
     flagged = apply_pip(nodes.select_columns([id_col, "lon", "lat"]),
                         polygon)
@@ -97,6 +142,7 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
         .materialize()  # phase barrier (T5): id sets are slim; keeps
     # successive hash joins from contending in one streaming DAG
 
+    ph.mark("pip+inside_ids")
     # phase 2: ways — explode with positions, join inside flags
     pairs = J.explode(
         ways.select_columns([id_col, "node_ids"]).map_batches(
@@ -105,14 +151,17 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
         ["way_id"], "node_ids", "node_id", pos_col="pos").materialize()
     # pairs feeds three joins; materializing avoids recomputing the
     # explode per consumer (slim columns only — payloads stay behind)
+    # size join partitions to the measured slim-row volume (both sets
+    # are materialized, so count() is metadata-only)
+    _PARTS_STATE["value"] = _size_partitions(
+        max(pairs.count(), inside_ids.count()))
+    # inside_ids is distinct by construction (unique input node ids)
     hit_pairs = pairs.join(
-        _distinct_keys(inside_ids, "node_id"), join_type="inner",
+        inside_ids, join_type="inner",
         num_partitions=_num_partitions(), on=("node_id",))
-    way_ids = hit_pairs.map_batches(
-        lambda t: t.select(["way_id"]).group_by(["way_id"]).aggregate([]),
-        batch_format="pyarrow").groupby("way_id").map_groups(
-        lambda g: g.head(1), batch_format="pandas")
-    way_ids = _coerce_single_int64(way_ids, "way_id").materialize()
+    way_ids = _distinct_keys(hit_pairs.select_columns(["way_id"]),
+                             "way_id").materialize()
+    ph.mark("way_ids")
 
     kept_pairs = pairs.join(
         way_ids.map_batches(lambda t: t.rename_columns(["way_id"]),
@@ -121,9 +170,10 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
         on=("way_id",))
 
     if complete:
-        # J2: all refs of kept ways become needed nodes
-        needed = _distinct_keys(kept_pairs.select_columns(["node_id"]),
-                                "node_id")
+        # J2: all refs of kept ways become needed nodes; ONE distinct
+        # over the union (inside ∪ referenced) instead of two
+        needed = _coerce_single_int64(
+            kept_pairs.select_columns(["node_id"]), "node_id")
         node_ids = _distinct_keys(
             inside_ids.union(needed), "node_id").materialize()
     else:
@@ -131,10 +181,11 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
 
     # emit ways: complete keeps verbatim lists; non-complete rebuilds
     # the list from inside pairs (explode->join->regroup, order by pos)
-    out_ways = semi_join(ways, id_col, way_ids, "way_id")
+    out_ways = semi_join(ways, id_col, way_ids, "way_id",
+                         keys_distinct=True)
     if not complete:
         inside_pairs = kept_pairs.join(
-            _distinct_keys(inside_ids, "node_id"), join_type="inner",
+            inside_ids, join_type="inner",
             num_partitions=_num_partitions(), on=("node_id",))
 
         def regroup(g: pd.DataFrame) -> pd.DataFrame:
@@ -154,6 +205,7 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
             meta, id_col, rebuilt, "way_id", "node_ids",
             num_buckets=_num_partitions())
 
+    ph.mark("ways_emit")
     # phase 3: relations (driver-side closure, as in pipelines.cut) —
     # member matching joins stay distributed via typed keys
     mem = J.explode(
@@ -192,17 +244,20 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
             batch_format="pyarrow"))
 
     mem_keyed = mem_keyed.materialize()
+    # node_ids/way_ids are distinct and the mkey code spaces disjoint,
+    # so membership is distinct by construction — no extra shuffle
+    membership = membership.materialize()
     direct_rows = mem_keyed.join(
-        _distinct_keys(membership, "mkey").materialize(), join_type="inner",
+        membership, join_type="inner",
         num_partitions=_num_partitions(), on=("mkey",))
-    direct = {int(r["rel_id"]) for r in
-              J.distinct(direct_rows.select_columns(["rel_id"]),
-                         ["rel_id"]).take_all()}
+    direct = {int(r["rel_id"])
+              for r in direct_rows.select_columns(["rel_id"]).take_all()}
     edge_rows = mem.map_batches(
         lambda t: t.filter(pc.equal(t["m_type"], "relation"))
         .select(["m_ref", "rel_id"]), batch_format="pyarrow")
     edges = [(int(r["m_ref"]), int(r["rel_id"]))
              for r in edge_rows.take_all()]
+    ph.mark("rel_direct+edges")
 
     if complete:
         kept = set(direct)
@@ -218,8 +273,8 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
         by_parent: dict[int, list[int]] = {}
         for child, parent in edges:
             by_parent.setdefault(parent, []).append(child)
-        all_rels = {int(r["rel_id"]) for r in J.distinct(
-            mem.select_columns(["rel_id"]), ["rel_id"]).take_all()}
+        all_rels = {int(r["rel_id"])
+                    for r in mem.select_columns(["rel_id"]).take_all()}
         for rid in sorted(all_rels):
             if rid in direct or any(c in kept
                                     for c in by_parent.get(rid, ())):
@@ -231,11 +286,11 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
 
     # J5 member projection: explode->join membership (incl. kept
     # relations)->regroup by pos
-    full_membership = _distinct_keys(membership.union(
+    full_membership = membership.union(
         rel_ids.map_batches(
             lambda t: pa.table({"mkey": t["rel_id"].to_numpy(
                 zero_copy_only=False).astype(np.int64) * 4 + 2}),
-            batch_format="pyarrow")), "mkey")
+            batch_format="pyarrow"))
     _MEM_FIELDS = [("rel_id", pa.int64()), ("pos", pa.int64()),
                    ("m_type", pa.large_string()), ("m_ref", pa.int64()),
                    ("m_role", pa.large_string()), ("mkey", pa.int64())]
@@ -276,9 +331,12 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
 
     out_members = kept_mem.groupby("rel_id").map_groups(
         regroup_members, batch_format="pandas")
-    out_rels_meta = semi_join(relations, id_col, rel_ids, "rel_id")
+    out_rels_meta = semi_join(relations, id_col, rel_ids, "rel_id",
+                              keys_distinct=True)
 
-    out_nodes = semi_join(nodes, id_col, node_ids, "node_id")
+    ph.mark("rel_members")
+    out_nodes = semi_join(nodes, id_col, node_ids, "node_id",
+                          keys_distinct=True)
 
     return {
         "nodes": out_nodes, "ways": out_ways,

@@ -47,12 +47,20 @@ XML_REL_SCHEMA = pa.schema([
 
 
 def _meta_of(attrib: dict) -> dict:
-    def _i(k):
+    # the reference writer serializes absent metadata as the literal
+    # string "undefined" (osm_simple_xml_formatter.erl:22-103 via
+    # osm_utils:any_to_iolist on the undefined atom) — read it back
+    # as null so reference-written files roundtrip
+    def _get(k):
         v = attrib.get(k)
+        return None if v == "undefined" else v
+
+    def _i(k):
+        v = _get(k)
         return int(v) if v is not None else None
     return {"version": _i("version"), "changeset": _i("changeset"),
-            "uid": _i("uid"), "user": attrib.get("user"),
-            "timestamp": attrib.get("timestamp")}
+            "uid": _i("uid"), "user": _get("user"),
+            "timestamp": _get("timestamp")}
 
 
 def _tags_of(elem) -> list[tuple[str, str]]:
@@ -141,7 +149,12 @@ def load_osm_xml(xml_path: str, work_dir: str):
 
 # ------------------------------------------------------------------ sink
 
-_ATTR_ORDER = ["version", "changeset", "uid", "user", "timestamp"]
+# Reference attribute order and missing-value fidelity: the writer
+# always emits every metadata attribute, serializing absent values as
+# the literal `undefined` (osm_writer.erl:228-237 builds the full list;
+# osm_utils:any_to_iolist prints the undefined atom; pinned by
+# test/processor_SUITE.erl:261-262).
+_ATTR_ORDER = ["version", "timestamp", "uid", "changeset", "user"]
 
 
 def _attrs(row: dict, extra: list[tuple[str, object]]) -> str:
@@ -150,8 +163,7 @@ def _attrs(row: dict, extra: list[tuple[str, object]]) -> str:
         parts.append(f"{k}={quoteattr(str(v))}")
     for k in _ATTR_ORDER:
         v = row.get(k)
-        if v is not None:
-            parts.append(f"{k}={quoteattr(str(v))}")
+        parts.append(f"{k}={quoteattr('undefined' if v is None else str(v))}")
     return " ".join(parts)
 
 

@@ -62,16 +62,22 @@ def explode(ds, id_cols: list[str], list_col: str, value_col: str = "value",
 # --------------------------------------------------------------- distinct
 
 def distinct(ds, cols: list[str]):
-    """Exact distinct = pre-dedup per batch, then hash-shuffle groupby.
+    """Exact distinct = pre-dedup per batch, then ONE shuffle aggregate.
 
     The per-batch combiner shrinks the shuffle input (A2:
     src/osm_process_complete.erl:218-227 dedups refs in a gb_set before
-    the replay join).
+    the replay join); the global step is a Count aggregate (dropped
+    after), which is one all-to-all with no per-group Python UDF —
+    much cheaper than sort + map_groups(head(1)).
     """
+    from ray.data.aggregate import Count
     slim = ds.select_columns(cols).map_batches(
         lambda t: t.group_by(cols).aggregate([]), batch_format="pyarrow")
-    return slim.groupby(cols[0] if len(cols) == 1 else cols).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    agg = slim.groupby(cols[0] if len(cols) == 1 else cols)\
+        .aggregate(Count(alias_name="__c"))
+    return agg.map_batches(
+        lambda t: t.drop_columns(["__c"]) if "__c" in t.column_names else t,
+        batch_format="pyarrow")
 
 
 # ----------------------------------------------------- broadcast id joins

@@ -27,7 +27,7 @@ def test_cli_cut_complete_xml(tmp_path):
     out = tmp_path / "out.osm"
     r = _run(["cut", str(xml), str(poly), str(out)])
     assert r.returncode == 0, r.stderr[-800:]
-    assert "wrote 8 elements" in r.stdout
+    assert "wrote xml" in r.stdout and "nodes=4, ways=1, relations=3" in r.stdout
     text = out.read_text()
     # complete-mode golden set, serialized
     assert '<node id="4"' in text and '<node id="5"' not in text

@@ -117,3 +117,54 @@ def test_xml_roundtrip(xml_path, tmp_path, ray_session):
     r4 = [r for r in rels2.take_all() if r["id"] == 4][0]
     assert [(m["type"], m["ref"]) for m in r4["members"]] \
         == [("relation", 2)]
+
+
+def test_xml_undefined_metadata_fidelity(xml_path, tmp_path, ray_session):
+    """The reference serializes absent metadata as the literal
+    `undefined` in every attribute slot (osm_writer.erl:228-237,
+    pinned by processor_SUITE.erl:261-262); our sink must match and
+    our parser must read it back as null."""
+    from osm_cut_ray.sources.osm_xml import load_osm_xml, write_osm_xml
+    res = _cut_from_xml(xml_path, tmp_path, complete=True)
+    out = str(tmp_path / "undef.osm")
+    write_osm_xml(out, res.nodes.iter_rows(), res.ways.iter_rows(),
+                  res.relations.iter_rows())
+    text = open(out).read()
+    # relation 2 has no metadata in the fixture -> all five slots
+    # serialize as undefined, in the reference attribute order
+    assert ('<relation id="2" version="undefined" '
+            'timestamp="undefined" uid="undefined" '
+            'changeset="undefined" user="undefined">') in text
+    # elements WITH metadata keep real values in the same order
+    assert ('<node id="1" lat="0" lon="0" version="1" '
+            'timestamp="2008-12-17T01:18:42Z" uid="6871" '
+            'changeset="440330" user="smsm1"/>') in text
+    # parse-back: undefined reads as null, ints stay ints
+    nodes2, _, rels2 = load_osm_xml(out, str(tmp_path / "pq_undef"))
+    r2 = [r for r in rels2.take_all() if r["id"] == 2][0]
+    assert r2["version"] is None and r2["user"] is None
+    n1 = [r for r in nodes2.take_all() if r["id"] == 1][0]
+    assert n1["version"] == 1 and n1["user"] == "smsm1"
+
+
+def test_sink_protocol_injection(xml_path, tmp_path, ray_session):
+    """S5: any Sink implementation can replace the writer (the
+    reference's writer_module option, osm_supervisor.erl:93-101);
+    CollectSink is the test_osm_writer.erl analog."""
+    import ray.data as rd
+    from osm_cut_ray.sources.sink import (CollectSink, ParquetSink,
+                                          Sink, write_cut_result)
+    res = _cut_from_xml(xml_path, tmp_path, complete=True)
+
+    col = CollectSink()
+    assert isinstance(col, Sink)
+    counts = write_cut_result(res, col)
+    assert counts == {"node": 4, "way": 1, "relation": 3}
+    assert sorted(col.table("node")["id"].to_pylist()) == [1, 2, 3, 4]
+    assert col.table("way")["node_ids"].to_pylist() == [[1, 2, 3, 4, 1]]
+
+    pq_dir = str(tmp_path / "sinkpq")
+    counts2 = write_cut_result(res, ParquetSink(pq_dir))
+    assert counts2 == counts
+    back = rd.read_parquet(os.path.join(pq_dir, "relations"))
+    assert sorted(r["id"] for r in back.take_all()) == [1, 2, 4]
