@@ -112,6 +112,62 @@ def _kept_way_ids(way_pairs: Dataset, inside_ids: np.ndarray) -> np.ndarray:
         .to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+# Beyond this many relation-graph edges the driver worklist no longer
+# applies; use close_relations_distributed (J4 escape hatch).
+DRIVER_MAX_EDGES = 10_000_000
+
+
+def close_relations_distributed(edges_ds: Dataset, seed_ds: Dataset,
+                                max_rounds: int = 64) -> np.ndarray:
+    """Distributed J4 fixpoint: parents of kept relations become kept,
+    to unbounded depth (osm_process_complete.erl:229-251) — expressed
+    as iterated Dataset joins for relation graphs too large for the
+    driver worklist (round-1 verdict item #8).
+
+    edges_ds: (child, parent) int64 rows; seed_ds: (rel_id) directly-
+    matched relations. Each round joins the frontier against edges and
+    adds unseen parents; rounds needed = max nesting depth. Returns the
+    kept relation ids sorted (small enough to return by the J4
+    cardinality argument; at true scale return the Dataset instead).
+    """
+    from ..stages import join as J
+    edges = edges_ds.map_batches(
+        lambda t: pa.table({"child": t["child"].cast(pa.int64()),
+                            "parent": t["parent"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    kept = J.distinct(seed_ds, ["rel_id"]).map_batches(
+        lambda t: pa.table({"rel_id": t["rel_id"].cast(pa.int64())})
+        if "rel_id" in t.column_names
+        else pa.table({"rel_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow").repartition(8).materialize()
+    # (repartition merges the schema-less empty blocks Ray leaves for
+    # group-less aggregate partitions — Acero joins reject them)
+    n_kept = kept.count()
+    for _ in range(max_rounds):
+        parents = edges.join(
+            kept.map_batches(lambda t: t.rename_columns(["child"]),
+                             batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("child",))\
+            .map_batches(lambda t: pa.table({"rel_id": t["parent"]}),
+                         batch_format="pyarrow")
+        merged = J.distinct(kept.union(parents), ["rel_id"]).map_batches(
+            lambda t: pa.table({"rel_id": t["rel_id"].cast(pa.int64())})
+            if "rel_id" in t.column_names
+            else pa.table({"rel_id": pa.array([], pa.int64())}),
+            batch_format="pyarrow").repartition(8).materialize()
+        n2 = merged.count()
+        kept = merged
+        if n2 == n_kept:   # monotone growing: equal size == fixpoint
+            break
+        n_kept = n2
+    out = np.sort(np.concatenate(
+        [t["rel_id"].to_numpy(zero_copy_only=False)
+         for t in kept.iter_batches(batch_size=None,
+                                    batch_format="pyarrow")]
+        or [np.array([], np.int64)]).astype(np.int64))
+    return out
+
+
 def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
         polygon: PolygonIndex, *, complete: bool = True,
         id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",

@@ -374,6 +374,84 @@ def dup_clusters(pairs: pa.Table, a_col: str = "a_id",
         "cluster_id": pa.array([find(i) for i in ids], pa.int64())})
 
 
+DRIVER_MAX_PAIRS = 5_000_000  # beyond this the union-find set no
+# longer belongs on the driver; switch to min-label propagation
+
+
+def dup_clusters_distributed(pairs_ds, a_col: str = "a_id",
+                             b_col: str = "b_id",
+                             max_rounds: int = 64) -> pa.Table:
+    """Distributed connected components over verified dup pairs:
+    min-label propagation expressed purely as Dataset joins/aggregates
+    (the documented escape hatch for `dup_clusters` when the verified
+    pair set outgrows the driver; round-1 verdict item #8).
+
+    Each round every node takes min(own label, neighbors' labels); at
+    fixpoint every node holds the component's min id — exactly the
+    union-find result. Rounds needed = component diameter, which for
+    near-dup clusters (stars/short chains) is tiny. Convergence is
+    checked with a global Sum(label) aggregate (monotone decreasing,
+    so equal sums == fixpoint).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+    from . import join as J
+
+    both = pairs_ds.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([t[a_col].combine_chunks()
+                                     .cast(pa.int64()),
+                                     t[b_col].combine_chunks()
+                                     .cast(pa.int64())]),
+            "dst": pa.concat_arrays([t[b_col].combine_chunks()
+                                     .cast(pa.int64()),
+                                     t[a_col].combine_chunks()
+                                     .cast(pa.int64())])}),
+        batch_format="pyarrow").materialize()
+    labels = J.distinct(both.select_columns(["src"]), ["src"])\
+        .map_batches(lambda t: pa.table({
+            "node": t["src"].cast(pa.int64()),
+            "label": t["src"].cast(pa.int64())}),
+            batch_format="pyarrow").repartition(8).materialize()
+    # repartition merges schema-less empty aggregate blocks (Acero
+    # joins reject them)
+
+    def _sum(ds) -> int:
+        row = ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev = _sum(labels)
+    for _ in range(max_rounds):
+        # neighbor labels: edges (src->dst) joined with labels on src
+        prop = both.join(
+            labels.map_batches(lambda t: t.rename_columns(
+                ["src", "label"]), batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("src",))\
+            .map_batches(lambda t: pa.table({
+                "node": t["dst"], "label": t["label"]}),
+                batch_format="pyarrow")
+        merged = labels.union(prop).groupby("node")\
+            .aggregate(Min("label", alias_name="label"))
+        labels = merged.map_batches(
+            lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                                "label": t["label"].cast(pa.int64())})
+            if "node" in t.column_names
+            else pa.table({"node": pa.array([], pa.int64()),
+                           "label": pa.array([], pa.int64())}),
+            batch_format="pyarrow").repartition(8).materialize()
+        cur = _sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    tbl = pa.concat_tables(list(labels.iter_batches(
+        batch_size=None, batch_format="pyarrow")),
+        promote_options="default")
+    df = tbl.to_pandas().sort_values("node")
+    return pa.table({"doc_id": df["node"].astype(np.int64),
+                     "cluster_id": df["label"].astype(np.int64)})
+
+
 def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
                         jaccard_threshold: float = 0.8,
                         max_shingle_df: int = 1000) -> pa.Table:

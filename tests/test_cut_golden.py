@@ -140,3 +140,52 @@ def test_shuffle_inner_join(ray_session):
     got = sorted((r["k"], r["a"], r["b"])
                  for r in J.shuffle_inner_join(left, right, "k").take_all())
     assert got == [(2, 20, 200), (2, 21, 200), (3, 30, 300)]
+
+
+def test_distributed_relation_closure_matches_driver(ray_session):
+    """J4 escape hatch: the Dataset-join fixpoint must equal the
+    driver worklist on a DEEP relation chain (depth 40) plus disjoint
+    noise components."""
+    import ray.data as rd
+    from osm_cut_ray.pipelines.cut import close_relations_distributed
+    # chain 0 <- 1 <- ... <- 40 (child, parent), seeds {0}; plus a
+    # separate chain 100 <- 101 <- 102 with no seed
+    child = list(range(40)) + [100, 101]
+    parent = list(range(1, 41)) + [101, 102]
+    edges = rd.from_arrow(pa.table({
+        "child": np.array(child, np.int64),
+        "parent": np.array(parent, np.int64)}))
+    seeds = rd.from_arrow(pa.table({"rel_id": np.array([0], np.int64)}))
+    got = close_relations_distributed(edges, seeds)
+    assert got.tolist() == list(range(41))
+
+    # driver fixpoint for comparison (same algorithm as cut())
+    kept = {0}
+    changed = True
+    while changed:
+        changed = False
+        for c, p in zip(child, parent):
+            if c in kept and p not in kept:
+                kept.add(p)
+                changed = True
+    assert got.tolist() == sorted(kept)
+
+
+def test_distributed_dup_clusters_match_driver(ray_session):
+    """Min-label propagation must equal driver union-find on chains,
+    stars and singleton pairs."""
+    import ray.data as rd
+    from osm_cut_ray.stages.dedup import dup_clusters, \
+        dup_clusters_distributed
+    rng = np.random.default_rng(11)
+    # chain 0-1-2-...-15, star 100-{101..110}, random extra pairs
+    a = list(range(15)) + [100] * 10 + rng.integers(200, 240, 20).tolist()
+    b = list(range(1, 16)) + list(range(101, 111)) \
+        + rng.integers(200, 240, 20).tolist()
+    keep = [x != y for x, y in zip(a, b)]
+    pairs = pa.table({
+        "a_id": np.array(a, np.int64)[keep],
+        "b_id": np.array(b, np.int64)[keep]})
+    want = dup_clusters(pairs).to_pandas()
+    got = dup_clusters_distributed(rd.from_arrow(pairs)).to_pandas()
+    assert want.values.tolist() == got.values.tolist()
