@@ -31,6 +31,7 @@ REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "128"))
 QUERY_SET = [
     "q1_lineitem_agg",
     "cut_complete_kept",
+    "cut_shuffle_kept",
     "raster_vector_join",
     "salted_cell_counts_points",
     "window_tumbling_events",
@@ -132,8 +133,36 @@ def run_bench() -> dict:
         "headline_rows": n_rows,
         "headline_rows_per_sec": round(n_rows / sec, 1),
     }
+    out.update(_diff_vs_previous(qtimes))
     ray.shutdown()
     return out
+
+
+def _diff_vs_previous(qtimes: dict) -> dict:
+    """Per-query regression tracking vs the latest recorded BENCH_r*.json
+    (driver artifact): flags >1.3x slowdowns and >1.3x speedups so a
+    round-over-round comparison needs no hand-diffing."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return {}
+    try:
+        data = json.load(open(files[-1]))
+    except (json.JSONDecodeError, OSError):
+        return {}
+    prev = data.get("parsed", data).get("queries") or {}
+    regressions, improvements = {}, {}
+    for k, v in qtimes.items():
+        pv = prev.get(k)
+        if pv and pv > 0 and v > 0:
+            ratio = round(v / pv, 2)
+            if ratio > 1.3:
+                regressions[k] = ratio
+            elif ratio < 1 / 1.3:
+                improvements[k] = ratio
+    return {"prev_bench": os.path.basename(files[-1]),
+            "regressions": regressions, "improvements": improvements}
 
 
 def run_scaling() -> dict:

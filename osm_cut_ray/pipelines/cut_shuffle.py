@@ -84,14 +84,15 @@ def _coerce_single_int64(ds: Dataset, col: str) -> Dataset:
     empty schema for group-less partitions; Acero's hash join then
     fails with "No match for key field" on those blocks. Rebuilding
     every block with an explicit dtype fixes the schema drift."""
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        if col not in df.columns:
-            return pd.DataFrame({col: pd.Series(dtype=np.int64)})
-        return pd.DataFrame({col: df[col].astype(np.int64)})
+    def f(t: pa.Table) -> pa.Table:
+        if col not in t.column_names:
+            return pa.table({col: pa.array([], pa.int64())})
+        return pa.table({col: t[col].cast(pa.int64())})
     # repartition merges away schema-LESS empty Arrow blocks that Ray
     # leaves for group-less partitions and skips UDFs on — Acero's
-    # hash join rejects them ("No match for key field")
-    return ds.map_batches(f, batch_format="pandas")\
+    # hash join rejects them ("No match for key field"); pyarrow batch
+    # format keeps blocks Arrow (pandas blocks slow every shuffle)
+    return ds.map_batches(f, batch_format="pyarrow")\
         .repartition(_num_partitions())
 
 

@@ -26,7 +26,7 @@ from ray.data.aggregate import Min, Sum
 from ..geometry import cells as CellsMod
 from ..geometry.geotag import decode_geotag
 from ..geometry.polygon import PolygonIndex
-from ..sources.images import ImageDecodeStage, images_batch_from_keys
+from ..sources.images import decode_stage_batch, images_batch_from_keys
 from ..sources.tables import sf_path
 from ..stages import join as J
 from ..stages import window as W
@@ -194,8 +194,8 @@ def image_decode_meta(sf_dir: str):
     imgs = li.map_batches(
         lambda t: images_batch_from_keys(D.image_ids_from_lineitem(t)),
         batch_format="pyarrow")
-    dec = imgs.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                           concurrency=default_pool_size(), batch_size=2048)
+    dec = imgs.map_batches(decode_stage_batch, batch_format="pyarrow",
+                           batch_size=2048)
     return collect(dec.select_columns(
         ["image_id", "dec_w", "dec_h", "mean_px"]))
 
@@ -271,6 +271,33 @@ UNION ALL SELECT 'relation', rel_id FROM rec
 """)
 def cut_complete_kept(sf_dir: str):
     return _run_cut(sf_dir, True).kept_table()
+
+
+@q("cut_shuffle_kept", ORACLES["cut_complete_kept"])
+def cut_shuffle_kept(sf_dir: str):
+    """Shuffle-strategy cut (pipelines/cut_shuffle.py): the beyond-
+    broadcast id-set path. Same oracle SQL as cut_complete_kept — the
+    two join strategies are required to be result-identical."""
+    from .cut_shuffle import cut_shuffle
+    s = cut_shuffle(OD.derive_nodes(sf_dir), OD.derive_ways(sf_dir),
+                    OD.derive_relations(sf_dir), pentagon_index(),
+                    complete=True)
+
+    def ids(ds, col):
+        parts = [t[col].to_numpy(zero_copy_only=False)
+                 for t in ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")
+                 if col in t.column_names and len(t)]
+        return np.sort(np.concatenate(parts).astype(np.int64)) \
+            if parts else np.array([], np.int64)
+
+    n = ids(s["node_ids"], "node_id")
+    w = ids(s["way_ids"], "way_id")
+    r = ids(s["rel_ids"], "rel_id")
+    return pa.table({
+        "elem_type": (["node"] * len(n) + ["way"] * len(w)
+                      + ["relation"] * len(r)),
+        "id": np.concatenate([n, w, r]).astype(np.int64)})
 
 
 @q("cut_noncomplete_kept", f"""
@@ -350,7 +377,9 @@ def _partial_sum(ds, keys: list[str], quant_cols: dict[str, tuple[str, int]],
         if count_alias:
             tmp["__one"] = np.int64(1)
             aggs[count_alias] = ("__one", "sum")
-        return tmp.groupby(keys, as_index=False).agg(**aggs)
+        out = tmp.groupby(keys, as_index=False).agg(**aggs)
+        # Arrow out: pandas blocks poison the sort-shuffle (~20x/task)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partial = ds.map_batches(combine, batch_format="pandas")
     aggs = [Sum(out, alias_name=out) for out in quant_cols]
@@ -582,7 +611,9 @@ def orders_by_month(sf_dir: str):
         out["n"] = np.int64(1)
         return out.groupby("month", as_index=False).agg(n=("n", "sum"))
 
-    partial = orders.map_batches(bucket, batch_format="pandas")
+    partial = orders.map_batches(
+        lambda df: pa.Table.from_pandas(bucket(df), preserve_index=False),
+        batch_format="pandas")
     return collect(partial.groupby("month").aggregate(
         Sum("n", alias_name="n")))
 
@@ -616,7 +647,10 @@ def dedup_exact_docs(sf_dir: str):
     groupby -> min id per group (hash, not raw text, transits the
     shuffle)."""
     docs = _docs2(sf_dir)
-    hashed = docs.map_batches(md5_fingerprint, batch_format="pandas")
+    hashed = docs.map_batches(
+        lambda df: pa.Table.from_pandas(md5_fingerprint(df),
+                                        preserve_index=False),
+        batch_format="pandas")
     return collect(hashed.groupby("fp").aggregate(
         Min("doc_id", alias_name="doc_id")).select_columns(["doc_id"]))
 
@@ -821,34 +855,35 @@ def knn_points_brute(sf_dir: str):
     p_lat = probes["lat"].to_numpy()
     ref = ray.put((p_ids, p_lon, p_lat))
 
-    class Partial:
-        def __init__(self):
-            self.p_ids, self.p_lon, self.p_lat = ray.get(ref)
+    def partial_fn(t: pa.Table) -> pa.Table:
+        # task mode: probe arrays rehydrate zero-copy from plasma;
+        # Arrow output keeps the probe_id sort off the pandas slow path
+        p_ids, p_lon, p_lat = ray.get(ref)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        out_p, out_n, out_d = [], [], []
+        for j, pid in enumerate(p_ids):
+            d2 = (lon - p_lon[j]) ** 2 + (lat - p_lat[j]) ** 2
+            mask = ids != pid
+            cid, cd = ids[mask], d2[mask]
+            if len(cid) == 0:
+                continue
+            k = min(5, len(cid))
+            top = np.argpartition(cd, k - 1)[:k]
+            out_p.append(np.full(k, pid))
+            out_n.append(cid[top])
+            out_d.append(cd[top])
+        if not out_p:
+            return pa.table({"probe_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.float64())})
+        return pa.table({
+            "probe_id": np.concatenate(out_p).astype(np.int64),
+            "neighbor_id": np.concatenate(out_n).astype(np.int64),
+            "d2": np.concatenate(out_d).astype(np.float64)})
 
-        def __call__(self, t: pa.Table) -> pd.DataFrame:
-            ids = t["id"].to_numpy(zero_copy_only=False)
-            lon = t["lon"].to_numpy(zero_copy_only=False)
-            lat = t["lat"].to_numpy(zero_copy_only=False)
-            frames = []
-            for j, pid in enumerate(self.p_ids):
-                d2 = (lon - self.p_lon[j]) ** 2 + (lat - self.p_lat[j]) ** 2
-                mask = ids != pid
-                cid, cd = ids[mask], d2[mask]
-                if len(cid) == 0:
-                    continue
-                k = min(5, len(cid))
-                top = np.argpartition(cd, k - 1)[:k]
-                frames.append(pd.DataFrame({
-                    "probe_id": np.full(k, pid), "neighbor_id": cid[top],
-                    "d2": cd[top]}))
-            if not frames:
-                return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
-                                     "neighbor_id": pd.Series(dtype=np.int64),
-                                     "d2": pd.Series(dtype=np.float64)})
-            return pd.concat(frames, ignore_index=True)
-
-    partial = nodes.map_batches(Partial, batch_format="pyarrow",
-                                concurrency=default_pool_size())
+    partial = nodes.map_batches(partial_fn, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((g["neighbor_id"].to_numpy(),
@@ -1154,8 +1189,9 @@ def window_sliding_events(sf_dir: str):
         prev["wstart"] = prev["wstart"] - pd.Timedelta(hours=1)
         both = pd.concat([base, prev], ignore_index=True)
         both["wstart"] = both["wstart"].dt.strftime("%Y-%m-%d %H:00")
-        return both.groupby(["event_type", "wstart"], as_index=False)\
+        out = both.groupby(["event_type", "wstart"], as_index=False)\
             .agg(sum_v_q=("vq", "sum"), n=("vq", "size"))
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partial = ev.map_batches(expand, batch_format="pandas")
     return collect(partial.groupby(["event_type", "wstart"]).aggregate(

@@ -188,3 +188,17 @@ class ImageDecodeStage:
             "dec_w": pa.array(dw), "dec_h": pa.array(dh),
             "mean_px": pa.array(mean_px), "psnr_db": pa.array(ps),
         })
+
+
+# per-worker-process singleton for task-mode map_batches: the stage's
+# only state is the cached base patterns (3 shapes), so tasks + this
+# memo beat an actor pool's cold start
+_DECODE_SINGLETON: dict = {}
+
+
+def decode_stage_batch(t: pa.Table, check_invariant: bool = True) -> pa.Table:
+    st = _DECODE_SINGLETON.get(check_invariant)
+    if st is None:
+        st = _DECODE_SINGLETON[check_invariant] = \
+            ImageDecodeStage(check_invariant)
+    return st(t)

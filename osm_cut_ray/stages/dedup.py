@@ -125,42 +125,101 @@ def band_rows(df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
     })
 
 
-class _ShingleSets:
+# per-worker-process memo for cheap-but-not-free stage state (MinHash
+# permutation params); task-mode map_batches + this beats an actor
+# pool's multi-second cold start for O(1)-setup stages
+_STAGE_CACHE: dict = {}
+
+
+def _shingle_sets_batch(t: pa.Table, shingle_k: int) -> pa.Table:
     """Slim (doc_id, sh:list<int64>) projection — the verification
     payload. 8 bytes/shingle instead of the raw text; built once,
     joined to candidate pairs, so texts never leave their blocks."""
+    # sort in INT64 order after the view (np.unique sorted the uint64
+    # values; the int64 reinterpretation is not monotone) — the verify
+    # kernel's searchsorted requires ascending int64 lists
+    sets = [np.sort(np.unique(shingle_hashes(s, shingle_k))
+                    .view(np.int64))
+            for s in t["text"].to_pylist()]
+    return pa.table({
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "sh": pa.array([s.tolist() for s in sets],
+                       pa.list_(pa.int64()))})
 
-    def __init__(self, shingle_k: int):
-        self.k = shingle_k
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        sets = [np.unique(shingle_hashes(s, self.k)).view(np.int64)
-                for s in t["text"].to_pylist()]
-        return pa.table({
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "sh": pa.array([s.tolist() for s in sets],
-                           pa.list_(pa.int64()))})
+def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """(values, offsets) numpy views of a list<int64> column —
+    zero-copy; avoids per-row to_pylist materialization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (col.values.to_numpy(zero_copy_only=False),
+            col.offsets.to_numpy(zero_copy_only=False))
 
 
 def _jaccard_filter_batch(t: pa.Table, threshold: float) -> pa.Table:
     """Per-pair exact set Jaccard from two attached shingle-list
-    columns; row loop is per CANDIDATE PAIR inside a distributed batch
-    (inherent set-intersection work), never per corpus row."""
+    columns. The loop is per CANDIDATE PAIR inside a distributed batch
+    (inherent set-intersection work), never per corpus row; lists are
+    consumed as zero-copy Arrow offset views and intersected via
+    searchsorted on the already-sorted unique hashes."""
     if len(t) == 0:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
-    sa = t["sh_a"].to_pylist()
-    sb = t["sh_b"].to_pylist()
+    va, oa = _list_views(t["sh_a"])
+    vb, ob = _list_views(t["sh_b"])
     keep = np.empty(len(t), bool)
     for i in range(len(t)):
-        ua = np.asarray(sa[i], np.int64)
-        ub = np.asarray(sb[i], np.int64)
+        ua = va[oa[i]:oa[i + 1]]
+        ub = vb[ob[i]:ob[i + 1]]
         if len(ua) == 0 or len(ub) == 0:
             keep[i] = False
             continue
-        inter = len(np.intersect1d(ua, ub, assume_unique=True))
+        if len(ub) < len(ua):
+            ua, ub = ub, ua
+        idx = np.searchsorted(ub, ua)
+        idx[idx == len(ub)] = len(ub) - 1
+        inter = int((ub[idx] == ua).sum())
         keep[i] = inter / (len(ua) + len(ub) - inter) >= threshold
     return t.filter(pa.array(keep)).select(["a_id", "b_id"])
+
+
+
+def _attach_and_verify(cand, docs_ds, shingle_k: int,
+                       jaccard_threshold: float, nparts: int) -> pa.Table:
+    """Distributed exact-Jaccard verification of candidate id pairs:
+    attach each side's slim shingle set by a hash-bucket join, filter
+    exact Jaccard per pair inside map_batches, return sorted pairs.
+    Shared by MinHash-LSH and the prefix-filtered exact path."""
+    from . import join as J
+
+    def _shingle_batch(t: pa.Table) -> pa.Table:
+        return _shingle_sets_batch(t, shingle_k)
+
+    sh_ds = docs_ds.map_batches(_shingle_batch,
+                                batch_format="pyarrow")\
+        .repartition(nparts * 4).materialize()
+    sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_a"]),
+                             batch_format="pyarrow")
+    sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_b"]),
+                             batch_format="pyarrow")
+    with_a = J.bucketed_attach_column(cand, "a_id", sh_a, "doc_id",
+                                      "sh_a", num_buckets=nparts)
+    with_b = J.bucketed_attach_column(with_a, "b_id", sh_b, "doc_id",
+                                      "sh_b", num_buckets=nparts)
+    verified = with_b.map_batches(
+        lambda t: _jaccard_filter_batch(t, jaccard_threshold),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(verified.iter_batches(batch_size=None,
+                                   batch_format="pyarrow")),
+        promote_options="default")
+    if len(tbl) == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    df = tbl.to_pandas().drop_duplicates()\
+        .sort_values(["a_id", "b_id"])
+    return pa.table({"a_id": df["a_id"].astype(np.int64),
+                     "b_id": df["b_id"].astype(np.int64)})
 
 
 def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
@@ -184,72 +243,80 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
     silent. Capped buckets are near-certainly stop-signature buckets;
     true near-dup pairs still collide in their other n_bands-1 bands.
     """
-    if concurrency is None:
-        from .pip import default_pool_size
-        concurrency = default_pool_size()
-    sigged = docs_ds.map_batches(
-        MinHasher, fn_constructor_kwargs={
-            "n_perm": n_perm, "seed": seed, "shingle_k": shingle_k},
-        batch_format="pandas", concurrency=concurrency)
-    bands = sigged.map_batches(
-        lambda df: band_rows(df, n_bands), batch_format="pandas")
-
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []}).astype(np.int64)
-        if len(ids) > max_bucket_df:   # hot-bucket cap, surfaced
-            return pd.DataFrame({"a_id": np.array([-1], np.int64),
-                                 "b_id": np.array([len(ids)], np.int64)})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+    # signatures / bands: task-mode map_batches (setup is O(1), an
+    # actor pool's cold start would dominate — see BASELINE notes)
+    def _sig_and_band(df: pd.DataFrame) -> pa.Table:
+        key = ("mh", n_perm, seed, shingle_k)
+        mh = _STAGE_CACHE.get(key)
+        if mh is None:
+            mh = _STAGE_CACHE[key] = MinHasher(n_perm, seed, shingle_k)
+        bdf = band_rows(mh(df), n_bands)
+        # single int64 bucket key so candidate generation is ONE C++
+        # hash self-join, not a per-bucket Python UDF
+        bkey = (bdf["band_hash"].to_numpy().view(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + bdf["band_id"].to_numpy().astype(np.uint64)).view(np.int64)
+        # return an ARROW table: pandas-format blocks poison the
+        # sort-shuffle downstream (~20x slower per AggregateMap task)
+        return pa.table({"bkey": bkey,
+                         "doc_id": bdf["doc_id"].to_numpy()
+                         .astype(np.int64)})
 
     from . import join as J
-    cand_all = bands.groupby(["band_id", "band_hash"])\
-        .map_groups(emit_pairs, batch_format="pandas")
-    cand_all = J.distinct(cand_all, ["a_id", "b_id"]).map_batches(
-        lambda t: pa.table({"a_id": t["a_id"].cast(pa.int64()),
-                            "b_id": t["b_id"].cast(pa.int64())}),
-        batch_format="pyarrow").materialize()  # slim id pairs; feeds
-    # the sentinel split + two attach joins without recompute
+    nparts = 8
+    # repartition before the wide ops: hash/sort shuffles over a
+    # couple of fat blocks (single-row-group parquet reads) serialize;
+    # many small blocks keep every aggregator busy
+    bands = docs_ds.map_batches(_sig_and_band, batch_format="pandas")\
+        .repartition(nparts * 4).materialize()
 
-    dropped = cand_all.map_batches(
-        lambda t: t.filter(pc.less(t["a_id"], 0)), batch_format="pyarrow")
-    drop_rows = dropped.take_all()
+    # hot-bucket cap BEFORE the self-join (a capped bucket would emit
+    # O(n^2) join rows): sizes via one Count aggregate, oversized
+    # buckets dropped and surfaced
+    from ray.data.aggregate import Count
+    sizes = bands.groupby("bkey").aggregate(Count(alias_name="c"))
+    sizes = sizes.map_batches(
+        lambda t: pa.table({"bkey": t["bkey"].cast(pa.int64()),
+                            "c": t["c"].cast(pa.int64())})
+        if "bkey" in t.column_names
+        else pa.table({"bkey": pa.array([], pa.int64()),
+                       "c": pa.array([], pa.int64())}),
+        batch_format="pyarrow").repartition(8).materialize()
+    drop_rows = sizes.map_batches(
+        lambda t: t.filter(pc.greater(t["c"], max_bucket_df)),
+        batch_format="pyarrow").take_all()
     if drop_rows:
         print(f"minhash_lsh_pairs: dropped {len(drop_rows)} band "
               f"bucket(s) over max_bucket_df={max_bucket_df}, sizes="
-              f"{sorted(int(r['b_id']) for r in drop_rows)[-5:]}")
-    cand = cand_all.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["a_id"], 0)),
-        batch_format="pyarrow")
+              f"{sorted(int(r['c']) for r in drop_rows)[-5:]}")
+    ok_keys = sizes.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["c"], 2),
+                                   pc.less_equal(t["c"], max_bucket_df)))
+        .select(["bkey"]), batch_format="pyarrow")
 
-    # distributed verification: attach each side's shingle set by a
-    # hash-bucket join, then exact Jaccard per pair in map_batches
-    sh_ds = docs_ds.map_batches(
-        _ShingleSets, fn_constructor_kwargs={"shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency)
-    sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_a"]),
-                             batch_format="pyarrow")
-    sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_b"]),
-                             batch_format="pyarrow")
-    with_a = J.bucketed_attach_column(cand, "a_id", sh_a, "doc_id", "sh_a")
-    with_b = J.bucketed_attach_column(with_a, "b_id", sh_b, "doc_id",
-                                      "sh_b")
-    verified = with_b.map_batches(
-        lambda t: _jaccard_filter_batch(t, jaccard_threshold),
-        batch_format="pyarrow")
+    bands_ok = bands.join(ok_keys, join_type="inner",
+                          num_partitions=nparts, on=("bkey",))\
+        .materialize()
+    other = bands_ok.map_batches(
+        lambda t: t.select(["bkey", "doc_id"])
+        .rename_columns(["bkey", "b_id"]), batch_format="pyarrow")
+    cand = bands_ok.map_batches(
+        lambda t: t.select(["bkey", "doc_id"])
+        .rename_columns(["bkey", "a_id"]), batch_format="pyarrow").join(
+        other, join_type="inner", num_partitions=nparts, on=("bkey",))\
+        .map_batches(
+        lambda t: t.filter(pc.less(t["a_id"], t["b_id"]))
+        .select(["a_id", "b_id"]), batch_format="pyarrow")
+    cand = J.distinct(cand, ["a_id", "b_id"]).map_batches(
+        lambda t: pa.table({"a_id": t["a_id"].cast(pa.int64()),
+                            "b_id": t["b_id"].cast(pa.int64())})
+        if "a_id" in t.column_names
+        else pa.table({"a_id": pa.array([], pa.int64()),
+                       "b_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow").repartition(8).materialize()
 
-    tbl = pa.concat_tables(
-        list(verified.iter_batches(batch_size=None,
-                                   batch_format="pyarrow")),
-        promote_options="default")
-    if len(tbl) == 0:
-        return pa.table({"a_id": pa.array([], pa.int64()),
-                         "b_id": pa.array([], pa.int64())})
-    df = tbl.to_pandas().sort_values(["a_id", "b_id"])
-    return pa.table({"a_id": df["a_id"].astype(np.int64),
-                     "b_id": df["b_id"].astype(np.int64)})
+    return _attach_and_verify(cand, docs_ds, shingle_k,
+                              jaccard_threshold, nparts)
 
 
 # ---------------------------------------------------------------- simhash
@@ -299,11 +366,13 @@ class HyperplaneLSH:
                 << np.arange(signs.shape[1], dtype=np.uint64)[None, :])\
             .sum(axis=1).view(np.int64)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
-                             "bucket": self.bucket(vecs),
-                             "embedding": df["embedding"]})
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy().astype(np.int64)),
+            "bucket": pa.array(self.bucket(vecs)),
+            "embedding": pa.array([np.asarray(e, np.float64)
+                                   for e in df["embedding"]])})
 
 
 def embedding_dup_pairs(emb_ds, *, cosine_threshold=0.999, n_bits=16,
@@ -456,105 +525,105 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
                         jaccard_threshold: float = 0.8,
                         max_shingle_df: int = 1000) -> pa.Table:
     """EXACT n-gram Jaccard near-dup pairs (the deterministic sibling
-    of minhash_lsh_pairs): explode (doc_id, shingle) rows -> groupby
-    shingle -> per-shingle pair emission -> pair-intersection counts ->
-    J = i / (|A| + |B| - i) filter. No probabilistic step.
+    of minhash_lsh_pairs), via canonical PREFIX FILTERING (AllPairs /
+    PPJoin principle, Bayardo et al.): under any global total order on
+    shingles, a pair with J >= t shares i >= ceil(t*|A|) shingles, so
+    the two docs MUST collide within the first |A| - ceil(t*|A|) + 1
+    shingles of each — candidate generation over those prefixes alone
+    is complete, and cuts candidate pairs by ~(1-t)^2 vs all shared
+    shingles. Candidates are then verified with the same distributed
+    exact-Jaccard attach join the MinHash path uses. No probabilistic
+    step anywhere: the result equals brute-force exact Jaccard.
 
-    `max_shingle_df` caps pathological stop-shingles (a shingle shared
-    by >df docs contributes O(df^2) pairs); capped groups are dropped
-    WITH a count so truncation is never silent. For near-dup thresholds
-    >= 0.5 a pair sharing only ultra-common shingles cannot reach the
-    threshold in realistic corpora, but the cap is surfaced to the
-    caller regardless.
+    `max_shingle_df` caps pathological stop-shingles inside the bucket
+    emission (a prefix shingle shared by > df docs contributes O(df^2)
+    pairs); capped groups are dropped. A true pair is lost only if ALL
+    its prefix collisions are capped — the cap is a documented safety
+    valve, not a correctness knob, at realistic df distributions.
     """
-    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
-        docs, shs, sizes_d, sizes_n = [], [], [], []
+    t_thr = jaccard_threshold
+
+    def prefix_rows(df: pd.DataFrame) -> pa.Table:
+        docs, shs = [], []
         for did, text in zip(df["doc_id"], df["text"]):
-            sh = np.unique(shingle_hashes(text, shingle_k))
-            docs.append(np.full(len(sh), did, np.int64))
-            shs.append(sh.view(np.int64))
-            sizes_d.append(did)
-            sizes_n.append(len(sh))
-        return pd.DataFrame({"doc_id": np.concatenate(docs),
-                             "sh": np.concatenate(shs)})
+            sh = np.unique(shingle_hashes(text, shingle_k))  # ascending
+            n = len(sh)
+            if n == 0:
+                continue
+            plen = n - int(np.ceil(t_thr * n)) + 1
+            p = sh[:plen].view(np.int64)
+            docs.append(np.full(len(p), did, np.int64))
+            shs.append(p)
+        if not docs:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(docs)),
+                         "sh": pa.array(np.concatenate(shs))})
 
-    rows = docs_ds.map_batches(shingle_rows, batch_format="pandas")
+    rows = docs_ds.map_batches(prefix_rows, batch_format="pandas")\
+        .repartition(32).materialize()
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > max_shingle_df:
-            return pd.DataFrame({"a_id": pd.Series(dtype=np.int64),
-                                 "b_id": pd.Series(dtype=np.int64)})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
-
-    pair_rows = rows.groupby("sh").map_groups(pairs_of,
-                                              batch_format="pandas")
-    from ray.data.aggregate import Sum
     from . import join as J
 
-    # i = number of shared shingles per pair — a per-batch partial
-    # count (group_by inside map_batches) then a hash-aggregate Sum,
-    # NOT one-row-per-group map_groups (round-1 verdict item #4)
-    def _pair_partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "a_id" not in t.column_names:
-            return pa.table({"a_id": pa.array([], pa.int64()),
-                             "b_id": pa.array([], pa.int64()),
-                             "i": pa.array([], pa.int64())})
-        return t.group_by(["a_id", "b_id"]).aggregate([("a_id", "count")])\
-            .rename_columns(["a_id", "b_id", "i"])
+    # candidate pairs via the BUCKETED-group pattern: hash each shingle
+    # into one of 64 buckets (all rows of a shingle share a bucket),
+    # ONE sort shuffle on the bucket key, vectorized per-shingle
+    # emission inside each bucket — not a per-shingle map_groups
+    # (~800 Ray groups/s) and not a raw self-join (O(sum df^2) rows
+    # through the shuffle).
+    _NB = 64
 
-    inter = pair_rows.map_batches(_pair_partial, batch_format="pyarrow")\
-        .groupby(["a_id", "b_id"]).aggregate(Sum("i", alias_name="i"))
+    def _bucketize(t: pa.Table) -> pa.Table:
+        h = (t["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(_NB)
+        return t.append_column("__bucket", pa.array(h.view(np.int64)))
 
-    # |A| per doc — partial count per batch, then Sum aggregate; sizes
-    # join onto pairs via the Arrow-native bucket join (no driver map)
-    def _size_partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["doc_id"]).aggregate([("doc_id", "count")])\
-            .rename_columns(["doc_id", "n"])
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if len(t) == 0 or "sh" not in t.column_names:
+            return empty
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sh[1:] != sh[:-1])))
+        ends = np.concatenate((starts[1:], [len(sh)]))
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            n = e0 - s0
+            if n < 2 or n > max_shingle_df:  # df cap (docstring)
+                continue
+            ids = doc[s0:e0]
+            ai, bi = np.triu_indices(n, k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
+            return empty
+        # local pre-dedup (a pair can collide on several prefix
+        # shingles within a bucket); global distinct follows
+        ab = np.stack([np.concatenate(out_a), np.concatenate(out_b)])
+        ab = np.unique(ab, axis=1)
+        return pa.table({"a_id": ab[0], "b_id": ab[1]})
 
-    sizes = rows.map_batches(_size_partial, batch_format="pyarrow")\
-        .groupby("doc_id").aggregate(Sum("n", alias_name="n"))
+    pair_rows = rows.map_batches(_bucketize, batch_format="pyarrow")\
+        .groupby("__bucket").map_groups(_bucket_pairs,
+                                        batch_format="pyarrow")
 
-    def _norm(cols):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({c: (t[c].cast(pa.int64())
-                                 if c in t.column_names
-                                 else pa.nulls(0, pa.int64()))
-                             for c in cols})
-        return f
+    nparts = 8
+    # NO global distinct here: the bucket emission already deduped
+    # locally (same-shingle repeats), the ~single-digit-% residual
+    # cross-bucket duplicates cost less to re-verify than a full
+    # distinct shuffle, and _attach_and_verify dedups the tiny result.
+    cand = pair_rows.map_batches(
+        lambda t: pa.table({"a_id": t["a_id"].cast(pa.int64()),
+                            "b_id": t["b_id"].cast(pa.int64())})
+        if "a_id" in t.column_names
+        else pa.table({"a_id": pa.array([], pa.int64()),
+                       "b_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow").repartition(nparts).materialize()
+    _ = J  # (distinct intentionally skipped; see comment above)
 
-    inter = inter.map_batches(_norm(["a_id", "b_id", "i"]),
-                              batch_format="pyarrow")
-    sz_a = sizes.map_batches(_norm(["doc_id", "n"]), batch_format="pyarrow")\
-        .map_batches(lambda t: t.rename_columns(["doc_id", "n_a"]),
-                     batch_format="pyarrow")
-    sz_b = sizes.map_batches(_norm(["doc_id", "n"]), batch_format="pyarrow")\
-        .map_batches(lambda t: t.rename_columns(["doc_id", "n_b"]),
-                     batch_format="pyarrow")
-    with_a = J.bucketed_attach_column(inter, "a_id", sz_a, "doc_id", "n_a")
-    with_b = J.bucketed_attach_column(with_a, "b_id", sz_b, "doc_id", "n_b")
-
-    def _thresh(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"a_id": pa.array([], pa.int64()),
-                             "b_id": pa.array([], pa.int64())})
-        i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = i / (na + nb - i) >= jaccard_threshold
-        return t.filter(pa.array(keep)).select(["a_id", "b_id"])
-
-    out = with_b.map_batches(_thresh, batch_format="pyarrow")
-    parts = [t for t in out.iter_batches(batch_size=None,
-                                         batch_format="pyarrow")
-             if len(t) and "a_id" in t.column_names]
-    if not parts:
-        return pa.table({"a_id": pa.array([], pa.int64()),
-                         "b_id": pa.array([], pa.int64())})
-    tbl = pa.concat_tables(parts, promote_options="default")
-    a = tbl["a_id"].to_numpy(zero_copy_only=False)
-    b = tbl["b_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((b, a))
-    return pa.table({"a_id": pa.array(a[order], pa.int64()),
-                     "b_id": pa.array(b[order], pa.int64())})
+    return _attach_and_verify(cand, docs_ds, shingle_k,
+                              jaccard_threshold, nparts)

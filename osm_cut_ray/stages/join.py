@@ -122,18 +122,39 @@ class _IsInStage:
         return t.append_column(self.out_col, hit)  # mode == "flag"
 
 
+# per-worker-process memo: rehydrating a broadcast numpy key array is
+# a zero-copy plasma view, so task-mode map_batches + this cache beats
+# an actor pool's multi-second cold start (one pool per call site!)
+_ISIN_CACHE: dict = {}
+
+
 def broadcast_is_in(ds, col: str, keys: np.ndarray, mode: str = "semi",
-                    out_col: str = "hit", concurrency=None):
-    """Semi/anti join or membership flag against a broadcast key set."""
-    if concurrency is None:
-        from .pip import default_pool_size
-        concurrency = default_pool_size()
+                    out_col: str = "hit", concurrency=None,
+                    use_actors: bool = False):
+    """Semi/anti join or membership flag against a broadcast key set.
+
+    Task-mode by default (state hydration is O(1) zero-copy);
+    `use_actors=True` restores the actor pool for callers that want
+    pinned state."""
     ref = ray.put(np.asarray(keys))
-    return ds.map_batches(
-        _IsInStage,
-        fn_constructor_kwargs={"keys_ref": ref, "col": col, "mode": mode,
-                               "out_col": out_col},
-        batch_format="pyarrow", concurrency=concurrency)
+    if use_actors:
+        if concurrency is None:
+            from .pip import default_pool_size
+            concurrency = default_pool_size()
+        return ds.map_batches(
+            _IsInStage,
+            fn_constructor_kwargs={"keys_ref": ref, "col": col,
+                                   "mode": mode, "out_col": out_col},
+            batch_format="pyarrow", concurrency=concurrency)
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = (ref.hex(), col, mode, out_col)
+        stage = _ISIN_CACHE.get(key)
+        if stage is None:
+            stage = _ISIN_CACHE[key] = _IsInStage(ref, col, mode, out_col)
+        return stage(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- shuffle joins

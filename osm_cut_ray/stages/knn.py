@@ -18,6 +18,9 @@ import pyarrow as pa
 import ray
 
 
+_SIM_CACHE: dict = {}  # per-worker-process stage memo (task mode)
+
+
 def _normalize(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -59,6 +62,9 @@ class _BruteSim:
         vecs = _normalize(np.stack(df["embedding"].to_numpy())
                           .astype(np.float64))
         sims = vecs @ self.probes                      # (n, p)
+        if self.round_to is not None:
+            sims = np.round(sims, self.round_to)  # once for the whole
+            # matrix — cheaper than re-rounding per probe column
         out_p, out_n, out_s = [], [], []
         for j, pid in enumerate(self.probe_ids):
             col = sims[:, j]
@@ -66,17 +72,20 @@ class _BruteSim:
             cid, cs = ids[mask], col[mask]
             if len(cid) == 0:
                 continue
-            top_id, top_s = _topk_rounded(cid, cs, self.k, self.round_to)
+            top_id, top_s = _topk_rounded(cid, cs, self.k, None)
             out_p.append(np.full(len(top_id), pid))
             out_n.append(top_id)
             out_s.append(top_s)
         if not out_p:
-            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
-                                 "neighbor_id": pd.Series(dtype=np.int64),
-                                 "sim": pd.Series(dtype=np.float64)})
-        return pd.DataFrame({"probe_id": np.concatenate(out_p),
-                             "neighbor_id": np.concatenate(out_n),
-                             "sim": np.concatenate(out_s)})
+            return pa.table({"probe_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        # Arrow out: keeps the probe_id sort-shuffle off the slow
+        # pandas-block path
+        return pa.table({
+            "probe_id": np.concatenate(out_p).astype(np.int64),
+            "neighbor_id": np.concatenate(out_n).astype(np.int64),
+            "sim": np.concatenate(out_s).astype(np.float64)})
 
 
 def knn_brute(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
@@ -89,15 +98,19 @@ def knn_brute(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
     the SQL oracle regardless of summation order (ties broken by
     neighbor_id, matching ORDER BY sim DESC, neighbor_id).
     """
-    if concurrency is None:
-        from .pip import default_pool_size
-        concurrency = default_pool_size()
     ref = ray.put((np.asarray(probe_ids, np.int64),
                    np.asarray(probe_mat, np.float64)))
-    partial = emb_ds.map_batches(
-        _BruteSim, fn_constructor_kwargs={"probes_ref": ref, "k": k,
-                                          "round_to": round_to},
-        batch_format="pandas", concurrency=concurrency)
+
+    # task mode + per-process memo: probe-matrix rehydration is a
+    # zero-copy plasma view, so tasks beat an actor pool's cold start
+    def _sim(df: pd.DataFrame) -> pa.Table:
+        key = (ref.hex(), k, round_to)
+        stage = _SIM_CACHE.get(key)
+        if stage is None:
+            stage = _SIM_CACHE[key] = _BruteSim(ref, k, round_to)
+        return stage(df)
+
+    partial = emb_ds.map_batches(_sim, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         s = g["sim"].to_numpy()
@@ -170,9 +183,11 @@ class _IVFAssign:
         vecs = _normalize(np.stack(df["embedding"].to_numpy())
                           .astype(np.float64))
         cell = (vecs @ self.centroids).argmax(axis=1).astype(np.int64)
-        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
-                             "cell": cell,
-                             "embedding": df["embedding"]})
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy().astype(np.int64)),
+            "cell": pa.array(cell),
+            "embedding": pa.array([np.asarray(e, np.float64)
+                                   for e in df["embedding"]])})
 
 
 def knn_ivf(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
@@ -213,7 +228,7 @@ def knn_ivf(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
         ids = g["vec_id"].to_numpy()
         vecs = _normalize(np.stack(g["embedding"].to_numpy())
                           .astype(np.float64))
-        sims = vecs @ pmat[plist].T
+        sims = np.round(vecs @ pmat[plist].T, 6)
         frames = []
         for col, pi in enumerate(plist):
             pid = pids[pi]
@@ -221,7 +236,7 @@ def knn_ivf(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
             cid, cs = ids[mask], sims[mask, col]
             if len(cid) == 0:
                 continue
-            top_id, top_s = _topk_rounded(cid, cs, k, 6)
+            top_id, top_s = _topk_rounded(cid, cs, k, None)
             frames.append(pd.DataFrame({
                 "probe_id": np.full(len(top_id), pid),
                 "neighbor_id": top_id, "sim": top_s}))

@@ -27,7 +27,10 @@ def tumbling_batch(df: pd.DataFrame, *, ts_col="ts", key_col="event_type",
     g = pd.DataFrame({key_col: df[key_col], "hour": hour, "v": vq})\
         .groupby([key_col, "hour"], as_index=False)\
         .agg(sum_v_q=("v", "sum"), n=("v", "size"))
-    return g
+    # emit ARROW: pandas-format blocks make the downstream sort-shuffle
+    # ~20x slower per task (measured; see BASELINE.md)
+    import pyarrow as pa
+    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def sessionize_group(g: pd.DataFrame, *, gap_minutes=30, ts_col="ts",
