@@ -169,8 +169,14 @@ def run_scaling() -> dict:
     """Fresh-process runs at 8 and 32 CPUs on identical input
     (sandbox evidence for the N->4N cluster scaling criterion)."""
     def run(ncpu: int) -> dict:
+        # a bigger job (2x the plain-bench replicas) for the scaling
+        # legs: the ~1s fixed session cost distorts the 32-CPU level on
+        # the small job, and the criterion is about steady-state
+        # scaling (fixed costs vanish at 100-TB job sizes)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_QUERIES="0")
+                   GRAFT_BENCH_QUERIES="0",
+                   GRAFT_BENCH_REPLICAS=os.environ.get(
+                       "GRAFT_BENCH_REPLICAS", str(REPLICAS * 2)))
         out = subprocess.run([sys.executable, __file__, "--headline-only"],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
