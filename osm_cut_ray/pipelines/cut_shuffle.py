@@ -189,18 +189,23 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
             inside_ids, join_type="inner",
             num_partitions=_num_partitions(), on=("node_id",))
 
-        def regroup(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("pos")
-            return pd.DataFrame({
-                "way_id": [int(g["way_id"].iloc[0])],
-                "node_ids": [[int(x) for x in g["node_id"]]]})
+        def regroup_bucket(g: pd.DataFrame) -> pa.Table:
+            # vectorized list rebuild for EVERY way in the bucket:
+            # sort by (way, pos), then offsets -> ListArray (no
+            # per-way group call — corpus-scale way counts)
+            g = g.sort_values(["way_id", "pos"])
+            wid = g["way_id"].to_numpy().astype(np.int64)
+            nid = g["node_id"].to_numpy().astype(np.int64)
+            starts = np.flatnonzero(
+                np.concatenate(([True], wid[1:] != wid[:-1])))
+            offsets = np.concatenate((starts, [len(wid)]))
+            lst = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(nid))
+            return pa.table({"way_id": pa.array(wid[starts]),
+                             "node_ids": lst})
 
-        rebuilt = inside_pairs.groupby("way_id").map_groups(
-            regroup, batch_format="pandas").map_batches(
-            lambda t: pa.table({
-                "way_id": t["way_id"].cast(pa.int64()),
-                "node_ids": t["node_ids"].cast(pa.list_(pa.int64()))}),
-            batch_format="pyarrow")
+        rebuilt = J.bucketed_group_apply(inside_pairs, "way_id",
+                                         regroup_bucket)
         meta = out_ways.drop_columns(["node_ids"])
         out_ways = J.bucketed_attach_column(
             meta, id_col, rebuilt, "way_id", "node_ids",
@@ -322,16 +327,26 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
                 pc.less(t["m_ref"], t["rel_id"]))),
             batch_format="pyarrow")
 
-    def regroup_members(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos")
-        return pd.DataFrame({
-            "rel_id": [int(g["rel_id"].iloc[0])],
-            "members": [[{"type": t, "ref": int(r), "role": ro}
-                         for t, r, ro in zip(g["m_type"], g["m_ref"],
-                                             g["m_role"])]]})
+    def regroup_members_bucket(g: pd.DataFrame) -> pa.Table:
+        # vectorized member-list rebuild for every relation in the
+        # bucket: sort by (rel, pos), offsets -> list<struct>
+        g = g.sort_values(["rel_id", "pos"])
+        rid = g["rel_id"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], rid[1:] != rid[:-1])))
+        offsets = np.concatenate((starts, [len(rid)]))
+        vals = pa.StructArray.from_arrays(
+            [pa.array(g["m_type"].astype(str), pa.large_string()),
+             pa.array(g["m_ref"].to_numpy().astype(np.int64)),
+             pa.array(g["m_role"].astype(str), pa.large_string())],
+            names=["type", "ref", "role"])
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       vals)
+        return pa.table({"rel_id": pa.array(rid[starts]),
+                         "members": lst})
 
-    out_members = kept_mem.groupby("rel_id").map_groups(
-        regroup_members, batch_format="pandas")
+    out_members = J.bucketed_group_apply(kept_mem, "rel_id",
+                                         regroup_members_bucket)
     out_rels_meta = semi_join(relations, id_col, rel_ids, "rel_id",
                               keys_distinct=True)
 

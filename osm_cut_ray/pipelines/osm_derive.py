@@ -58,15 +58,25 @@ def derive_ways(sf_dir: str):
     key = ("ways", sf_dir, _session_token())
     if key in _CACHE:
         return _CACHE[key]
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "id": [int(g["user_id"].iloc[0])],
-            "node_ids": [sorted(int(x) for x in g["event_id"])],
-        })
+    def build_bucket(g: pd.DataFrame) -> pa.Table:
+        # vectorized regroup for every way in the bucket (sort by
+        # (user, event), offsets -> ListArray) — per-bucket Ray group
+        # overhead, not per-way
+        g = g.sort_values(["user_id", "event_id"])
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        offsets = np.concatenate((starts, [len(uid)]))
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       pa.array(eid))
+        return pa.table({"id": pa.array(uid[starts]), "node_ids": lst})
+
+    from ..stages import join as J
     ev = rd.read_parquet(sf_path(sf_dir, "events"),
                          columns=["user_id", "event_id"])
-    ds = ev.groupby("user_id").map_groups(build, batch_format="pandas")
-    out = ds.map_batches(
+    out = J.bucketed_group_apply(ev, "user_id", build_bucket)\
+        .map_batches(
         lambda t: pa.table({
             "id": t["id"].cast(pa.int64()),
             "node_ids": t["node_ids"].cast(pa.list_(pa.int64())),

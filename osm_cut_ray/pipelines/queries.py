@@ -576,11 +576,26 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM t GROUP BY user_id, session_id
 """)
 def sessionize_events(sf_dir: str):
-    """Stateful stream analog: keyed shuffle + per-key ts-ordered scan
-    (reference's single-reducer state T2 dissolved into groupby)."""
+    """Stateful stream analog: keyed shuffle + ts-ordered scan. Shape:
+    64-bucket hash partition + FULLY VECTORIZED sessionization inside
+    each bucket (sort by (user, ts, id); a session break is a user
+    change or a gap; per-user session ids via cumsum) — Ray group
+    overhead is per bucket, not per user (corpus-scale users)."""
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-    return collect(ev.groupby("user_id").map_groups(
-        W.sessionize_group, batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        new_s = (new_user | gap).astype(np.int64)
+        sid = new_s.cumsum()
+        base = sid.where(new_user).ffill()           # first sid of user
+        g = g.assign(session_id=(sid - base + 1).astype(np.int64))
+        return g.groupby(["user_id", "session_id"], as_index=False)\
+            .agg(n_events=("event_id", "size"),
+                 first_event=("event_id", "min"))
+
+    return collect(J.bucketed_group_apply(ev, "user_id", per_bucket))
 
 
 @q("json_extract_events", """
@@ -984,22 +999,24 @@ def asof_join_events(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
                                   "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["event_type"] == "purchase"]\
             .sort_values(["ts", "event_id"])
         c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
         if p.empty or c.empty:
             return pd.DataFrame({"purchase_id": pd.Series(dtype=np.int64),
                                  "click_id": pd.Series(dtype=np.int64)})
-        m = pd.merge_asof(p[["ts", "event_id"]], c[["ts", "event_id"]],
-                          on="ts", direction="backward",
+        # ONE vectorized merge_asof for every user in the bucket
+        # (by=user_id) — not a per-user group call
+        m = pd.merge_asof(p[["ts", "user_id", "event_id"]],
+                          c[["ts", "user_id", "event_id"]],
+                          on="ts", by="user_id", direction="backward",
                           suffixes=("_p", "_c")).dropna()
         return pd.DataFrame({
             "purchase_id": m["event_id_p"].astype(np.int64),
             "click_id": m["event_id_c"].astype(np.int64)})
 
-    return collect(ev.groupby("user_id").map_groups(
-        per_user, batch_format="pandas"))
+    return collect(J.bucketed_group_apply(ev, "user_id", per_bucket))
 
 
 @q("running_total_orders", """
@@ -1018,17 +1035,22 @@ def running_total_orders(sf_dir: str):
                    ["o_orderkey", "o_custkey", "o_orderdate",
                     "o_totalprice"])
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized keyed window over the whole bucket: sort by
+        # (cust, date, key), then C-speed groupby cumcount/cumsum
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
         price_c = np.floor(g["o_totalprice"].to_numpy() * 100)\
             .astype(np.int64)
+        grp = g.groupby("o_custkey", sort=False)
         return pd.DataFrame({
             "o_orderkey": g["o_orderkey"].to_numpy(),
-            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
-            "running_price_c": np.cumsum(price_c)})
+            "rn": (grp.cumcount() + 1).to_numpy().astype(np.int64),
+            "running_price_c": g.assign(__p=price_c)
+            .groupby("o_custkey", sort=False)["__p"].cumsum()
+            .to_numpy().astype(np.int64)})
 
-    return collect(orders.groupby("o_custkey").map_groups(
-        per_cust, batch_format="pandas"))
+    return collect(J.bucketed_group_apply(orders, "o_custkey",
+                                          per_bucket))
 
 
 @q("sample_lineitem", """
@@ -1061,17 +1083,17 @@ def top2_per_order(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_extendedprice"])
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        price_c = np.floor(g["l_extendedprice"].to_numpy() * 100)\
-            .astype(np.int64)
-        order = np.lexsort((g["l_linenumber"].to_numpy(), -price_c))[:2]
-        return pd.DataFrame({
-            "l_orderkey": g["l_orderkey"].to_numpy()[order],
-            "l_linenumber": g["l_linenumber"].to_numpy()[order],
-            "price_c": price_c[order]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-key top-k over the bucket: one sort + C-speed
+        # groupby head(2) for every order in the bucket
+        g = g.assign(price_c=np.floor(
+            g["l_extendedprice"].to_numpy() * 100).astype(np.int64))
+        g = g.sort_values(["l_orderkey", "price_c", "l_linenumber"],
+                          ascending=[True, False, True])
+        top = g.groupby("l_orderkey", sort=False).head(2)
+        return top[["l_orderkey", "l_linenumber", "price_c"]]
 
-    return collect(li.groupby("l_orderkey").map_groups(
-        per_order, batch_format="pandas"))
+    return collect(J.bucketed_group_apply(li, "l_orderkey", per_bucket))
 
 
 _HOLE = [(-40.0, -40.0), (40.0, -40.0), (0.0, 20.0)]

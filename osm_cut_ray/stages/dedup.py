@@ -377,29 +377,52 @@ class HyperplaneLSH:
 
 def embedding_dup_pairs(emb_ds, *, cosine_threshold=0.999, n_bits=16,
                         seed=42, concurrency=None):
-    """Near-duplicate embedding pairs: LSH bucket -> exact cosine verify."""
-    if concurrency is None:
-        from .pip import default_pool_size
-        concurrency = default_pool_size()
-    bucketed = emb_ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"n_bits": n_bits, "seed": seed},
-        batch_format="pandas", concurrency=concurrency)
+    """Near-duplicate embedding pairs: LSH bucket -> exact cosine
+    verify. Shuffle granularity is 64 COARSE buckets (hash of the LSH
+    bucket), with the per-LSH-bucket all-pairs verify as a vectorized
+    loop inside each coarse group — Ray group overhead per coarse
+    bucket, not per 2^n_bits LSH bucket."""
+
+    def lsh(df: pd.DataFrame) -> pa.Table:
+        key = ("hp", n_bits, seed)
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = _STAGE_CACHE[key] = HyperplaneLSH(
+                dim=len(df["embedding"].iloc[0]), n_bits=n_bits,
+                seed=seed)
+        return st(df)
+
+    bucketed = emb_ds.map_batches(lsh, batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a_id": pd.Series(dtype=np.int64),
                                  "b_id": pd.Series(dtype=np.int64)})
-        order = np.argsort(g["vec_id"].to_numpy())
-        ids = g["vec_id"].to_numpy()[order]
-        vecs = np.stack(g["embedding"].to_numpy())[order].astype(np.float64)
+        g = g.sort_values(["bucket", "vec_id"])
+        bkt = g["bucket"].to_numpy()
+        ids = g["vec_id"].to_numpy()
+        vecs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = norm @ norm.T
-        ai, bi = np.where(np.triu(sims >= cosine_threshold, k=1))
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+        starts = np.flatnonzero(
+            np.concatenate(([True], bkt[1:] != bkt[:-1])))
+        ends = np.concatenate((starts[1:], [len(bkt)]))
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            if e0 - s0 < 2:
+                continue
+            nb = norm[s0:e0]
+            sims = nb @ nb.T
+            ai, bi = np.where(np.triu(sims >= cosine_threshold, k=1))
+            out_a.append(ids[s0:e0][ai])
+            out_b.append(ids[s0:e0][bi])
+        if not out_a:
+            return pd.DataFrame({"a_id": pd.Series(dtype=np.int64),
+                                 "b_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"a_id": np.concatenate(out_a),
+                             "b_id": np.concatenate(out_b)})
 
-    pairs = bucketed.groupby("bucket").map_groups(verify,
-                                                  batch_format="pandas")
+    from . import join as J
+    pairs = J.bucketed_group_apply(bucketed, "bucket", verify)
     tbl = pa.concat_tables(
         list(pairs.iter_batches(batch_size=None, batch_format="pyarrow")),
         promote_options="default")

@@ -403,3 +403,30 @@ def broadcast_bloom_semi_join(ds, col: str, keys: np.ndarray,
 
     return ds.map_batches(Stage, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+# ------------------------------------------------- bucketed group apply
+
+def bucketed_group_apply(ds, key_col: str, fn, num_buckets: int = 64):
+    """Per-key transforms at the right granularity: hash-partition the
+    int64 key into `num_buckets` buckets, ONE sort shuffle on the
+    bucket key, then `fn(bucket_df)` — which must handle ALL keys in
+    its bucket vectorized (sort + pandas groupby inside, C speed).
+
+    This replaces `groupby(key).map_groups(per_key_fn)` for hot paths:
+    Ray's per-group overhead (~1ms) is paid per BUCKET (64) instead of
+    per key (unbounded at corpus scale). Correct whenever fn commutes
+    with key-partitioning — true for any per-key transform, since a
+    key's rows all land in one bucket.
+    """
+    def tag(t: pa.Table) -> pa.Table:
+        b = ((t[key_col].to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return t.append_column("__bucket", pa.array(b.view(np.int64)))
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["__bucket"]))
+
+    return ds.map_batches(tag, batch_format="pyarrow")\
+        .groupby("__bucket").map_groups(apply, batch_format="pandas")
