@@ -45,6 +45,11 @@ QUERY_SET = [
     "knn_points_brute",
     "image_decode_meta",
     "hll_distinct_parts",
+    "ngram_jaccard_pairs",
+    "simhash_dup_pairs",
+    "embedding_dup_pairs",
+    "cell_pyramid_counts",
+    "top2_per_order",
 ]
 
 

@@ -104,6 +104,65 @@ def tile_assign_grid(sf_dir: str):
         batch_format="pyarrow"))
 
 
+@q("cell_pyramid_counts", f"""
+WITH {_PTS_CTE},
+cellc AS (SELECT {D.sql_grid_cell()} AS cell, count(*) AS n
+          FROM pts GROUP BY cell),
+lv AS (SELECT * FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 8))
+       l(level, f))
+SELECT l.level,
+       ((cell // 4294967296) // f) * 4294967296
+         + ((cell % 4294967296) // f) AS pcell,
+       CAST(sum(n) AS BIGINT) AS n
+FROM cellc, lv l GROUP BY 1, 2
+""")
+def cell_pyramid_counts(sf_dir: str):
+    """Raster tile pyramid: per-cell counts at the fine grid, rolled
+    up 3 more zoom levels (2x/4x/8x coarser) — the map-tile zoom
+    aggregation. The rollups aggregate the FINE COUNTS (bounded by the
+    grid), never re-scanning the point corpus per level."""
+    from ray.data.aggregate import Sum as _Sum
+    nodes = OD.derive_nodes(sf_dir)
+    fine_partial = nodes.map_batches(
+        lambda t: pa.table(dict(zip(
+            ["cell", "n"],
+            (lambda c: (np.unique(c, return_counts=True)))(
+                CellsMod.grid_cell(t["lon"].to_numpy(),
+                                   t["lat"].to_numpy(), D.GRID_DEG))))),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"cell": t["cell"].cast(pa.int64()),
+                            "n": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    fine = fine_partial.groupby("cell").aggregate(
+        _Sum("n", alias_name="n")).map_batches(
+        lambda t: pa.table({"cell": t["cell"].cast(pa.int64()),
+                            "n": t["n"].cast(pa.int64())})
+        if "cell" in t.column_names
+        else pa.table({"cell": pa.array([], pa.int64()),
+                       "n": pa.array([], pa.int64())}),
+        batch_format="pyarrow").repartition(8).materialize()
+
+    def rollup(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ix, iy = cell // 4294967296, cell % 4294967296
+        levels, pcells, ns = [], [], []
+        for level, f in ((0, 1), (1, 2), (2, 4), (3, 8)):
+            levels.append(np.full(len(cell), level, np.int32))
+            pcells.append((ix // f) * 4294967296 + iy // f)
+            ns.append(n)
+        return pa.table({"level": np.concatenate(levels),
+                         "pcell": np.concatenate(pcells),
+                         "n": np.concatenate(ns)})
+
+    out = fine.map_batches(rollup, batch_format="pyarrow")\
+        .groupby(["level", "pcell"]).aggregate(
+        _Sum("n", alias_name="n"))
+    return collect(out).cast(pa.schema([
+        ("level", pa.int32()), ("pcell", pa.int64()),
+        ("n", pa.int64())]))
+
+
 def _shifted_pentagon(p: int) -> list[tuple[float, float]]:
     dx = 30.0 * p - 30.0
     return [(x + dx, y) for x, y in D.PENTAGON]
@@ -777,11 +836,40 @@ def ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(_docs2(sf_dir))
 
 
-@q("simhash_docs")  # no SQL oracle (bit-level hash not ANSI-expressible)
+@q("simhash_docs")  # no SQL oracle (blake2b hash not SQL-expressible)
 def simhash_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return collect(docs.map_batches(SimHasher, batch_format="pandas",
                                     concurrency=default_pool_size()))
+
+
+@q("simhash_dup_pairs", rf"""
+WITH {_DOCS2_CTE},
+toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+         FROM docs2),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+bits AS (SELECT doc_id, b,
+           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS v
+         FROM th, range(64) r(b)),
+votes AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+         sum(CASE WHEN s >= 0 THEN (1::UBIGINT << b)
+             ELSE 0::UBIGINT END)::UBIGINT AS f
+       FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+ORDER BY a_id, b_id
+""")
+def simhash_dup_pairs(sf_dir: str):
+    """EXACT SimHash near-dup pairs: md5-token 64-bit SimHash, 4x16-bit
+    band candidates (pigeonhole-complete for hamming <= 3), exact
+    Hamming verify. The only SQL-replayable SimHash: the token hash is
+    DuckDB's md5_number_lower, so the oracle recomputes the identical
+    fingerprints and pair set."""
+    from ..stages.dedup import simhash_md5_pairs
+    return simhash_md5_pairs(_docs2(sf_dir), hamming_threshold=3)
 
 
 # ======================================================================

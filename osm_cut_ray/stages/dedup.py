@@ -184,6 +184,155 @@ def _jaccard_filter_batch(t: pa.Table, threshold: float) -> pa.Table:
 
 
 
+
+def pairs_from_key_rows(rows_ds, key_col: str = "sh",
+                        max_df: int = 256, num_buckets: int = 64):
+    """(key, doc_id) rows -> candidate (a_id, b_id) pair rows, via the
+    bucketed-group pattern: hash the key into `num_buckets` buckets
+    (all rows of a key share a bucket, so local df == global df), ONE
+    sort shuffle, vectorized per-key emission inside each bucket with
+    an O(df^2) cap. Shared by prefix-filtered exact Jaccard and
+    SimHash banding."""
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        h = (t[key_col].to_numpy(zero_copy_only=False).view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return t.append_column("__bucket", pa.array(h.view(np.int64)))
+
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if len(t) == 0 or key_col not in t.column_names:
+            return empty
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, key))
+        key, doc = key[order], doc[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.concatenate((starts[1:], [len(key)]))
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            n = e0 - s0
+            if n < 2 or n > max_df:  # df cap
+                continue
+            ids = doc[s0:e0]
+            ai, bi = np.triu_indices(n, k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
+            return empty
+        # local pre-dedup (a pair can collide on several keys within
+        # a bucket); residual cross-bucket dups are the caller's call
+        ab = np.stack([np.concatenate(out_a), np.concatenate(out_b)])
+        ab = np.unique(ab, axis=1)
+        return pa.table({"a_id": ab[0], "b_id": ab[1]})
+
+    return rows_ds.map_batches(_bucketize, batch_format="pyarrow")\
+        .groupby("__bucket").map_groups(_bucket_pairs,
+                                        batch_format="pyarrow")
+
+
+def _md5_low64(tokens) -> np.ndarray:
+    """Per-token uint64 matching DuckDB md5_number_lower(): bytes
+    8..16 of the md5 digest, little-endian — so the SimHash pair op
+    is replayable by the SQL oracle."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                        "little") for t in tokens), np.uint64)
+
+
+def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
+                      n_bands: int = 4, max_bucket_df: int = 256
+                      ) -> pa.Table:
+    """EXACT SimHash near-dup pairs: 64-bit md5-token SimHash, banded
+    candidate generation, exact Hamming verify.
+
+    With `n_bands` > `hamming_threshold`, pigeonhole guarantees a pair
+    within the threshold leaves at least one band untouched, so the
+    band collision set is a SUPERSET of all true pairs and the exact
+    verify makes the result EXACT — fully replayable by the DuckDB
+    oracle (md5_number_lower + bit_count(xor)). Token-less docs carry
+    no fingerprint (matching SQL, where they produce no token rows).
+    """
+    bits_per_band = 64 // n_bands
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        out_ids, out_fp = [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = _TOKEN.findall(str(text).lower())
+            if not toks:
+                continue
+            hs = _md5_low64(toks)
+            bits = ((hs[:, None]
+                     >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            fp = ((vote >= 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)).sum()
+            out_ids.append(did)
+            out_fp.append(fp)
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "fp": pa.array(np.array(out_fp, np.uint64).view(np.int64))})
+
+    fps = docs_ds.map_batches(fp_batch, batch_format="pyarrow")\
+        .repartition(8).materialize()
+
+    def band(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys, docs = [], []
+        for b in range(n_bands):
+            seg = (fp >> np.uint64(b * bits_per_band)) \
+                & np.uint64((1 << bits_per_band) - 1)
+            keys.append((seg * np.uint64(n_bands)
+                         + np.uint64(b)).view(np.int64))
+            docs.append(ids)
+        return pa.table({"bkey": np.concatenate(keys),
+                         "doc_id": np.concatenate(docs)})
+
+    bands = fps.map_batches(band, batch_format="pyarrow")
+    cand = pairs_from_key_rows(bands, "bkey", max_df=max_bucket_df)
+    cand = cand.map_batches(
+        lambda t: pa.table({"a_id": t["a_id"].cast(pa.int64()),
+                            "b_id": t["b_id"].cast(pa.int64())})
+        if "a_id" in t.column_names
+        else pa.table({"a_id": pa.array([], pa.int64()),
+                       "b_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow").repartition(8).materialize()
+
+    from . import join as J
+    fa = fps.map_batches(lambda t: t.rename_columns(["doc_id", "fp_a"]),
+                         batch_format="pyarrow")
+    fb = fps.map_batches(lambda t: t.rename_columns(["doc_id", "fp_b"]),
+                         batch_format="pyarrow")
+    with_a = J.bucketed_attach_column(cand, "a_id", fa, "doc_id",
+                                      "fp_a", num_buckets=8)
+    with_b = J.bucketed_attach_column(with_a, "b_id", fb, "doc_id",
+                                      "fp_b", num_buckets=8)
+    verified = with_b.map_batches(
+        lambda t: t.filter(pa.array(
+            hamming64(t["fp_a"].to_numpy(zero_copy_only=False),
+                      t["fp_b"].to_numpy(zero_copy_only=False))
+            <= hamming_threshold)).select(["a_id", "b_id"])
+        if len(t) else pa.table({"a_id": pa.array([], pa.int64()),
+                                 "b_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(verified.iter_batches(batch_size=None,
+                                   batch_format="pyarrow")),
+        promote_options="default")
+    if len(tbl) == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+    df = tbl.to_pandas().drop_duplicates()\
+        .sort_values(["a_id", "b_id"])
+    return pa.table({"a_id": df["a_id"].astype(np.int64),
+                     "b_id": df["b_id"].astype(np.int64)})
+
+
 def _attach_and_verify(cand, docs_ds, shingle_k: int,
                        jaccard_threshold: float, nparts: int) -> pa.Table:
     """Distributed exact-Jaccard verification of candidate id pairs:
@@ -588,51 +737,9 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
 
     from . import join as J
 
-    # candidate pairs via the BUCKETED-group pattern: hash each shingle
-    # into one of 64 buckets (all rows of a shingle share a bucket),
-    # ONE sort shuffle on the bucket key, vectorized per-shingle
-    # emission inside each bucket — not a per-shingle map_groups
-    # (~800 Ray groups/s) and not a raw self-join (O(sum df^2) rows
-    # through the shuffle).
-    _NB = 64
-
-    def _bucketize(t: pa.Table) -> pa.Table:
-        h = (t["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(_NB)
-        return t.append_column("__bucket", pa.array(h.view(np.int64)))
-
-    def _bucket_pairs(t: pa.Table) -> pa.Table:
-        empty = pa.table({"a_id": pa.array([], pa.int64()),
-                          "b_id": pa.array([], pa.int64())})
-        if len(t) == 0 or "sh" not in t.column_names:
-            return empty
-        sh = t["sh"].to_numpy(zero_copy_only=False)
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((doc, sh))
-        sh, doc = sh[order], doc[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], sh[1:] != sh[:-1])))
-        ends = np.concatenate((starts[1:], [len(sh)]))
-        out_a, out_b = [], []
-        for s0, e0 in zip(starts.tolist(), ends.tolist()):
-            n = e0 - s0
-            if n < 2 or n > max_shingle_df:  # df cap (docstring)
-                continue
-            ids = doc[s0:e0]
-            ai, bi = np.triu_indices(n, k=1)
-            out_a.append(ids[ai])
-            out_b.append(ids[bi])
-        if not out_a:
-            return empty
-        # local pre-dedup (a pair can collide on several prefix
-        # shingles within a bucket); global distinct follows
-        ab = np.stack([np.concatenate(out_a), np.concatenate(out_b)])
-        ab = np.unique(ab, axis=1)
-        return pa.table({"a_id": ab[0], "b_id": ab[1]})
-
-    pair_rows = rows.map_batches(_bucketize, batch_format="pyarrow")\
-        .groupby("__bucket").map_groups(_bucket_pairs,
-                                        batch_format="pyarrow")
+    # candidate pairs via the shared bucketed-group helper (ONE sort
+    # shuffle, vectorized per-shingle emission, df cap)
+    pair_rows = pairs_from_key_rows(rows, "sh", max_df=max_shingle_df)
 
     nparts = 8
     # NO global distinct here: the bucket emission already deduped
