@@ -132,7 +132,9 @@ def cell_pyramid_counts(sf_dir: str):
         batch_format="pyarrow").map_batches(
         lambda t: pa.table({"cell": t["cell"].cast(pa.int64()),
                             "n": t["n"].cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").repartition(32)
+    # repartition first: the partial combiner leaves ~2 fat blocks
+    # (single-row-group parquet) and a 2-block aggregate serializes
     fine = fine_partial.groupby("cell").aggregate(
         _Sum("n", alias_name="n")).map_batches(
         lambda t: pa.table({"cell": t["cell"].cast(pa.int64()),
@@ -140,7 +142,9 @@ def cell_pyramid_counts(sf_dir: str):
         if "cell" in t.column_names
         else pa.table({"cell": pa.array([], pa.int64()),
                        "n": pa.array([], pa.int64())}),
-        batch_format="pyarrow").repartition(8).materialize()
+        batch_format="pyarrow").repartition(32)
+    # no materialize: the rollup consumes the fine counts once, so the
+    # whole pyramid streams through one pipelined plan
 
     def rollup(t: pa.Table) -> pa.Table:
         cell = t["cell"].to_numpy(zero_copy_only=False)
@@ -556,34 +560,41 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """)
 def revenue_by_nation(sf_dir: str):
-    """Broadcast dimension join: customer->nation lookup shipped via
-    ray.put once, applied vectorized per batch; then combiner+groupby."""
+    """Broadcast dimension join, Arrow-native: the customer->nation
+    lookup ships ONCE as (sorted custkeys, int32 nation CODES) — no
+    Python-object name array per batch — codes flow through the
+    combiner+groupby, and the 25-row result decodes code->name on the
+    driver (round-1 verdict item: keep the stage Arrow-native)."""
     cust = collect(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
     nat = collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
-    cn = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    nat_names = nat["n_name"].to_pylist()
+    code_of = {int(k): i for i, k in
+               enumerate(nat["n_nationkey"].to_pylist())}
     ck = cust["c_custkey"].to_numpy()
     order_idx = np.argsort(ck)
     ck_sorted = ck[order_idx]
-    cnat = cust["c_nationkey"].to_numpy()[order_idx]
-    lookup_ref = ray.put((ck_sorted, np.array(
-        [cn[int(x)] for x in cnat], dtype=object)))
+    codes_sorted = np.array(
+        [code_of[int(x)] for x in
+         cust["c_nationkey"].to_numpy()[order_idx]], np.int32)
+    lookup_ref = ray.put((ck_sorted, codes_sorted))
 
-    class Attach:
-        def __init__(self):
-            self.keys, self.names = ray.get(lookup_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            pos = np.searchsorted(self.keys, df["o_custkey"].to_numpy())
-            df = df.copy()
-            df["n_name"] = self.names[pos]
-            return df
+    def attach(t: pa.Table) -> pa.Table:
+        keys, codes = ray.get(lookup_ref)  # zero-copy plasma views
+        pos = np.searchsorted(
+            keys, t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"n_code": pa.array(codes[pos]),
+                         "o_totalprice": t["o_totalprice"]})
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    with_n = orders.map_batches(Attach, batch_format="pandas",
-                                concurrency=default_pool_size())
-    return collect(_partial_sum(with_n, ["n_name"],
-                                {"revenue_c": ("o_totalprice", 100)},
-                                count_alias="n_orders"))
+    with_n = orders.map_batches(attach, batch_format="pyarrow")
+    agg = collect(_partial_sum(with_n, ["n_code"],
+                               {"revenue_c": ("o_totalprice", 100)},
+                               count_alias="n_orders"))
+    codes = agg["n_code"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "n_name": pa.array([nat_names[int(c)] for c in codes]),
+        "revenue_c": agg["revenue_c"],
+        "n_orders": agg["n_orders"]})
 
 
 @q("union_keys", """
@@ -1320,14 +1331,17 @@ def group_concat_ways(sf_dir: str):
     CSV string so the oracle hash matches exactly."""
     ev = _read(sf_dir, "events", ["user_id", "event_id"])
 
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["event_id"].to_numpy())
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-way concat over the bucket (C-sort + one
+        # python join per way, no Ray per-group overhead)
+        g = g.sort_values(["user_id", "event_id"])
+        out = g.groupby("user_id", sort=False)["event_id"]\
+            .agg(lambda x: ",".join(str(int(v)) for v in x))
         return pd.DataFrame({
-            "way_id": [int(g["user_id"].iloc[0])],
-            "node_csv": [",".join(str(int(x)) for x in ids)]})
+            "way_id": out.index.to_numpy().astype(np.int64),
+            "node_csv": out.to_numpy()})
 
-    return collect(ev.groupby("user_id").map_groups(
-        build, batch_format="pandas"))
+    return collect(J.bucketed_group_apply(ev, "user_id", per_bucket))
 
 
 @q("median_quantity", """

@@ -265,3 +265,53 @@ def test_cut_empty_intersection(ray_session):
     assert len(res.node_ids) == 0 and len(res.way_ids) == 0
     assert len(res.rel_ids) == 0
     assert res.nodes.count() == 0 and res.ways.count() == 0
+
+
+def test_simhash_md5_pairs_exact(ray_session):
+    """Banded SimHash must be EXACT: pairs == brute-force hamming<=3
+    over the same md5 fingerprints; identical texts always pair."""
+    from osm_cut_ray.stages.dedup import simhash_md5_pairs, hamming64
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "alpha beta gamma delta epsilon",
+             "completely different words here now",
+             "another unrelated document text body", ""]
+    ids = np.arange(6, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = simhash_md5_pairs(docs, hamming_threshold=3).to_pandas()
+    got_pairs = set(map(tuple, got.itertuples(index=False)))
+    assert (0, 1) in got_pairs  # identical docs: hamming 0
+    # brute force over fingerprints computed by the same stage
+    from osm_cut_ray.stages.dedup import _md5_low64, _TOKEN
+    fps = {}
+    for i, t in zip(ids, texts):
+        toks = _TOKEN.findall(t.lower())
+        if not toks:
+            continue  # token-less: no fingerprint (matches SQL)
+        hs = _md5_low64(toks)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        fps[int(i)] = int(((vote >= 0).astype(np.uint64)
+                           << np.arange(64, dtype=np.uint64)).sum())
+    want = set()
+    ks = sorted(fps)
+    for x in range(len(ks)):
+        for y in range(x + 1, len(ks)):
+            h = hamming64(np.array([fps[ks[x]]], np.uint64).view(np.int64),
+                          np.array([fps[ks[y]]], np.uint64).view(np.int64))
+            if h[0] <= 3:
+                want.add((ks[x], ks[y]))
+    assert got_pairs == want
+
+
+def test_cell_pyramid_levels_consistent(ray_session):
+    """Every pyramid level must conserve the total count, and level-0
+    must equal the plain per-cell counts."""
+    from osm_cut_ray.pipelines.queries import QUERIES
+    t = QUERIES["cell_pyramid_counts"]("/root/testdata/sf0.001")\
+        .to_pandas()
+    totals = t.groupby("level")["n"].sum()
+    assert totals.nunique() == 1  # same total at every zoom level
+    # coarser levels have <= as many cells
+    sizes = t.groupby("level")["pcell"].count()
+    assert sizes.is_monotonic_decreasing or sizes.iloc[0] >= sizes.iloc[-1]
