@@ -1038,35 +1038,50 @@ def knn_points_cell(sf_dir: str):
     pmap = {int(i): (float(lo), float(la)) for i, lo, la in zip(
         probes["id"].to_pylist(), probes["lon"].to_pylist(),
         probes["lat"].to_pylist())}
+    probe_disks = {}
+    for c, pids in want.items():
+        for pid in pids:
+            probe_disks.setdefault(pid, []).append(c)
+    probe_disks = {pid: np.array(sorted(cs), np.int64)
+                   for pid, cs in probe_disks.items()}
     ref = ray.put((want, pmap))
 
-    def search(g: pd.DataFrame) -> pd.DataFrame:
+    # candidate rows = rows whose cell is in ANY probe's disk (tiny
+    # broadcast filter) — then VECTORIZED per-batch probe matching.
+    # No per-cell groupby at all: a corpus-scale cell count would pay
+    # Ray group overhead for thousands of cells that no probe touches.
+    all_disk = np.array(sorted(want), np.int64)
+    sub = J.broadcast_is_in(bucketed, "cell", all_disk, mode="semi")
+
+    def partial_fn(t: pa.Table) -> pa.Table:
         w, pm = ray.get(ref)
-        cell = int(g["cell"].iloc[0])
-        plist = w.get(cell, [])
-        frames = []
-        for pid in plist:
-            plon, plat = pm[pid]
-            ids = g["id"].to_numpy()
-            d2 = (g["lon"].to_numpy() - plon) ** 2 \
-                + (g["lat"].to_numpy() - plat) ** 2
-            mask = ids != pid
-            cid, cd = ids[mask], d2[mask]
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        out_p, out_n, out_d = [], [], []
+        for pid, (plon, plat) in pm.items():
+            disk = probe_disks.get(pid)
+            mask = np.isin(cell, disk) & (ids != pid)
+            cid = ids[mask]
             if len(cid) == 0:
                 continue
+            cd = (lon[mask] - plon) ** 2 + (lat[mask] - plat) ** 2
             k = min(5, len(cid))
             top = np.argpartition(cd, k - 1)[:k]
-            frames.append(pd.DataFrame({
-                "probe_id": np.full(k, pid), "neighbor_id": cid[top],
-                "d2": cd[top]}))
-        if not frames:
-            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
-                                 "neighbor_id": pd.Series(dtype=np.int64),
-                                 "d2": pd.Series(dtype=np.float64)})
-        return pd.concat(frames, ignore_index=True)
+            out_p.append(np.full(k, pid))
+            out_n.append(cid[top])
+            out_d.append(cd[top])
+        if not out_p:
+            return pa.table({"probe_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.float64())})
+        return pa.table({
+            "probe_id": np.concatenate(out_p).astype(np.int64),
+            "neighbor_id": np.concatenate(out_n).astype(np.int64),
+            "d2": np.concatenate(out_d).astype(np.float64)})
 
-    partial = bucketed.groupby("cell").map_groups(search,
-                                                  batch_format="pandas")
+    partial = sub.map_batches(partial_fn, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((g["neighbor_id"].to_numpy(),

@@ -186,13 +186,18 @@ def _jaccard_filter_batch(t: pa.Table, threshold: float) -> pa.Table:
 
 
 def pairs_from_key_rows(rows_ds, key_col: str = "sh",
-                        max_df: int = 256, num_buckets: int = 64):
+                        max_df: int = 256,
+                        num_buckets: int | None = None):
     """(key, doc_id) rows -> candidate (a_id, b_id) pair rows, via the
     bucketed-group pattern: hash the key into `num_buckets` buckets
-    (all rows of a key share a bucket, so local df == global df), ONE
+    (default cluster-adaptive; all rows of a key share a bucket, so
+    local df == global df), ONE
     sort shuffle, vectorized per-key emission inside each bucket with
     an O(df^2) cap. Shared by prefix-filtered exact Jaccard and
     SimHash banding."""
+    if num_buckets is None:
+        from .join import default_bucket_count
+        num_buckets = default_bucket_count()
 
     def _bucketize(t: pa.Table) -> pa.Table:
         h = (t[key_col].to_numpy(zero_copy_only=False).view(np.uint64)

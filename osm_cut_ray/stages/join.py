@@ -407,18 +407,30 @@ def broadcast_bloom_semi_join(ds, col: str, keys: np.ndarray,
 
 # ------------------------------------------------- bucketed group apply
 
-def bucketed_group_apply(ds, key_col: str, fn, num_buckets: int = 64):
+def default_bucket_count() -> int:
+    """Bucket count for bucketed group/join patterns: ~4 buckets per
+    cluster core (floor 64) so each bucket's rows fit one group task's
+    heap even as the cluster — and the corpus — scales."""
+    ncpu = int(ray.cluster_resources().get("CPU", 16))
+    return max(64, 4 * ncpu)
+
+
+def bucketed_group_apply(ds, key_col: str, fn,
+                         num_buckets: int | None = None):
     """Per-key transforms at the right granularity: hash-partition the
-    int64 key into `num_buckets` buckets, ONE sort shuffle on the
-    bucket key, then `fn(bucket_df)` — which must handle ALL keys in
-    its bucket vectorized (sort + pandas groupby inside, C speed).
+    int64 key into `num_buckets` buckets (default: cluster-adaptive,
+    ~4x cores), ONE sort shuffle on the bucket key, then
+    `fn(bucket_df)` — which must handle ALL keys in its bucket
+    vectorized (sort + pandas groupby inside, C speed).
 
     This replaces `groupby(key).map_groups(per_key_fn)` for hot paths:
-    Ray's per-group overhead (~1ms) is paid per BUCKET (64) instead of
-    per key (unbounded at corpus scale). Correct whenever fn commutes
+    Ray's per-group overhead (~1ms) is paid per BUCKET instead of per
+    key (unbounded at corpus scale). Correct whenever fn commutes
     with key-partitioning — true for any per-key transform, since a
     key's rows all land in one bucket.
     """
+    if num_buckets is None:
+        num_buckets = default_bucket_count()
     def tag(t: pa.Table) -> pa.Table:
         b = ((t[key_col].to_numpy(zero_copy_only=False)
               .astype(np.int64).view(np.uint64))

@@ -315,3 +315,20 @@ def test_cell_pyramid_levels_consistent(ray_session):
     # coarser levels have <= as many cells
     sizes = t.groupby("level")["pcell"].count()
     assert sizes.is_monotonic_decreasing or sizes.iloc[0] >= sizes.iloc[-1]
+
+
+def test_knn_points_cell_recall_vs_brute(ray_session):
+    """Cell-disk spatial kNN (approximate by design) must find most of
+    the exact top-5 at test density; recall measured vs the brute
+    path. Also pins the vectorized no-per-cell-group rewrite."""
+    from osm_cut_ray.pipelines.queries import QUERIES
+    b = QUERIES["knn_points_brute"]("/root/testdata/sf0.001").to_pandas()
+    c = QUERIES["knn_points_cell"]("/root/testdata/sf0.001").to_pandas()
+    pids = b.probe_id.unique()
+    rec = 0.0
+    for pid in pids:
+        bs = set(b[b.probe_id == pid].neighbor_id)
+        cs = set(c[c.probe_id == pid].neighbor_id)
+        rec += len(bs & cs) / max(1, len(bs))
+    assert rec / len(pids) >= 0.8
+    assert not (c.probe_id == c.neighbor_id).any()
