@@ -39,6 +39,23 @@ from . import derive as D
 from . import osm_derive as OD
 from .cut import cut
 
+_STAGE_SINGLETONS: dict = {}
+
+
+def _cached_stage(cls):
+    """Task-mode wrapper for zero-arg stage classes whose setup is
+    O(1) (compiled regexes, constant tables): construct once per
+    worker process instead of paying an actor pool's cold start per
+    map_batches call site."""
+    def fn(batch):
+        st = _STAGE_SINGLETONS.get(cls)
+        if st is None:
+            st = _STAGE_SINGLETONS[cls] = cls()
+        return st(batch)
+    fn.__name__ = f"cached_{cls.__name__}"
+    return fn
+
+
 QUERIES: dict[str, Callable] = {}
 ORACLES: dict[str, str] = {}
 
@@ -773,8 +790,8 @@ FROM t
 """)
 def quality_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return collect(docs.map_batches(TextStats, batch_format="pandas",
-                                    concurrency=default_pool_size()))
+    return collect(docs.map_batches(_cached_stage(TextStats),
+                                    batch_format="pandas"))
 
 
 _LANG_SQL_COUNTS = """
@@ -802,8 +819,8 @@ FROM t
 """)
 def lang_id_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return collect(docs.map_batches(LangId, batch_format="pandas",
-                                    concurrency=default_pool_size()))
+    return collect(docs.map_batches(_cached_stage(LangId),
+                                    batch_format="pandas"))
 
 
 @q("fingerprint_docs", "SELECT doc_id, md5(text) AS fp FROM documents")
@@ -850,8 +867,8 @@ def ngram_jaccard_pairs(sf_dir: str):
 @q("simhash_docs")  # no SQL oracle (blake2b hash not SQL-expressible)
 def simhash_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return collect(docs.map_batches(SimHasher, batch_format="pandas",
-                                    concurrency=default_pool_size()))
+    return collect(docs.map_batches(_cached_stage(SimHasher),
+                                    batch_format="pandas"))
 
 
 @q("simhash_dup_pairs", rf"""

@@ -332,3 +332,34 @@ def test_knn_points_cell_recall_vs_brute(ray_session):
         rec += len(bs & cs) / max(1, len(bs))
     assert rec / len(pids) >= 0.8
     assert not (c.probe_id == c.neighbor_id).any()
+
+
+def test_bucketed_group_apply_equals_per_key(ray_session):
+    """The bucketed per-key pattern must equal naive per-key
+    map_groups for an arbitrary per-key transform (here: per-key
+    ordered rank + cumulative sum)."""
+    from osm_cut_ray.stages.join import bucketed_group_apply
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({"k": rng.integers(0, 300, n),
+                  "ts": rng.integers(0, 10_000, n),
+                  "v": rng.integers(0, 100, n)})
+    ds = rd.from_arrow(t)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "ts", "v"])
+        grp = g.groupby("k", sort=False)
+        return pd.DataFrame({
+            "k": g["k"].to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "rn": (grp.cumcount() + 1).to_numpy(),
+            "cum": grp["v"].cumsum().to_numpy()})
+
+    got = bucketed_group_apply(ds, "k", per_bucket).take_all()
+    got = sorted((r["k"], r["ts"], r["rn"], r["cum"]) for r in got)
+
+    df = t.to_pandas().sort_values(["k", "ts", "v"])
+    grp = df.groupby("k", sort=False)
+    want = sorted(zip(df["k"], df["ts"], grp.cumcount() + 1,
+                      grp["v"].cumsum()))
+    assert got == want
