@@ -1202,6 +1202,41 @@ def sample_lineitem(sf_dir: str):
     return collect(li.map_batches(f, batch_format="pyarrow"))
 
 
+@q("stratified_sample_orders", """
+SELECT o_orderpriority, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+    (o_orderkey * 2654435761) % 4294967296 AS h
+  FROM orders) s
+QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY h, o_orderkey) <= 20
+""")
+def stratified_sample_orders(sf_dir: str):
+    """Deterministic stratified sampling: per stratum (order priority)
+    keep the 20 hash-smallest keys. The scalable shape: per-batch
+    partial top-k per stratum (combiner), then a tiny merge over
+    #strata x batches rows — a seeded reservoir analog that is
+    reproducible and oracle-checkable, unlike random_sample."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        h = (df["o_orderkey"].to_numpy().astype(np.int64)
+             * 2654435761) % 4294967296
+        d = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "o_orderkey": df["o_orderkey"], "h": h})
+        d = d.sort_values(["o_orderpriority", "h", "o_orderkey"])
+        top = d.groupby("o_orderpriority", sort=False).head(20)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    part = orders.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "o_orderkey"]).head(20)
+        return g[["o_orderpriority", "o_orderkey"]]
+
+    return collect(part.groupby("o_orderpriority").map_groups(
+        merge, batch_format="pandas"))  # #strata groups (5): tiny
+
+
 @q("top2_per_order", """
 SELECT l_orderkey, l_linenumber,
        CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c

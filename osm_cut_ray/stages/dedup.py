@@ -284,6 +284,9 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
 
     fps = docs_ds.map_batches(fp_batch, batch_format="pyarrow")\
         .repartition(8).materialize()
+    if fps.count() < 2:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
 
     def band(t: pa.Table) -> pa.Table:
         fp = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -307,6 +310,9 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
         else pa.table({"a_id": pa.array([], pa.int64()),
                        "b_id": pa.array([], pa.int64())}),
         batch_format="pyarrow").repartition(8).materialize()
+    if cand.count() == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
 
     from . import join as J
     fa = fps.map_batches(lambda t: t.rename_columns(["doc_id", "fp_a"]),
@@ -400,6 +406,9 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
     # signatures / bands: task-mode map_batches (setup is O(1), an
     # actor pool's cold start would dominate — see BASELINE notes)
     def _sig_and_band(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
         key = ("mh", n_perm, seed, shingle_k)
         mh = _STAGE_CACHE.get(key)
         if mh is None:
@@ -417,12 +426,20 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
                          .astype(np.int64)})
 
     from . import join as J
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
+
     nparts = 8
     # repartition before the wide ops: hash/sort shuffles over a
     # couple of fat blocks (single-row-group parquet reads) serialize;
     # many small blocks keep every aggregator busy
-    bands = docs_ds.map_batches(_sig_and_band, batch_format="pandas")\
-        .repartition(nparts * 4).materialize()
+    bands, n_band = J.solidify(
+        docs_ds.map_batches(_sig_and_band, batch_format="pandas"),
+        max_parts=nparts * 4)
+    if n_band == 0:   # empty corpus: downstream joins would see
+        return _empty_pairs()  # schema-less blocks and fail
 
     # hot-bucket cap BEFORE the self-join (a capped bucket would emit
     # O(n^2) join rows): sizes via one Count aggregate, oversized
@@ -435,7 +452,10 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
         if "bkey" in t.column_names
         else pa.table({"bkey": pa.array([], pa.int64()),
                        "c": pa.array([], pa.int64())}),
-        batch_format="pyarrow").repartition(8).materialize()
+        batch_format="pyarrow")
+    sizes, n_sizes = J.solidify(sizes, max_parts=8)
+    if n_sizes == 0:
+        return _empty_pairs()
     drop_rows = sizes.map_batches(
         lambda t: t.filter(pc.greater(t["c"], max_bucket_df)),
         batch_format="pyarrow").take_all()
@@ -443,14 +463,19 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
         print(f"minhash_lsh_pairs: dropped {len(drop_rows)} band "
               f"bucket(s) over max_bucket_df={max_bucket_df}, sizes="
               f"{sorted(int(r['c']) for r in drop_rows)[-5:]}")
-    ok_keys = sizes.map_batches(
+    ok_keys, n_okk = J.solidify(sizes.map_batches(
         lambda t: t.filter(pc.and_(pc.greater_equal(t["c"], 2),
                                    pc.less_equal(t["c"], max_bucket_df)))
-        .select(["bkey"]), batch_format="pyarrow")
+        .select(["bkey"]), batch_format="pyarrow"), max_parts=nparts)
+    if n_okk == 0:  # no bucket holds >= 2 docs under the cap
+        return _empty_pairs()
 
-    bands_ok = bands.join(ok_keys, join_type="inner",
-                          num_partitions=nparts, on=("bkey",))\
-        .materialize()
+    bands_ok, n_ok = J.solidify(
+        bands.join(ok_keys, join_type="inner",
+                   num_partitions=nparts, on=("bkey",)),
+        max_parts=nparts * 4)
+    if n_ok == 0:  # no bucket holds >= 2 docs
+        return _empty_pairs()
     other = bands_ok.map_batches(
         lambda t: t.select(["bkey", "doc_id"])
         .rename_columns(["bkey", "b_id"]), batch_format="pyarrow")
@@ -467,7 +492,10 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
         if "a_id" in t.column_names
         else pa.table({"a_id": pa.array([], pa.int64()),
                        "b_id": pa.array([], pa.int64())}),
-        batch_format="pyarrow").repartition(8).materialize()
+        batch_format="pyarrow")
+    cand, n_cand = J.solidify(cand, max_parts=8)
+    if n_cand == 0:
+        return _empty_pairs()
 
     return _attach_and_verify(cand, docs_ds, shingle_k,
                               jaccard_threshold, nparts)
@@ -639,7 +667,6 @@ def dup_clusters_distributed(pairs_ds, a_col: str = "a_id",
     checked with a global Sum(label) aggregate (monotone decreasing,
     so equal sums == fixpoint).
     """
-    import ray.data as rd
     from ray.data.aggregate import Min, Sum
     from . import join as J
 
@@ -739,8 +766,9 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
 
     rows = docs_ds.map_batches(prefix_rows, batch_format="pandas")\
         .repartition(32).materialize()
-
-    from . import join as J
+    if rows.count() == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
 
     # candidate pairs via the shared bucketed-group helper (ONE sort
     # shuffle, vectorized per-shingle emission, df cap)
@@ -758,7 +786,9 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
         else pa.table({"a_id": pa.array([], pa.int64()),
                        "b_id": pa.array([], pa.int64())}),
         batch_format="pyarrow").repartition(nparts).materialize()
-    _ = J  # (distinct intentionally skipped; see comment above)
+    if cand.count() == 0:
+        return pa.table({"a_id": pa.array([], pa.int64()),
+                         "b_id": pa.array([], pa.int64())})
 
     return _attach_and_verify(cand, docs_ds, shingle_k,
                               jaccard_threshold, nparts)

@@ -405,6 +405,23 @@ def broadcast_bloom_semi_join(ds, col: str, keys: np.ndarray,
                           concurrency=concurrency)
 
 
+def solidify(ds, max_parts: int = 32, rows_per_block: int = 5000):
+    """Materialize + count + repartition so every output block is
+    NON-EMPTY and typed. Two Ray sharp edges this sidesteps (both
+    measured): group-less aggregate partitions emit schema-less empty
+    blocks that UDFs skip and Acero joins reject; and `repartition(k)`
+    with k > row count creates schema-less empty splits with the same
+    effect. Returns (dataset, row_count); row_count 0 means the caller
+    should short-circuit (a 0-row dataset cannot be made typed here).
+    """
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        return ds, 0
+    parts = max(1, min(max_parts, n // rows_per_block + 1))
+    return ds.repartition(parts).materialize(), n
+
+
 # ------------------------------------------------- bucketed group apply
 
 def default_bucket_count() -> int:

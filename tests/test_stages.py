@@ -363,3 +363,25 @@ def test_bucketed_group_apply_equals_per_key(ray_session):
     want = sorted(zip(df["k"], df["ts"], grp.cumcount() + 1,
                       grp["v"].cumsum()))
     assert got == want
+
+
+def test_dedup_ops_on_empty_and_trivial_corpora(ray_session):
+    """Empty / dup-free corpora must yield empty pair tables, not
+    crashes, across all dedup paths."""
+    from osm_cut_ray.stages.dedup import (exact_jaccard_pairs,
+                                          minhash_lsh_pairs,
+                                          simhash_md5_pairs)
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.large_string())}))
+    uniq = rd.from_arrow(pa.table({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["totally unique first document here",
+                 "second text with other words inside",
+                 "third body sharing nothing at all"]}))
+    for fn in (minhash_lsh_pairs, exact_jaccard_pairs,
+               simhash_md5_pairs):
+        for ds in (empty, uniq):
+            out = fn(ds)
+            assert out.column_names == ["a_id", "b_id"]
+            assert len(out) == 0, (fn.__name__, len(out))
