@@ -452,10 +452,9 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
         if "bkey" in t.column_names
         else pa.table({"bkey": pa.array([], pa.int64()),
                        "c": pa.array([], pa.int64())}),
-        batch_format="pyarrow")
-    sizes, n_sizes = J.solidify(sizes, max_parts=8)
-    if n_sizes == 0:
-        return _empty_pairs()
+        batch_format="pyarrow").materialize()
+    # (sizes feeds the driver drop-count and ok_keys; ok_keys is
+    # solidified below so sizes itself needs no extra repartition)
     drop_rows = sizes.map_batches(
         lambda t: t.filter(pc.greater(t["c"], max_bucket_df)),
         batch_format="pyarrow").take_all()

@@ -419,7 +419,9 @@ def solidify(ds, max_parts: int = 32, rows_per_block: int = 5000):
     if n == 0:
         return ds, 0
     parts = max(1, min(max_parts, n // rows_per_block + 1))
-    return ds.repartition(parts).materialize(), n
+    # repartition stays LAZY: the consumer's plan executes it; a
+    # second materialize here would double the barrier cost
+    return ds.repartition(parts), n
 
 
 # ------------------------------------------------- bucketed group apply
