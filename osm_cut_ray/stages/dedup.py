@@ -331,10 +331,11 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
         if len(t) else pa.table({"a_id": pa.array([], pa.int64()),
                                  "b_id": pa.array([], pa.int64())}),
         batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        list(verified.iter_batches(batch_size=None,
-                                   batch_format="pyarrow")),
-        promote_options="default")
+    parts = list(verified.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts, promote_options="default") \
+        if parts else pa.table({"a_id": pa.array([], pa.int64()),
+                                "b_id": pa.array([], pa.int64())})
     if len(tbl) == 0:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
@@ -369,10 +370,11 @@ def _attach_and_verify(cand, docs_ds, shingle_k: int,
     verified = with_b.map_batches(
         lambda t: _jaccard_filter_batch(t, jaccard_threshold),
         batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        list(verified.iter_batches(batch_size=None,
-                                   batch_format="pyarrow")),
-        promote_options="default")
+    parts = list(verified.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts, promote_options="default") \
+        if parts else pa.table({"a_id": pa.array([], pa.int64()),
+                                "b_id": pa.array([], pa.int64())})
     if len(tbl) == 0:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
@@ -604,9 +606,11 @@ def embedding_dup_pairs(emb_ds, *, cosine_threshold=0.999, n_bits=16,
 
     from . import join as J
     pairs = J.bucketed_group_apply(bucketed, "bucket", verify)
-    tbl = pa.concat_tables(
-        list(pairs.iter_batches(batch_size=None, batch_format="pyarrow")),
-        promote_options="default")
+    parts = list(pairs.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts, promote_options="default") \
+        if parts else pa.table({"a_id": pa.array([], pa.int64()),
+                                "b_id": pa.array([], pa.int64())})
     if len(tbl) == 0:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})

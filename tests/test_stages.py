@@ -385,3 +385,26 @@ def test_dedup_ops_on_empty_and_trivial_corpora(ray_session):
             out = fn(ds)
             assert out.column_names == ["a_id", "b_id"]
             assert len(out) == 0, (fn.__name__, len(out))
+
+
+def test_prefix_filter_jaccard_equals_brute_force(ray_session):
+    """Prefix filtering must be COMPLETE: exact_jaccard_pairs equals
+    brute-force pairwise Jaccard on a randomized high-overlap corpus
+    (the adversarial regime for candidate pruning), at two thresholds.
+    """
+    from osm_cut_ray.stages.dedup import (exact_jaccard_pairs,
+                                          jaccard, shingle_hashes)
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]  # tiny vocab -> heavy overlap
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(8, 25)))
+             for _ in range(60)]
+    ids = np.arange(60, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    sh = {int(i): shingle_hashes(t, 3) for i, t in zip(ids, texts)}
+    for thr in (0.5, 0.8):
+        got = exact_jaccard_pairs(docs, jaccard_threshold=thr)
+        got_pairs = set(zip(got["a_id"].to_pylist(),
+                            got["b_id"].to_pylist()))
+        want = {(a, b) for a in range(60) for b in range(a + 1, 60)
+                if jaccard(sh[a], sh[b]) >= thr}
+        assert got_pairs == want, (thr, got_pairs ^ want)
