@@ -1422,14 +1422,34 @@ def median_quantity(sf_dir: str):
     interpolation, so floats hash-match)."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["l_quantity"].to_numpy())
-        return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "median_qty": [float(v[(len(v) - 1) // 2])]})
+    # exact median via VALUE HISTOGRAM: l_quantity has a bounded value
+    # domain, so per-batch (flag, value, count) partials + one Sum
+    # aggregate move only the histogram through the shuffle, and the
+    # percentile walk runs on the tiny (flags x values) result — no
+    # group ever holds a corpus-fraction of rows (a per-flag
+    # map_groups would put 1/3 of lineitem in one task at scale).
+    def hist(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_quantity"])\
+            .aggregate([("l_quantity", "count")])\
+            .rename_columns(["l_returnflag", "l_quantity", "n"])
 
-    return collect(li.groupby("l_returnflag").map_groups(
-        med, batch_format="pandas"))
+    from ray.data.aggregate import Sum as _Sum
+    counts = collect(
+        li.map_batches(hist, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(_Sum("n", alias_name="n"))).to_pandas()
+    out_f, out_m = [], []
+    for flag, g in counts.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity")
+        cum = g["n"].cumsum().to_numpy()
+        target = (int(cum[-1]) - 1) // 2 + 1  # lower element
+        idx = int(np.searchsorted(cum, target))
+        out_f.append(flag)
+        out_m.append(float(g["l_quantity"].to_numpy()[idx]))
+    order = np.argsort(np.asarray(out_f))
+    return pa.table({
+        "l_returnflag": pa.array([out_f[i] for i in order]),
+        "median_qty": pa.array([out_m[i] for i in order])})
 
 
 @q("hll_distinct_parts")  # sketch: approximate by design -> rows-only

@@ -3,10 +3,11 @@
 - `knn_brute`: exact cosine top-k — numpy matmul per batch against a
   broadcast probe matrix, per-batch partial top-k, final merge per
   probe. The baseline and the oracle-checked path.
-- `knn_ivf`: IVF-style scale path — deterministic coarse centroids,
-  assign vectors to nearest centroid (the "cell"), probes search only
-  `nprobe` nearest cells. Same groupby-shuffle shape as the spatial
-  cell kNN.
+- `knn_ivf`: IVF-style scale path — sampled-Lloyd centroids, assign
+  vectors to nearest centroid (the "cell"), probes search only their
+  `nprobe` nearest cells: a broadcast cell filter plus vectorized
+  per-batch probe matching (no per-cell groups — a cell holds
+  corpus/n_centroids rows, unboundedly fat at scale).
 """
 
 from __future__ import annotations
@@ -204,50 +205,62 @@ def knn_ivf(emb_ds, probe_ids: np.ndarray, probe_mat: np.ndarray,
         concurrency = default_pool_size()
     cents = deterministic_centroids(emb_ds, n_centroids)
     cref = ray.put(cents)
-    assigned = emb_ds.map_batches(
-        _IVFAssign, fn_constructor_kwargs={"cent_ref": cref},
-        batch_format="pandas", concurrency=concurrency)
+
+    def _assign(df: pd.DataFrame) -> pa.Table:
+        key = ("ivf", cref.hex())
+        stage = _SIM_CACHE.get(key)
+        if stage is None:
+            stage = _SIM_CACHE[key] = _IVFAssign(cref)
+        return stage(df)
+
+    assigned = emb_ds.map_batches(_assign, batch_format="pandas")
 
     probes = _normalize(np.asarray(probe_mat, np.float64))
     probe_cells = np.argsort(-(probes @ cents.T), axis=1)[:, :nprobe]
-    # map cell -> probe indexes that search it
-    cell_probes: dict[int, list[int]] = {}
-    for pi, cells_row in enumerate(probe_cells):
-        for c in cells_row:
-            cell_probes.setdefault(int(c), []).append(pi)
-    cp_ref = ray.put((np.asarray(probe_ids, np.int64), probes, cell_probes))
+    # per-probe probed-cell sets (tiny: n_probes x nprobe ints) —
+    # broadcast once; search is a FILTER to probed cells plus a
+    # vectorized per-batch probe match, NOT a per-cell groupby (a cell
+    # group holds corpus/n_centroids rows — unboundedly fat at scale)
+    probe_disks = {int(probe_ids[pi]): np.sort(cells_row.astype(np.int64))
+                   for pi, cells_row in enumerate(probe_cells)}
+    all_cells = np.unique(probe_cells.astype(np.int64).ravel())
+    cp_ref = ray.put((np.asarray(probe_ids, np.int64), probes,
+                      probe_disks))
 
-    def search(g: pd.DataFrame) -> pd.DataFrame:
-        pids, pmat, cmap = ray.get(cp_ref)
-        cell = int(g["cell"].iloc[0])
-        plist = cmap.get(cell, [])
-        if not plist:
-            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
-                                 "neighbor_id": pd.Series(dtype=np.int64),
-                                 "sim": pd.Series(dtype=np.float64)})
-        ids = g["vec_id"].to_numpy()
-        vecs = _normalize(np.stack(g["embedding"].to_numpy())
+    from . import join as J
+    sub = J.broadcast_is_in(assigned, "cell", all_cells, mode="semi")
+
+    def search_batch(df: pd.DataFrame) -> pa.Table:
+        pids, pmat, disks = ray.get(cp_ref)
+        if len(df) == 0:
+            return pa.table({"probe_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids = df["vec_id"].to_numpy()
+        cell = df["cell"].to_numpy()
+        vecs = _normalize(np.stack(df["embedding"].to_numpy())
                           .astype(np.float64))
-        sims = np.round(vecs @ pmat[plist].T, 6)
-        frames = []
-        for col, pi in enumerate(plist):
-            pid = pids[pi]
-            mask = ids != pid
-            cid, cs = ids[mask], sims[mask, col]
+        sims = np.round(vecs @ pmat.T, 6)          # (n, p)
+        out_p, out_n, out_s = [], [], []
+        for pi, pid in enumerate(pids):
+            mask = np.isin(cell, disks[int(pid)]) & (ids != pid)
+            cid = ids[mask]
             if len(cid) == 0:
                 continue
-            top_id, top_s = _topk_rounded(cid, cs, k, None)
-            frames.append(pd.DataFrame({
-                "probe_id": np.full(len(top_id), pid),
-                "neighbor_id": top_id, "sim": top_s}))
-        if not frames:
-            return pd.DataFrame({"probe_id": pd.Series(dtype=np.int64),
-                                 "neighbor_id": pd.Series(dtype=np.int64),
-                                 "sim": pd.Series(dtype=np.float64)})
-        return pd.concat(frames, ignore_index=True)
+            top_id, top_s = _topk_rounded(cid, sims[mask, pi], k, None)
+            out_p.append(np.full(len(top_id), pid))
+            out_n.append(top_id)
+            out_s.append(top_s)
+        if not out_p:
+            return pa.table({"probe_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "probe_id": np.concatenate(out_p).astype(np.int64),
+            "neighbor_id": np.concatenate(out_n).astype(np.int64),
+            "sim": np.concatenate(out_s).astype(np.float64)})
 
-    partial = assigned.groupby("cell").map_groups(search,
-                                                  batch_format="pandas")
+    partial = sub.map_batches(search_batch, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         s = np.round(g["sim"].to_numpy(), 6)
