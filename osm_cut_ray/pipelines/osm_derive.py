@@ -91,10 +91,12 @@ def derive_relations(sf_dir: str):
         return _CACHE[key]
     ev = rd.read_parquet(sf_path(sf_dir, "events"),
                          columns=["user_id", "event_id"])
-    per_user = ev.groupby("user_id").map_groups(
-        lambda g: pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                                "min_event": [int(g["event_id"].min())]}),
-        batch_format="pandas")
+    from ray.data.aggregate import Min
+    per_user = ev.map_batches(
+        lambda t: t.group_by(["user_id"]).aggregate([("event_id", "min")])
+        .rename_columns(["user_id", "min_event"]),
+        batch_format="pyarrow").groupby("user_id").aggregate(
+        Min("min_event", alias_name="min_event"))
     rows = per_user.take_all()  # one row per user: tiny (relations are
     # ~1e-4 of the corpus — same argument as the J4 driver closure)
     users = {int(r["user_id"]) for r in rows}
