@@ -46,3 +46,35 @@ def test_cli_flagship_resume(tmp_path):
                                       "lineitem-0.json")))
     assert man["rows_out"] > 0 and man["params"] == {
         "version": "flagship-v1"}
+
+
+def test_cli_cut_parquet_dir_roundtrip(tmp_path):
+    """The parquet ingest + parquet sink path: XML -> parquet dirs ->
+    CLI cut with a directory input and --format parquet -> re-read and
+    assert the complete-mode golden sets."""
+    xml = tmp_path / "1.osm"
+    xml.write_text(FIXTURE_XML)
+    poly = tmp_path / "simple.poly"
+    poly.write_text(SIMPLE_POLY)
+    # build the parquet input layout the CLI expects (nodes/ways/relations)
+    conv = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo');"
+         "from osm_cut_ray.sources.osm_xml import osm_xml_to_parquet;"
+         f"print(osm_xml_to_parquet({str(xml)!r}, {str(tmp_path / 'pq_in')!r}))"],
+        capture_output=True, text=True, timeout=120)
+    assert conv.returncode == 0, conv.stderr[-500:]
+    out = tmp_path / "pq_out"
+    r = _run(["cut", str(tmp_path / "pq_in"), str(poly), str(out),
+              "--format", "parquet"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "nodes=4, ways=1, relations=3" in r.stdout
+    check = subprocess.run(
+        [sys.executable, "-c",
+         "import pyarrow.parquet as pq; import sys;"
+         f"n = pq.read_table({str(out / 'nodes')!r});"
+         f"w = pq.read_table({str(out / 'ways')!r});"
+         "print(sorted(n['id'].to_pylist()), w['node_ids'].to_pylist())"],
+        capture_output=True, text=True, timeout=120)
+    assert check.returncode == 0, check.stderr[-500:]
+    assert "[1, 2, 3, 4] [[1, 2, 3, 4, 1]]" in check.stdout
