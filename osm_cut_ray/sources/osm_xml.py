@@ -179,6 +179,86 @@ def _tags_xml(row: dict, indent: str) -> list[str]:
     return out
 
 
+class OsmXmlStreamWriter:
+    """Incremental buffered OSM XML writer (the reference's
+    1,000-element writer buffer, osm_writer.erl:30,72-88): rows are
+    serialized as they arrive and flushed to disk whenever the line
+    buffer reaches `buffer_elements` — memory held is O(buffer), never
+    O(corpus). Feed kinds in nodes -> ways -> relations document order;
+    `close()` writes the footer and atomically renames into place.
+    """
+
+    def __init__(self, out_path: str, buffer_elements: int = 1000):
+        self.out_path = out_path
+        self.buffer_elements = buffer_elements
+        self._tmp = out_path + ".tmp"
+        self._f = open(self._tmp, "w", encoding="utf-8")
+        self._buf: list[str] = ['<?xml version="1.0" encoding="UTF-8"?>',
+                                '<osm version="0.6" generator="osm_cut_ray">']
+        self.count = 0
+        self._closed = False
+
+    def _flush(self):
+        if self._buf:
+            self._f.write("\n".join(self._buf) + "\n")
+            self._buf.clear()
+
+    def write_rows(self, kind: str, rows) -> int:
+        """Serialize dict rows of one kind; returns rows written."""
+        buf = self._buf
+        n = 0
+        if kind == "node":
+            for row in rows:
+                extra = [("lat", _fmt_num(row["lat"])),
+                         ("lon", _fmt_num(row["lon"]))]
+                head = f'  <node {_attrs(row, extra)}'
+                tags = _tags_xml(row, "    ")
+                if tags:
+                    buf.append(head + ">")
+                    buf.extend(tags)
+                    buf.append("  </node>")
+                else:
+                    buf.append(head + "/>")
+                n += 1
+                if len(buf) >= self.buffer_elements:
+                    self._flush()
+        elif kind == "way":
+            for row in rows:
+                buf.append(f'  <way {_attrs(row, [])}>')
+                for ref in row["node_ids"]:
+                    buf.append(f'    <nd ref="{int(ref)}"/>')
+                buf.extend(_tags_xml(row, "    "))
+                buf.append("  </way>")
+                n += 1
+                if len(buf) >= self.buffer_elements:
+                    self._flush()
+        elif kind == "relation":
+            for row in rows:
+                buf.append(f'  <relation {_attrs(row, [])}>')
+                for m in row["members"]:
+                    buf.append(f'    <member type={quoteattr(m["type"])} '
+                               f'ref="{int(m["ref"])}" '
+                               f'role={quoteattr(m.get("role") or "")}/>')
+                buf.extend(_tags_xml(row, "    "))
+                buf.append("  </relation>")
+                n += 1
+                if len(buf) >= self.buffer_elements:
+                    self._flush()
+        else:
+            raise ValueError(f"unknown element kind: {kind}")
+        self.count += n
+        return n
+
+    def close(self) -> int:
+        if not self._closed:
+            self._buf.append("</osm>")
+            self._flush()
+            self._f.close()
+            os.replace(self._tmp, self.out_path)
+            self._closed = True
+        return self.count
+
+
 def write_osm_xml(out_path: str, nodes_iter, ways_iter, rels_iter,
                   buffer_elements: int = 1000) -> int:
     """Serialize row iterables back to OSM XML (buffered, S4 analog).
@@ -186,50 +266,8 @@ def write_osm_xml(out_path: str, nodes_iter, ways_iter, rels_iter,
     Each *_iter yields dict rows (as from Dataset.iter_rows()). Returns
     the element count written. Output order: nodes, ways, relations.
     """
-    n = 0
-    buf: list[str] = ['<?xml version="1.0" encoding="UTF-8"?>',
-                      '<osm version="0.6" generator="osm_cut_ray">']
-    tmp = out_path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        def flush():
-            f.write("\n".join(buf) + "\n")
-            buf.clear()
-
-        for row in nodes_iter:
-            extra = [("lat", _fmt_num(row["lat"])),
-                     ("lon", _fmt_num(row["lon"]))]
-            head = f'  <node {_attrs(row, extra)}'
-            tags = _tags_xml(row, "    ")
-            if tags:
-                buf.append(head + ">")
-                buf.extend(tags)
-                buf.append("  </node>")
-            else:
-                buf.append(head + "/>")
-            n += 1
-            if len(buf) >= buffer_elements:
-                flush()
-        for row in ways_iter:
-            buf.append(f'  <way {_attrs(row, [])}>')
-            for ref in row["node_ids"]:
-                buf.append(f'    <nd ref="{int(ref)}"/>')
-            buf.extend(_tags_xml(row, "    "))
-            buf.append("  </way>")
-            n += 1
-            if len(buf) >= buffer_elements:
-                flush()
-        for row in rels_iter:
-            buf.append(f'  <relation {_attrs(row, [])}>')
-            for m in row["members"]:
-                buf.append(f'    <member type={quoteattr(m["type"])} '
-                           f'ref="{int(m["ref"])}" '
-                           f'role={quoteattr(m.get("role") or "")}/>')
-            buf.extend(_tags_xml(row, "    "))
-            buf.append("  </relation>")
-            n += 1
-            if len(buf) >= buffer_elements:
-                flush()
-        buf.append("</osm>")
-        flush()
-    os.replace(tmp, out_path)
-    return n
+    w = OsmXmlStreamWriter(out_path, buffer_elements)
+    w.write_rows("node", nodes_iter)
+    w.write_rows("way", ways_iter)
+    w.write_rows("relation", rels_iter)
+    return w.close()

@@ -62,25 +62,43 @@ class ParquetSink:
 
 
 class OsmXmlSink:
-    """Buffered OSM XML writer (reference S4 semantics: single output
+    """Streaming OSM XML writer (reference S4 semantics: single output
     file, nodes -> ways -> relations order, `undefined` for missing
-    metadata). Rows buffer per kind and serialize on close because XML
-    is a single ordered document."""
+    metadata). Batches stream straight through the 1,000-element
+    buffered writer as they arrive (osm_writer.erl:30,72-88) — the sink
+    holds O(buffer) lines, never the corpus. Kinds must arrive in
+    document order (write_cut_result delivers them that way)."""
 
     def __init__(self, out_path: str, buffer_elements: int = 1000):
         self.out_path = out_path
         self.buffer_elements = buffer_elements
-        self._rows: dict[str, list[dict]] = {k: [] for k in KINDS}
+        self._writer = None
+        self._kind_idx = 0
+        self.counts = {k: 0 for k in KINDS}
 
     def write(self, kind: str, batch: pa.Table) -> None:
-        self._rows[kind].extend(batch.to_pylist())
+        from .osm_xml import OsmXmlStreamWriter
+        if self._writer is None:
+            self._writer = OsmXmlStreamWriter(self.out_path,
+                                              self.buffer_elements)
+        idx = KINDS.index(kind)
+        if idx < self._kind_idx:
+            raise ValueError(
+                f"XML sink requires {'->'.join(KINDS)} order; got {kind} "
+                f"after {KINDS[self._kind_idx]}")
+        self._kind_idx = idx
+        # per-batch row conversion is bounded by the batch size; the
+        # writer flushes lines past buffer_elements immediately
+        self.counts[kind] += self._writer.write_rows(kind,
+                                                     batch.to_pylist())
 
     def close(self) -> dict:
-        from .osm_xml import write_osm_xml
-        write_osm_xml(self.out_path, self._rows["node"],
-                      self._rows["way"], self._rows["relation"],
-                      buffer_elements=self.buffer_elements)
-        return {k: len(v) for k, v in self._rows.items()}
+        from .osm_xml import OsmXmlStreamWriter
+        if self._writer is None:  # empty result: still a valid document
+            self._writer = OsmXmlStreamWriter(self.out_path,
+                                              self.buffer_elements)
+        self._writer.close()
+        return dict(self.counts)
 
 
 class CollectSink:
@@ -105,11 +123,30 @@ class CollectSink:
 SINK_REGISTRY = {"parquet": ParquetSink, "xml": OsmXmlSink}
 
 
+def _shuffle_relations(result: dict):
+    """cut_shuffle emits relation METADATA (`relations_meta`, whose
+    `members` column is the original unfiltered list) separately from
+    the rebuilt member lists (`relation_members`). A sinkable relation
+    stream needs the two joined — streaming relations_meta verbatim
+    would emit members referencing dropped elements, breaking the
+    broadcast/shuffle result-identity contract."""
+    from ..stages import join as J
+    meta = result["relations_meta"]
+    orig_names = list(meta.schema().base_schema.names)
+    rebuilt = J.bucketed_attach_column(
+        meta.drop_columns(["members"]), "id",
+        result["relation_members"], "rel_id", "members")
+    # restore the original column order so all sinks see one schema
+    return rebuilt.map_batches(lambda t: t.select(orig_names),
+                               batch_format="pyarrow")
+
+
 def write_cut_result(result, sink: Sink) -> dict:
     """Stream a CutResult (or cut_shuffle dict) through a Sink in the
     reference's element order; returns sink.close()'s counts."""
     if isinstance(result, dict):  # cut_shuffle output shape
-        trio = (result["nodes"], result["ways"], result["relations_meta"])
+        trio = (result["nodes"], result["ways"],
+                _shuffle_relations(result))
     else:
         trio = (result.nodes, result.ways, result.relations)
     for kind, ds in zip(KINDS, trio):

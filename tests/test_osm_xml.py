@@ -168,3 +168,84 @@ def test_sink_protocol_injection(xml_path, tmp_path, ray_session):
     assert counts2 == counts
     back = rd.read_parquet(os.path.join(pq_dir, "relations"))
     assert sorted(r["id"] for r in back.take_all()) == [1, 2, 4]
+
+
+def test_sink_cut_shuffle_members_rebuilt(xml_path, tmp_path, ray_session):
+    """Streaming a cut_shuffle dict through a Sink must emit the
+    REBUILT (filtered) relation member lists, identical to the
+    broadcast CutResult's — not relations_meta's original unfiltered
+    lists (round-2 advice: the dict branch discarded relation_members).
+    """
+    from osm_cut_ray.geometry.polygon import PolygonIndex, parse_poly_text
+    from osm_cut_ray.pipelines.cut_shuffle import cut_shuffle
+    from osm_cut_ray.sources.osm_xml import load_osm_xml
+    from osm_cut_ray.sources.sink import CollectSink, write_cut_result
+
+    nodes, ways, rels = load_osm_xml(xml_path, str(tmp_path / "pq"))
+    poly = PolygonIndex.compile(parse_poly_text(SIMPLE_POLY))
+    bres = _cut_from_xml(xml_path, tmp_path, complete=True)
+    sres = cut_shuffle(nodes, ways, rels, poly, complete=True)
+
+    bsink, ssink = CollectSink(), CollectSink()
+    bcounts = write_cut_result(bres, bsink)
+    scounts = write_cut_result(sres, ssink)
+    assert scounts == bcounts
+
+    def rows(sink, kind):
+        return sorted(sink.table(kind).to_pylist(),
+                      key=lambda r: r["id"])
+
+    assert [r["id"] for r in rows(ssink, "node")] \
+        == [r["id"] for r in rows(bsink, "node")]
+    assert [(r["id"], list(r["node_ids"])) for r in rows(ssink, "way")] \
+        == [(r["id"], list(r["node_ids"])) for r in rows(bsink, "way")]
+    bmem = [(r["id"], [(m["type"], m["ref"]) for m in r["members"]])
+            for r in rows(bsink, "relation")]
+    smem = [(r["id"], [(m["type"], m["ref"]) for m in r["members"]])
+            for r in rows(ssink, "relation")]
+    assert smem == bmem
+    # the fixture makes the filter observable: relation 1's node-6
+    # member is outside and must be gone from the sunk stream
+    assert dict(bmem)[1] == [("way", 1)]
+
+
+def test_xml_sink_streams_bounded(tmp_path, ray_session):
+    """The XML sink must hold O(buffer_elements) state, not O(corpus):
+    feed many batches and assert the writer buffer stays bounded and
+    bytes land on disk incrementally (round-2 verdict item #1)."""
+    import pyarrow as pa
+    from osm_cut_ray.sources.osm_xml import write_osm_xml
+    from osm_cut_ray.sources.sink import OsmXmlSink
+
+    def node_rows(lo, hi):
+        return [{"id": i, "lon": float(i % 360 - 180),
+                 "lat": float(i % 180 - 90), "version": 1,
+                 "changeset": None, "uid": None, "user": f"u{i}",
+                 "timestamp": None, "tags": [("k", f"v{i}")]}
+                for i in range(lo, hi)]
+
+    out = str(tmp_path / "stream.osm")
+    sink = OsmXmlSink(out, buffer_elements=100)
+    sizes = []
+    for b in range(8):
+        batch = pa.Table.from_pylist(node_rows(b * 500, (b + 1) * 500))
+        sink.write("node", batch)
+        # bound: never more than one buffer + one element's lines
+        assert len(sink._writer._buf) < 100 + 8
+        sizes.append(os.path.getsize(out + ".tmp"))
+    assert sizes[-1] > sizes[0] > 0  # bytes hit disk before close()
+    counts = sink.close()
+    assert counts == {"node": 4000, "way": 0, "relation": 0}
+
+    # byte-identity with the one-shot writer
+    ref = str(tmp_path / "ref.osm")
+    write_osm_xml(ref, node_rows(0, 4000), [], [], buffer_elements=100)
+    assert open(out).read() == open(ref).read()
+
+    # kind-order contract: a node after a way must be rejected
+    sink2 = OsmXmlSink(str(tmp_path / "bad.osm"))
+    sink2.write("way", pa.Table.from_pylist(
+        [{"id": 1, "node_ids": [1], "version": None, "changeset": None,
+          "uid": None, "user": None, "timestamp": None, "tags": []}]))
+    with pytest.raises(ValueError):
+        sink2.write("node", pa.Table.from_pylist(node_rows(0, 1)))
