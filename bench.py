@@ -44,7 +44,6 @@ QUERY_SET = [
     "knn_brute_embeddings",
     "knn_points_brute",
     "image_decode_meta",
-    "hll_distinct_parts",
     "ngram_jaccard_pairs",
     "simhash_dup_pairs",
     "embedding_dup_pairs",

@@ -143,6 +143,7 @@ def close_relations_distributed(edges_ds: Dataset, seed_ds: Dataset,
     # (repartition merges the schema-less empty blocks Ray leaves for
     # group-less aggregate partitions — Acero joins reject them)
     n_kept = kept.count()
+    converged = False
     for _ in range(max_rounds):
         parents = edges.join(
             kept.map_batches(lambda t: t.rename_columns(["child"]),
@@ -158,8 +159,18 @@ def close_relations_distributed(edges_ds: Dataset, seed_ds: Dataset,
         n2 = merged.count()
         kept = merged
         if n2 == n_kept:   # monotone growing: equal size == fixpoint
+            converged = True
             break
         n_kept = n2
+    if not converged:
+        # silently returning the partial closure would drop ancestors
+        # of kept relations (J4's contract is unbounded depth,
+        # osm_process_complete.erl:229-251) — fail loudly (round-2
+        # advice)
+        raise RuntimeError(
+            f"close_relations_distributed did not reach a fixpoint in "
+            f"{max_rounds} rounds (relation nesting depth exceeds the "
+            f"round budget); rerun with a larger max_rounds")
     out = np.sort(np.concatenate(
         [t["rel_id"].to_numpy(zero_copy_only=False)
          for t in kept.iter_batches(batch_size=None,

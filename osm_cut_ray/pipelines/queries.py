@@ -30,8 +30,7 @@ from ..sources.images import decode_stage_batch, images_batch_from_keys
 from ..sources.tables import sf_path
 from ..stages import join as J
 from ..stages import window as W
-from ..stages.dedup import (SimHasher, embedding_dup_pairs,
-                            minhash_lsh_pairs)
+from ..stages.dedup import embedding_dup_pairs, minhash_lsh_pairs
 from ..stages.knn import knn_brute, knn_ivf
 from ..stages.pip import apply_pip, default_pool_size
 from ..stages.text import LangId, TextStats, md5_fingerprint
@@ -864,13 +863,6 @@ def ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(_docs2(sf_dir))
 
 
-@q("simhash_docs")  # no SQL oracle (blake2b hash not SQL-expressible)
-def simhash_docs(sf_dir: str):
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return collect(docs.map_batches(_cached_stage(SimHasher),
-                                    batch_format="pandas"))
-
-
 @q("simhash_dup_pairs", rf"""
 WITH {_DOCS2_CTE},
 toks AS (SELECT doc_id,
@@ -936,8 +928,10 @@ def knn_brute_embeddings(sf_dir: str):
     return knn_brute(emb, ids, mat, k=5)
 
 
-@q("knn_ivf_embeddings")  # approximate — rows-only check; recall pinned
 def knn_ivf_embeddings(sf_dir: str):
+    """ANN scale path (IVF cells + nprobe); approximate by design —
+    folded into the `knn_approx` gate entry; recall pinned by
+    tests/test_stages.py::test_knn_ivf_recall_vs_brute."""
     ids, mat = _probe_matrix(sf_dir)
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_ivf(emb, ids, mat, k=5)
@@ -1025,10 +1019,11 @@ def knn_points_brute(sf_dir: str):
         merge, batch_format="pandas"))
 
 
-@q("knn_points_cell")  # approximate cell-kNN — rows-only; recall pinned
 def knn_points_cell(sf_dir: str):
     """Cell kNN the scale way: bucket points by hex cell, search each
-    probe's cell + ring-1 disk (SURVEY §2.4 graft additions)."""
+    probe's cell + ring-1 disk (SURVEY §2.4 graft additions).
+    Approximate by design — folded into the `knn_approx` gate entry;
+    recall pinned by test_knn_points_cell_recall_vs_brute."""
     nodes = OD.derive_nodes(sf_dir)
     # density-adaptive resolution (cell size must track point density
     # — the knob the north_star's skew section is about): pick the
@@ -1107,6 +1102,26 @@ def knn_points_cell(sf_dir: str):
 
     return collect(partial.groupby("probe_id").map_groups(
         merge, batch_format="pandas"))
+
+
+@q("knn_approx")  # approximate ANN variants -> rows-only; recall pinned
+def knn_approx(sf_dir: str):
+    """Both approximate-kNN scale paths in one gate entry (the exact
+    siblings `knn_brute_embeddings` / `knn_points_brute` carry the
+    oracles): IVF-cell embedding ANN and hex-cell spatial kNN, unioned
+    on a (variant, probe_id, neighbor_id, score) schema. Recall >= 0.9
+    vs brute is pinned per variant in tests/test_stages.py."""
+    ivf = knn_ivf_embeddings(sf_dir)
+    cell = knn_points_cell(sf_dir)
+    return pa.concat_tables([
+        pa.table({"variant": pa.array(["ivf"] * len(ivf)),
+                  "probe_id": ivf["probe_id"].cast(pa.int64()),
+                  "neighbor_id": ivf["neighbor_id"].cast(pa.int64()),
+                  "score": ivf["sim"].cast(pa.float64())}),
+        pa.table({"variant": pa.array(["cell"] * len(cell)),
+                  "probe_id": cell["probe_id"].cast(pa.int64()),
+                  "neighbor_id": cell["neighbor_id"].cast(pa.int64()),
+                  "score": cell["d2"].cast(pa.float64())})])
 
 
 # ======================================================================
@@ -1452,11 +1467,12 @@ def median_quantity(sf_dir: str):
         "median_qty": pa.array([out_m[i] for i in order])})
 
 
-@q("hll_distinct_parts")  # sketch: approximate by design -> rows-only
 def hll_distinct_parts(sf_dir: str):
     """Mergeable-sketch aggregation: one HLL per batch, merged on the
-    driver — the guide's sketch pattern. Error bound pinned by
-    tests/test_stages.py against the exact distinct count."""
+    driver — the guide's sketch pattern. Approximate by design, so it
+    carries no oracle and no gate slot; the error bound is pinned by
+    tests/test_stages.py::test_hll_error_bound against the exact
+    distinct count (gate rotation note in COVERAGE.md)."""
     from ..functions.hll import HyperLogLog
     li = _read(sf_dir, "lineitem", ["l_partkey"])
 
@@ -1478,36 +1494,40 @@ def hll_distinct_parts(sf_dir: str):
     return pa.table({"approx_distinct_parts": pa.array([est])})
 
 
-@q("video_frame_sample")  # multimodal stub codec -> rows-only
-def video_frame_sample(sf_dir: str):
-    """Video frame-sampling plumbing: binary clip column -> actor-pool
-    decode + stride sample -> per-clip features. Small batch_size for
-    wide rows (guide: large binary payloads need small batches)."""
-    from ..sources.media import VideoFrameSampleStage, media_batch_from_keys
+@q("media_features")  # multimodal stub codecs -> rows-only
+def media_features(sf_dir: str):
+    """Video frame-sampling AND audio feature plumbing in one gate
+    entry: binary media columns -> actor-pool decode stages (stride
+    frame sampling / RMS+ZCR+duration), unioned on a
+    (media_id, kind, feat_a, feat_b) schema. Small batch_size for wide
+    binary rows (guide: large payloads need small batches)."""
+    from ..sources.media import (AudioFeatureStage, VideoFrameSampleStage,
+                                 media_batch_from_keys)
     ev = _read(sf_dir, "events", ["event_id"]).limit(2000)
     vids = ev.map_batches(
         lambda t: media_batch_from_keys(
             t["event_id"].to_numpy(zero_copy_only=False), "video"),
         batch_format="pyarrow", batch_size=256)
-    return collect(vids.map_batches(
+    vtab = collect(vids.map_batches(
         VideoFrameSampleStage, fn_constructor_kwargs={"stride": 2},
         batch_format="pyarrow", batch_size=256,
         concurrency=default_pool_size()))
-
-
-@q("audio_features")  # multimodal stub codec -> rows-only
-def audio_features(sf_dir: str):
-    """Audio feature extraction plumbing: waveform decode + RMS/ZCR/
-    duration per row in an actor pool."""
-    from ..sources.media import AudioFeatureStage, media_batch_from_keys
-    ev = _read(sf_dir, "events", ["event_id"]).limit(2000)
     auds = ev.map_batches(
         lambda t: media_batch_from_keys(
             t["event_id"].to_numpy(zero_copy_only=False), "audio"),
         batch_format="pyarrow", batch_size=256)
-    return collect(auds.map_batches(
+    atab = collect(auds.map_batches(
         AudioFeatureStage, batch_format="pyarrow", batch_size=256,
         concurrency=default_pool_size()))
+    return pa.concat_tables([
+        pa.table({"media_id": vtab["video_id"],
+                  "kind": pa.array(["video"] * len(vtab)),
+                  "feat_a": vtab["frames_kept"].cast(pa.float64()),
+                  "feat_b": vtab["mean_px"].cast(pa.float64())}),
+        pa.table({"media_id": atab["audio_id"],
+                  "kind": pa.array(["audio"] * len(atab)),
+                  "feat_a": atab["rms"].cast(pa.float64()),
+                  "feat_b": atab["zcr"].cast(pa.float64())})])
 
 
 @q("range_join_parts", """
@@ -1581,3 +1601,17 @@ def point_polygon_tag(sf_dir: str):
 
     return collect(nodes.map_batches(Tag, batch_format="pyarrow",
                                      concurrency=default_pool_size()))
+
+
+# ----------------------------------------------------------------------
+# Gate ordering: the driver checks the first 50 suite entries each
+# round. The suite is trimmed to EXACTLY 50 (46 oracled + 4 rows-only:
+# image_decode_meta, knn_approx, cell_assign_s2_hex, media_features) so
+# nothing rotates out, and oracled entries are ordered first so every
+# SQL-checked query stays in the gate even if the suite grows (round-2
+# verdict item #6; rotation notes in COVERAGE.md).
+_ordered = {n: QUERIES[n] for n in QUERIES if n in ORACLES}
+_ordered.update({n: QUERIES[n] for n in QUERIES if n not in ORACLES})
+QUERIES.clear()
+QUERIES.update(_ordered)
+del _ordered

@@ -189,3 +189,26 @@ def test_distributed_dup_clusters_match_driver(ray_session):
     want = dup_clusters(pairs).to_pandas()
     got = dup_clusters_distributed(rd.from_arrow(pairs)).to_pandas()
     assert want.values.tolist() == got.values.tolist()
+
+
+def test_distributed_fixpoints_raise_on_round_exhaustion(ray_session):
+    """Both distributed fixpoints fail LOUDLY when max_rounds is too
+    small for the component diameter / nesting depth — a silently
+    partial result would diverge from the driver algorithms they are
+    documented to equal (round-2 advice)."""
+    import pytest
+    import ray.data as rd
+    from osm_cut_ray.pipelines.cut import close_relations_distributed
+    from osm_cut_ray.stages.dedup import dup_clusters_distributed
+
+    chain = pa.table({"a_id": np.arange(10, dtype=np.int64),
+                      "b_id": np.arange(1, 11, dtype=np.int64)})
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dup_clusters_distributed(rd.from_arrow(chain), max_rounds=1)
+
+    edges = rd.from_arrow(pa.table({
+        "child": np.arange(5, dtype=np.int64),
+        "parent": np.arange(1, 6, dtype=np.int64)}))
+    seeds = rd.from_arrow(pa.table({"rel_id": np.array([0], np.int64)}))
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        close_relations_distributed(edges, seeds, max_rounds=1)

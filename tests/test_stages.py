@@ -97,7 +97,7 @@ def test_knn_ivf_recall_vs_brute(ray_session):
     assert not (it.probe_id == it.neighbor_id).any()
 
 
-def test_minhash_hot_bucket_capped(ray_session):
+def test_minhash_hot_bucket_capped(ray_session, capsys):
     """A degenerate band bucket (hundreds of EMPTY docs sharing the
     sentinel signature) must not emit O(n^2) candidate pairs: the
     over-cap bucket is dropped (surfaced, not silent) while genuine
@@ -114,6 +114,47 @@ def test_minhash_hot_bucket_capped(ray_session):
     # only the genuine near-dup pair survives; the 300-empty bucket
     # would have been 44,850 candidate pairs without the cap
     assert list(map(tuple, pairs.itertuples(index=False))) == [(300, 301)]
+    # the drop is surfaced in the documented form: a driver-side
+    # printed report naming the cap and the dropped bucket sizes
+    out = capsys.readouterr().out
+    assert "minhash_lsh_pairs: dropped" in out
+    assert "max_bucket_df=50" in out and "300" in out
+
+
+def test_pairs_from_key_rows_cap_sentinel(ray_session):
+    """pairs_from_key_rows surfaces capped keys as machine-detectable
+    sentinel rows (a_id=-1, b_id=df) alongside the real pairs."""
+    from osm_cut_ray.stages.dedup import (CAP_SENTINEL_ID,
+                                          _split_cap_sentinels,
+                                          pairs_from_key_rows)
+    # key 7 has df=5 (> max_df=3) -> sentinel; key 9 has df=2 -> 1 pair
+    rows = rd.from_arrow(pa.table({
+        "sh": np.array([7] * 5 + [9] * 2, np.int64),
+        "doc_id": np.array([1, 2, 3, 4, 5, 10, 11], np.int64)}))
+    parts = list(pairs_from_key_rows(rows, "sh", max_df=3)
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        [t for t in parts if "a_id" in t.column_names],
+        promote_options="default")
+    real, drops = _split_cap_sentinels(tbl)
+    assert drops == [5]
+    assert sorted(zip(real["a_id"].to_pylist(),
+                      real["b_id"].to_pylist())) == [(10, 11)]
+    assert CAP_SENTINEL_ID not in real["a_id"].to_pylist()
+
+
+def test_simhash_capped_bucket_surfaced(ray_session, capsys):
+    """simhash_md5_pairs with every band bucket over the cap must
+    return no pairs but print the drop report (the exactness caveat is
+    surfaced, never silent — round-2 advice)."""
+    from osm_cut_ray.stages.dedup import simhash_md5_pairs
+    texts = ["identical shared body of words"] * 40
+    docs = rd.from_arrow(pa.table({
+        "doc_id": np.arange(40, dtype=np.int64), "text": texts}))
+    pairs = simhash_md5_pairs(docs, max_bucket_df=8)
+    out = capsys.readouterr().out
+    assert "simhash_md5_pairs: dropped" in out and "40" in out
+    assert len(pairs) == 0  # all 4 band buckets capped, drops surfaced
 
 
 def test_rolling_fingerprint_properties():
@@ -321,9 +362,9 @@ def test_knn_points_cell_recall_vs_brute(ray_session):
     """Cell-disk spatial kNN (approximate by design) must find most of
     the exact top-5 at test density; recall measured vs the brute
     path. Also pins the vectorized no-per-cell-group rewrite."""
-    from osm_cut_ray.pipelines.queries import QUERIES
+    from osm_cut_ray.pipelines.queries import QUERIES, knn_points_cell
     b = QUERIES["knn_points_brute"]("/root/testdata/sf0.001").to_pandas()
-    c = QUERIES["knn_points_cell"]("/root/testdata/sf0.001").to_pandas()
+    c = knn_points_cell("/root/testdata/sf0.001").to_pandas()
     pids = b.probe_id.unique()
     rec = 0.0
     for pid in pids:
