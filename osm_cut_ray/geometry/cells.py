@@ -141,6 +141,18 @@ def hex_edge_deg(res: int) -> float:
     return (_H3_RES0_EDGE_KM / (_SQRT7 ** res)) / _KM_PER_DEG
 
 
+def hex_period(res: int) -> int:
+    """Number of q columns spanning 360° of longitude at `res` — the
+    modular wrap period for the antimeridian. The grid's x-scale is
+    snapped so 360° maps to an EXACT integer column count (relative
+    stretch <= 1/(2*period), i.e. under half a cell across the globe),
+    making `q mod period` an exact equivalence of lon and lon±360."""
+    return max(3, int(round(360.0 / (_SQRT3 * hex_edge_deg(res)))))
+
+
+_HEX_PERIODS = np.array([hex_period(r) for r in range(16)], np.int64)
+
+
 def _cube_round(qf: np.ndarray, rf: np.ndarray):
     sf = -qf - rf
     q = np.rint(qf)   # rint == round(x, 0), without the ufunc overhead
@@ -160,15 +172,25 @@ def hex_cell(lon: np.ndarray, lat: np.ndarray, res: int = 8) -> np.ndarray:
     """Axial hex cell id at H3-style resolution `res` (0..15).
 
     id layout: res<<56 | (q + 2^27)<<28 | (r + 2^27).
+
+    Antimeridian wrap: the q axis is periodic with `hex_period(res)`
+    columns per 360° (x-scale snapped so the period is exact), and q is
+    canonicalized mod the period — cells just west of +180 and just
+    east of -180 are adjacent, so ring-1 kNN disks are correct at the
+    date line (round-2 verdict item #8). Latitude does not wrap
+    (poles are degenerate on this equirectangular plane; documented
+    divergence from icosahedral H3).
     """
     if not 0 <= res <= 15:
         raise ValueError("res must be 0..15")
     size = hex_edge_deg(res)
+    period = int(_HEX_PERIODS[res])
     x = np.asarray(lon, np.float64)
     y = np.asarray(lat, np.float64)
-    qf = (_SQRT3 / 3.0 * x - y / 3.0) / size
+    qf = x * (period / 360.0) - y / (3.0 * size)
     rf = (2.0 / 3.0 * y) / size
     q, r = _cube_round(qf, rf)
+    q = np.mod(q, period)  # lon and lon±360 share a column
     return ((np.int64(res) << np.int64(56))
             | ((q + _HEX_OFF) << np.int64(28))
             | (r + _HEX_OFF))
@@ -188,9 +210,11 @@ _HEX_DIRS = np.array([(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)],
 
 
 def hex_neighbors(cell: np.ndarray) -> np.ndarray:
-    """(n,) int64 -> (n, 6) int64 of ring-1 neighbor ids (same res)."""
+    """(n,) int64 -> (n, 6) int64 of ring-1 neighbor ids (same res),
+    q wrapped mod the resolution's period (antimeridian-correct)."""
     res, q, r = hex_cell_decode(cell)
-    nq = q[:, None] + _HEX_DIRS[:, 0][None, :]
+    period = _HEX_PERIODS[res]
+    nq = np.mod(q[:, None] + _HEX_DIRS[:, 0][None, :], period[:, None])
     nr = r[:, None] + _HEX_DIRS[:, 1][None, :]
     return ((res[:, None] << np.int64(56))
             | ((nq + _HEX_OFF) << np.int64(28))
@@ -198,26 +222,32 @@ def hex_neighbors(cell: np.ndarray) -> np.ndarray:
 
 
 def hex_disk(cell: int, k: int = 1) -> np.ndarray:
-    """All hex ids within hex-distance k of `cell` (incl. itself)."""
+    """All hex ids within hex-distance k of `cell` (incl. itself),
+    q wrapped mod the period so date-line disks span the meridian."""
     res, q, r = hex_cell_decode(np.array([cell]))
-    out = []
+    period = int(_HEX_PERIODS[res[0]])
+    out = set()
     for dq in range(-k, k + 1):
         for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
-            out.append(((res[0] << np.int64(56))
-                        | ((q[0] + dq + _HEX_OFF) << np.int64(28))
+            out.add(int((res[0] << np.int64(56))
+                        | ((np.int64((int(q[0]) + dq) % period)
+                            + _HEX_OFF) << np.int64(28))
                         | (r[0] + dr + _HEX_OFF)))
-    return np.array(out, dtype=np.int64)
+    return np.array(sorted(out), dtype=np.int64)
 
 
 def hex_center(cell: np.ndarray):
-    """Cell center (lon, lat) — for distance pruning in cell kNN."""
+    """Cell center (lon in [0, 360), lat) — for distance pruning in
+    cell kNN; wrap lon via ((lon + 180) % 360) - 180 when comparing
+    against [-180, 180) coordinates."""
     res, q, r = hex_cell_decode(cell)
-    size = np.array([hex_edge_deg(int(rr)) for rr in np.atleast_1d(res)]) \
-        if np.ndim(res) else hex_edge_deg(int(res))
-    qf = q.astype(np.float64)
-    rf = r.astype(np.float64)
-    x = size * (_SQRT3 * qf + _SQRT3 / 2.0 * rf)
-    y = size * (1.5 * rf)
+    size_arr = np.array([hex_edge_deg(int(rr))
+                         for rr in np.atleast_1d(res)], np.float64)
+    period = _HEX_PERIODS[np.atleast_1d(res)].astype(np.float64)
+    qf = np.atleast_1d(q).astype(np.float64)
+    rf = np.atleast_1d(r).astype(np.float64)
+    y = size_arr * (1.5 * rf)
+    x = np.mod(qf + rf / 2.0, period) * (360.0 / period)
     return x, y
 
 

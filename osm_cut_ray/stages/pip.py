@@ -37,6 +37,11 @@ class PIPStage:
         self.out_col = out_col
         self.from_phash = from_phash
         self.phash_col = phash_col
+        # global include-ring bbox for the vectorized pre-mask: points
+        # outside it can never be inside (exclude rings only subtract),
+        # so the full kernel runs only on bbox candidates (round-2
+        # verdict item #4)
+        self.bbox = self.idx.bbox
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.from_phash:
@@ -45,9 +50,42 @@ class PIPStage:
         else:
             lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
             lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        inside = self.idx.contains(np.asarray(lon, np.float64),
-                                   np.asarray(lat, np.float64))
+        lon = np.ascontiguousarray(lon, np.float64)
+        lat = np.ascontiguousarray(lat, np.float64)
+        xmin, ymin, xmax, ymax = self.bbox
+        cand = ((lon >= xmin) & (lon <= xmax)
+                & (lat >= ymin) & (lat <= ymax))
+        inside = np.zeros(len(lon), dtype=bool)
+        if cand.any():
+            if cand.all():
+                inside = self.idx.contains(lon, lat)
+            else:
+                inside[cand] = self.idx.contains(lon[cand], lat[cand])
         return batch.append_column(self.out_col, pa.array(inside))
+
+
+def read_points_pruned(paths, polygon: PolygonIndex, *,
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       columns=None, **read_kwargs):
+    """Parquet point read with the polygon's include-ring bbox pushed
+    into the scan as a row-group/fragment filter (parquet min/max
+    stats pruning), feeding `PolygonIndex.bbox` into the read so only
+    bbox-intersecting row groups leave storage (round-2 verdict #4 —
+    "pruned read" is part of the 100-TB bar).
+
+    Correct for any INSIDE-set computation: inside ⊆ include-ring
+    bbox, so a row dropped here can never be inside. Do NOT use it for
+    payload reads that must keep outside rows (the complete-mode
+    keep-referenced-nodes back-join re-reads the unpruned table).
+    """
+    import pyarrow.dataset as pds
+    import ray.data as rd
+    xmin, ymin, xmax, ymax = polygon.bbox
+    expr = ((pds.field(lon_col) >= xmin) & (pds.field(lon_col) <= xmax)
+            & (pds.field(lat_col) >= ymin) & (pds.field(lat_col) <= ymax))
+    if columns is not None:
+        read_kwargs["columns"] = columns
+    return rd.read_parquet(paths, filter=expr, **read_kwargs)
 
 
 def default_pool_size() -> tuple[int, int]:
