@@ -32,16 +32,24 @@ def _cmd_cut(args) -> int:
 
     poly = PolygonIndex.compile(parse_poly_file(args.polygon))
 
+    pip_nodes = None
     if os.path.isdir(args.input):  # parquet layout: nodes/ ways/ relations/
+        from .stages.pip import read_points_pruned
         nodes = rd.read_parquet(os.path.join(args.input, "nodes"))
         ways = rd.read_parquet(os.path.join(args.input, "ways"))
         rels = rd.read_parquet(os.path.join(args.input, "relations"))
+        # bbox-pruned PIP scan (row-group stats pushdown); `nodes`
+        # stays unpruned for the back-join/payload phases
+        pip_nodes = read_points_pruned(
+            os.path.join(args.input, "nodes"), poly,
+            columns=["id", "lon", "lat"])
         work = None
     else:
         work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
         nodes, ways, rels = load_osm_xml(args.input, work)
 
-    res = cut(nodes, ways, rels, poly, complete=not args.non_complete)
+    res = cut(nodes, ways, rels, poly, complete=not args.non_complete,
+              pip_nodes=pip_nodes)
 
     # pluggable writer (reference S5 writer_module analog): --format
     # picks from the registry; library callers can pass any Sink to

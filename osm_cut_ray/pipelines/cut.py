@@ -182,12 +182,22 @@ def close_relations_distributed(edges_ds: Dataset, seed_ds: Dataset,
 def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
         polygon: PolygonIndex, *, complete: bool = True,
         id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
-        pip_concurrency=None) -> CutResult:
+        pip_concurrency=None, pip_nodes: Dataset | None = None
+        ) -> CutResult:
     """Run the polygon cut. `ways.node_ids` is list<int64>,
-    `relations.members` is list<struct<type,ref,role>>."""
+    `relations.members` is list<struct<type,ref,role>>.
+
+    `pip_nodes` optionally supplies a bbox-PRUNED point source for the
+    PIP scan only (stages.pip.read_points_pruned): inside ⊆ bbox, so
+    the inside set is unchanged, but the scan skips row groups outside
+    the polygon's bbox. `nodes` stays unpruned — the complete-mode
+    back-join and the payload emission need outside rows.
+    """
 
     # --- phase 1: PIP over points (M6) ---
-    inside_ids = _inside_node_ids(nodes, polygon, id_col=id_col,
+    inside_ids = _inside_node_ids(pip_nodes if pip_nodes is not None
+                                  else nodes,
+                                  polygon, id_col=id_col,
                                   lon_col=lon_col, lat_col=lat_col,
                                   concurrency=pip_concurrency)
 
