@@ -323,22 +323,40 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "fp": pa.array([], pa.int64())})
         # one md5 per UNIQUE token in the batch (round-2 verdict #3 —
-        # the old path hashed every occurrence); votes accumulate per
-        # occurrence through the inverse index, so fingerprints are
+        # the old path hashed every occurrence); occurrence votes are
+        # replayed via the inverse index, so fingerprints stay
         # bit-identical to the per-occurrence SQL oracle
         counts = np.array([len(ts) for ts in tok_lists], np.int64)
         flat = np.array([tok for ts in tok_lists for tok in ts],
                         dtype=object)
-        uniq, inv = np.unique(flat, return_inverse=True)
+        # hash-based factorize: ~30x faster than np.unique's string
+        # sort on object arrays (measured 0.02s vs 0.65s per 540k)
+        inv, uniq = pd.factorize(flat)
         hs = _md5_low64(uniq)
         shifts = np.arange(64, dtype=np.uint64)
-        sign = (2 * ((hs[:, None] >> shifts[None, :])
-                     & np.uint64(1)).astype(np.int64) - 1)   # (U, 64)
-        starts = np.zeros(len(out_ids), np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        votes = np.add.reduceat(sign[inv], starts, axis=0)   # (D, 64)
-        fp = ((votes >= 0).astype(np.uint64)
-              << shifts[None, :]).sum(axis=1)
+        bits01 = ((hs[:, None] >> shifts[None, :])
+                  & np.uint64(1)).astype(np.float32)          # (U, 64)
+        D, U = len(out_ids), len(uniq)
+        # vote[d,b] = 2*S[d,b] - n_d with S = per-doc set-bit
+        # occurrence counts. All values are small integers, exact in
+        # float32, so BLAS does the heavy lifting.
+        if D * U <= (1 << 24):
+            # repetitive vocab: dense (doc x unique-token) count
+            # matrix, ONE matmul for every vote in the batch
+            occ_doc = np.repeat(np.arange(D, dtype=np.int64), counts)
+            C = np.zeros((D, U), np.float32)
+            np.add.at(C, (occ_doc, inv), 1.0)
+            S = C @ bits01                                    # (D, 64)
+        else:
+            # near-distinct vocab: per-doc gather+sum (md5 cost
+            # already deduped; the gather is the old path minus md5)
+            S = np.empty((D, 64), np.float32)
+            starts = np.zeros(D + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            for d in range(D):
+                S[d] = bits01[inv[starts[d]:starts[d + 1]]].sum(axis=0)
+        fp_bits = (2.0 * S - counts.astype(np.float32)[:, None]) >= 0
+        fp = (fp_bits.astype(np.uint64) << shifts[None, :]).sum(axis=1)
         return pa.table({
             "doc_id": pa.array(out_ids, pa.int64()),
             "fp": pa.array(fp.astype(np.uint64).view(np.int64))})
@@ -348,6 +366,10 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
     if n_fp < 2:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
+    # fps feeds THREE consumers (banding + both attach sides):
+    # materialize the repartitioned form once instead of replaying
+    # solidify's lazy repartition per consumer
+    fps = fps.materialize()
     nparts = _adaptive_parts(n_fp)
 
     def band(t: pa.Table) -> pa.Table:
