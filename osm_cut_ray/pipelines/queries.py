@@ -747,8 +747,10 @@ def dedup_exact_docs(sf_dir: str):
     """Exact dedup: md5 content hash per batch -> hash-partition
     groupby -> min id per group (hash, not raw text, transits the
     shuffle)."""
+    from ..stages.dedup import _spread
     docs = _docs2(sf_dir)
-    hashed = docs.map_batches(
+    # spread the 2-fat-block union before the (CPU) hash pass
+    hashed = _spread(docs).map_batches(
         lambda df: pa.Table.from_pandas(md5_fingerprint(df),
                                         preserve_index=False),
         batch_format="pandas")

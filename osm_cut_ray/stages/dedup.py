@@ -135,6 +135,10 @@ def _shingle_sets_batch(t: pa.Table, shingle_k: int) -> pa.Table:
     """Slim (doc_id, sh:list<int64>) projection — the verification
     payload. 8 bytes/shingle instead of the raw text; built once,
     joined to candidate pairs, so texts never leave their blocks."""
+    if len(t) == 0 or "doc_id" not in t.column_names:
+        # zero-row blocks from the pre-stage spread lose their schema
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sh": pa.array([], pa.list_(pa.int64()))})
     # sort in INT64 order after the view (np.unique sorted the uint64
     # values; the int64 reinterpretation is not monotone) — the verify
     # kernel's searchsorted requires ascending int64 lists
@@ -195,6 +199,19 @@ def _adaptive_parts(n_rows: int, rows_per_part: int = 1_000_000) -> int:
     import ray
     cpu = int(ray.cluster_resources().get("CPU", 8))
     return int(min(max(8, 2 * cpu), max(8, n_rows // rows_per_part + 1)))
+
+
+def _spread(ds, parts: int | None = None):
+    """Split a few-fat-block corpus into ~4x-cores blocks BEFORE a
+    CPU-heavy per-batch stage. Single-row-group parquet reads (and
+    their unions) arrive as 1-2 blocks, which would run the
+    shingle / MinHash-signature / SimHash-fingerprint passes on 1-2
+    tasks regardless of cluster width (round-3 profile: the minhash
+    verify spent 3.8s of its 10.7s in a near-serial shingle pass)."""
+    import ray
+    if parts is None:
+        parts = int(min(64, 4 * ray.cluster_resources().get("CPU", 8)))
+    return ds.repartition(parts)
 
 
 CAP_SENTINEL_ID = -1  # a_id of a capped-bucket marker pair row
@@ -312,6 +329,9 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
     from . import join as J
 
     def fp_batch(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
         out_ids, tok_lists = [], []
         for did, text in zip(t["doc_id"].to_pylist(),
                              t["text"].to_pylist()):
@@ -362,7 +382,7 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
             "fp": pa.array(fp.astype(np.uint64).view(np.int64))})
 
     fps, n_fp = J.solidify(
-        docs_ds.map_batches(fp_batch, batch_format="pyarrow"))
+        _spread(docs_ds).map_batches(fp_batch, batch_format="pyarrow"))
     if n_fp < 2:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
@@ -456,9 +476,9 @@ def _attach_and_verify(cand, docs_ds, shingle_k: int,
     def _shingle_batch(t: pa.Table) -> pa.Table:
         return _shingle_sets_batch(t, shingle_k)
 
-    sh_ds = docs_ds.map_batches(_shingle_batch,
-                                batch_format="pyarrow")\
-        .repartition(nparts * 4).materialize()
+    sh_ds = _spread(docs_ds).map_batches(_shingle_batch,
+                                         batch_format="pyarrow")\
+        .materialize()
     sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_a"]),
                              batch_format="pyarrow")
     sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_b"]),
@@ -492,19 +512,20 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
     docs_ds: Dataset with (doc_id, text). Returns a pyarrow Table of
     pairs (a_id < b_id) whose exact shingle Jaccard >= threshold.
 
-    Fully distributed end to end: candidate generation is a groupby
-    shuffle on (band_id, band_hash); verification attaches slim
+    Fully distributed end to end: candidate generation is ONE capped
+    bucketed-group shuffle on the (band_id, band_hash) key
+    (pairs_from_key_rows); verification attaches slim
     (doc_id, shingle-set) projections to each candidate pair via two
     hash-bucket joins and filters exact Jaccard inside map_batches —
     no texts or shingle dicts ever land on the driver.
 
     `max_bucket_df` caps degenerate band buckets (e.g. thousands of
-    empty docs sharing the sentinel signature would emit O(n^2) pairs):
-    bucket sizes are counted BEFORE the self-join and over-cap buckets
-    emit no pairs; every drop is surfaced as a printed driver report
-    (count + largest sizes), never silent. Capped buckets are
-    near-certainly stop-signature buckets; true near-dup pairs still
-    collide in their other n_bands-1 bands.
+    empty docs sharing the sentinel signature would emit O(n^2)
+    pairs): an over-cap bucket emits no pairs plus a sentinel row, and
+    every drop is surfaced as a printed driver report (count + largest
+    sizes), never silent. Capped buckets are near-certainly
+    stop-signature buckets; true near-dup pairs still collide in their
+    other n_bands-1 bands.
     """
     # signatures / bands: task-mode map_batches (setup is O(1), an
     # actor pool's cold start would dominate — see BASELINE notes)
@@ -538,7 +559,8 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
     # couple of fat blocks (single-row-group parquet reads) serialize;
     # many small blocks keep every aggregator busy
     bands, n_band = J.solidify(
-        docs_ds.map_batches(_sig_and_band, batch_format="pandas"),
+        _spread(docs_ds).map_batches(_sig_and_band,
+                                     batch_format="pandas"),
         max_parts=128)
     if n_band == 0:   # empty corpus: downstream joins would see
         return _empty_pairs()  # schema-less blocks and fail
@@ -546,57 +568,38 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
     # cores) instead of a hardcoded 8 (round-2 verdict item #3)
     nparts = _adaptive_parts(n_band)
 
-    # hot-bucket cap BEFORE the self-join (a capped bucket would emit
-    # O(n^2) join rows): sizes via one Count aggregate, oversized
-    # buckets dropped and surfaced
-    from ray.data.aggregate import Count
-    sizes = bands.groupby("bkey").aggregate(Count(alias_name="c"))
-    sizes = sizes.map_batches(
-        lambda t: pa.table({"bkey": t["bkey"].cast(pa.int64()),
-                            "c": t["c"].cast(pa.int64())})
-        if "bkey" in t.column_names
-        else pa.table({"bkey": pa.array([], pa.int64()),
-                       "c": pa.array([], pa.int64())}),
-        batch_format="pyarrow").materialize()
-    # (sizes feeds the driver drop-count and ok_keys; ok_keys is
-    # solidified below so sizes itself needs no extra repartition)
-    drop_rows = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t["c"], max_bucket_df)),
-        batch_format="pyarrow").take_all()
-    if drop_rows:
-        print(f"minhash_lsh_pairs: dropped {len(drop_rows)} band "
-              f"bucket(s) over max_bucket_df={max_bucket_df}, sizes="
-              f"{sorted(int(r['c']) for r in drop_rows)[-5:]}")
-    ok_keys, n_okk = J.solidify(sizes.map_batches(
-        lambda t: t.filter(pc.and_(pc.greater_equal(t["c"], 2),
-                                   pc.less_equal(t["c"], max_bucket_df)))
-        .select(["bkey"]), batch_format="pyarrow"), max_parts=nparts)
-    if n_okk == 0:  # no bucket holds >= 2 docs under the cap
-        return _empty_pairs()
+    # candidate pairs via the shared capped bucketed-group emission
+    # (ONE sort shuffle; a key's rows all land in one bucket, so local
+    # df == global df and the cap semantics match the former
+    # Count-aggregate pre-filter — which cost 3 extra shuffles:
+    # Count, ok-key filter join, and the C++ self-join; round-3
+    # profile: 5.5s of the 10.7s wall)
+    def _norm(t: pa.Table) -> pa.Table:
+        if "a_id" not in t.column_names:
+            return _empty_pairs()
+        return pa.table({"a_id": t["a_id"].cast(pa.int64()),
+                         "b_id": t["b_id"].cast(pa.int64())})
 
-    bands_ok, n_ok = J.solidify(
-        bands.join(ok_keys, join_type="inner",
-                   num_partitions=nparts, on=("bkey",)),
-        max_parts=nparts * 4)
-    if n_ok == 0:  # no bucket holds >= 2 docs
+    pairs_all = pairs_from_key_rows(bands, "bkey", max_df=max_bucket_df)\
+        .map_batches(_norm, batch_format="pyarrow").materialize()
+    drops = [int(r["b_id"]) for r in pairs_all.map_batches(
+        lambda t: t.filter(pc.equal(t["a_id"], CAP_SENTINEL_ID)),
+        batch_format="pyarrow").take_all()]
+    if drops:
+        print(f"minhash_lsh_pairs: dropped {len(drops)} band "
+              f"bucket(s) over max_bucket_df={max_bucket_df}, sizes="
+              f"{sorted(drops)[-5:]}")
+    if pairs_all.count() - len(drops) == 0:
         return _empty_pairs()
-    other = bands_ok.map_batches(
-        lambda t: t.select(["bkey", "doc_id"])
-        .rename_columns(["bkey", "b_id"]), batch_format="pyarrow")
-    cand = bands_ok.map_batches(
-        lambda t: t.select(["bkey", "doc_id"])
-        .rename_columns(["bkey", "a_id"]), batch_format="pyarrow").join(
-        other, join_type="inner", num_partitions=nparts, on=("bkey",))\
-        .map_batches(
-        lambda t: t.filter(pc.less(t["a_id"], t["b_id"]))
-        .select(["a_id", "b_id"]), batch_format="pyarrow")
-    cand = J.distinct(cand, ["a_id", "b_id"]).map_batches(
-        lambda t: pa.table({"a_id": t["a_id"].cast(pa.int64()),
-                            "b_id": t["b_id"].cast(pa.int64())})
-        if "a_id" in t.column_names
-        else pa.table({"a_id": pa.array([], pa.int64()),
-                       "b_id": pa.array([], pa.int64())}),
+    raw = pairs_all.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["a_id"],
+                                              CAP_SENTINEL_ID))),
         batch_format="pyarrow")
+    # a true near-dup pair collides in ~all n_bands bands, so the raw
+    # stream repeats it up to n_bands times — distinct before the
+    # (shingle-set) verify so each pair is verified once
+    cand = J.distinct(raw, ["a_id", "b_id"]).map_batches(
+        _norm, batch_format="pyarrow")
     cand, n_cand = J.solidify(cand, max_parts=nparts)
     if n_cand == 0:
         return _empty_pairs()
@@ -869,6 +872,9 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
     t_thr = jaccard_threshold
 
     def prefix_rows(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
         docs, shs = [], []
         for did, text in zip(df["doc_id"], df["text"]):
             sh = np.unique(shingle_hashes(text, shingle_k))  # ascending
@@ -887,7 +893,7 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
 
     from . import join as J
     rows, n_rows = J.solidify(
-        docs_ds.map_batches(prefix_rows, batch_format="pandas"),
+        _spread(docs_ds).map_batches(prefix_rows, batch_format="pandas"),
         max_parts=128)
     if n_rows == 0:
         return pa.table({"a_id": pa.array([], pa.int64()),
