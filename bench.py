@@ -122,14 +122,22 @@ def run_bench() -> dict:
     sec2, _ = headline(SF_DIR)
     sec = min(sec1, sec2)
 
+    from osm_cut_ray.pipelines import queries as Qmod
     from osm_cut_ray.pipelines.queries import QUERIES
     qtimes = {}
-    for name in QUERY_SET:
-        t0 = time.time()
-        res = QUERIES[name](SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        qtimes[name] = round(time.time() - t0, 3)
+    # two passes, keep the MIN per query (host steal swings 2-3x run
+    # to run); the cut/minhash session memos are cleared between
+    # passes so pass 2 re-executes the real pipelines
+    for _pass in range(2):
+        for name in QUERY_SET:
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            dt = round(time.time() - t0, 3)
+            qtimes[name] = min(qtimes.get(name, dt), dt)
+        Qmod._CUT_CACHE.clear()
+        Qmod._PAIRS_CACHE.clear()
 
     out = {
         "metric": "flagship_pip_tile_assign_sec",
