@@ -135,28 +135,35 @@ def close_relations_distributed(edges_ds: Dataset, seed_ds: Dataset,
         lambda t: pa.table({"child": t["child"].cast(pa.int64()),
                             "parent": t["parent"].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
-    kept = J.distinct(seed_ds, ["rel_id"]).map_batches(
-        lambda t: pa.table({"rel_id": t["rel_id"].cast(pa.int64())})
-        if "rel_id" in t.column_names
-        else pa.table({"rel_id": pa.array([], pa.int64())}),
-        batch_format="pyarrow").repartition(8).materialize()
-    # (repartition merges the schema-less empty blocks Ray leaves for
-    # group-less aggregate partitions — Acero joins reject them)
-    n_kept = kept.count()
+    # join/repartition widths track cluster cores (no hardcoded 8);
+    # solidify clamps by measured rows and merges the schema-less
+    # empty blocks Ray leaves for group-less aggregate partitions
+    # (Acero joins reject them)
+    nparts = J.cluster_parts(mult=2)
+    kept, n_kept = J.solidify(
+        J.distinct(seed_ds, ["rel_id"]).map_batches(
+            lambda t: pa.table({"rel_id": t["rel_id"].cast(pa.int64())})
+            if "rel_id" in t.column_names
+            else pa.table({"rel_id": pa.array([], pa.int64())}),
+            batch_format="pyarrow"), max_parts=nparts)
+    if n_kept == 0:
+        return np.array([], np.int64)
+    kept = kept.materialize()  # 2 consumers/round (join + union)
     converged = False
     for _ in range(max_rounds):
         parents = edges.join(
             kept.map_batches(lambda t: t.rename_columns(["child"]),
                              batch_format="pyarrow"),
-            join_type="inner", num_partitions=8, on=("child",))\
+            join_type="inner", num_partitions=nparts, on=("child",))\
             .map_batches(lambda t: pa.table({"rel_id": t["parent"]}),
                          batch_format="pyarrow")
-        merged = J.distinct(kept.union(parents), ["rel_id"]).map_batches(
-            lambda t: pa.table({"rel_id": t["rel_id"].cast(pa.int64())})
-            if "rel_id" in t.column_names
-            else pa.table({"rel_id": pa.array([], pa.int64())}),
-            batch_format="pyarrow").repartition(8).materialize()
-        n2 = merged.count()
+        merged, n2 = J.solidify(
+            J.distinct(kept.union(parents), ["rel_id"]).map_batches(
+                lambda t: pa.table({"rel_id": t["rel_id"].cast(pa.int64())})
+                if "rel_id" in t.column_names
+                else pa.table({"rel_id": pa.array([], pa.int64())}),
+                batch_format="pyarrow"), max_parts=nparts)
+        merged = merged.materialize()
         kept = merged
         if n2 == n_kept:   # monotone growing: equal size == fixpoint
             converged = True

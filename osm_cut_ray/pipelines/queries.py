@@ -148,9 +148,11 @@ def cell_pyramid_counts(sf_dir: str):
         batch_format="pyarrow").map_batches(
         lambda t: pa.table({"cell": t["cell"].cast(pa.int64()),
                             "n": t["n"].cast(pa.int64())}),
-        batch_format="pyarrow").repartition(32)
+        batch_format="pyarrow").repartition(J.cluster_parts(floor=32))
     # repartition first: the partial combiner leaves ~2 fat blocks
-    # (single-row-group parquet) and a 2-block aggregate serializes
+    # (single-row-group parquet) and a 2-block aggregate serializes;
+    # width tracks cluster cores (downstream is groupby, not Acero,
+    # so over-split empties are skipped harmlessly)
     fine = fine_partial.groupby("cell").aggregate(
         _Sum("n", alias_name="n")).map_batches(
         lambda t: pa.table({"cell": t["cell"].cast(pa.int64()),
@@ -158,7 +160,7 @@ def cell_pyramid_counts(sf_dir: str):
         if "cell" in t.column_names
         else pa.table({"cell": pa.array([], pa.int64()),
                        "n": pa.array([], pa.int64())}),
-        batch_format="pyarrow").repartition(32)
+        batch_format="pyarrow").repartition(J.cluster_parts(floor=32))
     # no materialize: the rollup consumes the fine counts once, so the
     # whole pyramid streams through one pipelined plan
 

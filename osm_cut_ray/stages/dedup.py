@@ -794,13 +794,20 @@ def dup_clusters_distributed(pairs_ds, a_col: str = "a_id",
                                      t[a_col].combine_chunks()
                                      .cast(pa.int64())])}),
         batch_format="pyarrow").materialize()
-    labels = J.distinct(both.select_columns(["src"]), ["src"])\
+    # join/repartition widths track cluster cores (no hardcoded 8);
+    # solidify clamps by measured rows and merges schema-less empty
+    # aggregate blocks (Acero joins reject them)
+    nparts = J.cluster_parts(mult=2)
+    labels, n_nodes = J.solidify(
+        J.distinct(both.select_columns(["src"]), ["src"])
         .map_batches(lambda t: pa.table({
             "node": t["src"].cast(pa.int64()),
             "label": t["src"].cast(pa.int64())}),
-            batch_format="pyarrow").repartition(8).materialize()
-    # repartition merges schema-less empty aggregate blocks (Acero
-    # joins reject them)
+            batch_format="pyarrow"), max_parts=nparts)
+    if n_nodes == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    labels = labels.materialize()  # consumed 3x/round (sum+join+union)
 
     def _sum(ds) -> int:
         row = ds.aggregate(Sum("label", alias_name="s"))
@@ -813,19 +820,20 @@ def dup_clusters_distributed(pairs_ds, a_col: str = "a_id",
         prop = both.join(
             labels.map_batches(lambda t: t.rename_columns(
                 ["src", "label"]), batch_format="pyarrow"),
-            join_type="inner", num_partitions=8, on=("src",))\
+            join_type="inner", num_partitions=nparts, on=("src",))\
             .map_batches(lambda t: pa.table({
                 "node": t["dst"], "label": t["label"]}),
                 batch_format="pyarrow")
         merged = labels.union(prop).groupby("node")\
             .aggregate(Min("label", alias_name="label"))
-        labels = merged.map_batches(
+        labels, _ = J.solidify(merged.map_batches(
             lambda t: pa.table({"node": t["node"].cast(pa.int64()),
                                 "label": t["label"].cast(pa.int64())})
             if "node" in t.column_names
             else pa.table({"node": pa.array([], pa.int64()),
                            "label": pa.array([], pa.int64())}),
-            batch_format="pyarrow").repartition(8).materialize()
+            batch_format="pyarrow"), max_parts=nparts)
+        labels = labels.materialize()
         cur = _sum(labels)
         if cur == prev:
             converged = True

@@ -426,6 +426,17 @@ def solidify(ds, max_parts: int = 32, rows_per_block: int = 5000):
 
 # ------------------------------------------------- bucketed group apply
 
+def cluster_parts(mult: int = 1, floor: int = 8, cap: int = 256) -> int:
+    """Partition count tracking cluster width (mult x cores, clamped):
+    the knob for repartition/join widths that must scale with the
+    cluster instead of a hardcoded literal. Callers whose data can be
+    tiny should pass the result through `solidify(max_parts=...)` so
+    the count is also clamped by measured rows (k > rows would create
+    schema-less empty splits, the Acero-join poison)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return int(min(cap, max(floor, mult * ncpu)))
+
+
 def default_bucket_count() -> int:
     """Bucket count for bucketed group/join patterns: ~4 buckets per
     cluster core (floor 64) so each bucket's rows fit one group task's
