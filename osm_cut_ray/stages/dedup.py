@@ -38,19 +38,14 @@ _SHINGLE_MULS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                           0x85EBCA77C2B2AE63], dtype=np.uint64)
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of k-word shingles (the n-gram set for Jaccard).
-
-    One blake2b per TOKEN (not per shingle), then a vectorized
-    position-weighted combine over the k-window — the shingle identity
-    is a bijection of the token-hash k-tuple up to 64-bit collisions,
-    so set semantics (and therefore Jaccard) match string shingles.
-    """
-    toks = _TOKEN.findall(text.lower())
-    if not toks:
+def _combine_shingles(th: np.ndarray, k: int) -> np.ndarray:
+    """Token-hash array -> k-window shingle hashes (vectorized
+    position-weighted combine; the shingle identity is a bijection of
+    the token-hash k-tuple up to 64-bit collisions, so set semantics —
+    and therefore Jaccard — match string shingles)."""
+    if len(th) == 0:
         return np.array([], np.uint64)
-    th = _hash64((t.encode() for t in toks))
-    if len(toks) < k:
+    if len(th) < k:
         acc = np.uint64(0)
         for i, h in enumerate(th):
             acc ^= h * _SHINGLE_MULS[i % len(_SHINGLE_MULS)]
@@ -60,6 +55,36 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     for j in range(k):
         acc ^= th[j:j + n] * _SHINGLE_MULS[j % len(_SHINGLE_MULS)]
     return acc
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of k-word shingles (the n-gram set for Jaccard).
+
+    One blake2b per TOKEN (not per shingle) — batch callers go through
+    `_token_hashes_batch`, which hashes each UNIQUE token once.
+    """
+    toks = _TOKEN.findall(text.lower())
+    if not toks:
+        return np.array([], np.uint64)
+    return _combine_shingles(_hash64((t.encode() for t in toks)), k)
+
+
+def _token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch of texts and hash each UNIQUE token once
+    (pd.factorize: hash-based, vs one blake2b per occurrence).
+    Returns (flat token-hash array, per-doc offsets len n+1)."""
+    toks_per_doc = [_TOKEN.findall(t.lower()) for t in texts]
+    lens = np.fromiter((len(x) for x in toks_per_doc), np.int64,
+                       len(toks_per_doc))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat: list = []
+    for toks in toks_per_doc:
+        flat.extend(toks)
+    if not flat:
+        return np.array([], np.uint64), offs
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    uh = _hash64((u.encode() for u in uniq))
+    return uh[codes], offs
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -142,13 +167,47 @@ def _shingle_sets_batch(t: pa.Table, shingle_k: int) -> pa.Table:
     # sort in INT64 order after the view (np.unique sorted the uint64
     # values; the int64 reinterpretation is not monotone) — the verify
     # kernel's searchsorted requires ascending int64 lists
-    sets = [np.sort(np.unique(shingle_hashes(s, shingle_k))
-                    .view(np.int64))
-            for s in t["text"].to_pylist()]
+    th, offs = _token_hashes_batch(t["text"].to_pylist())
+    sets = [np.sort(np.unique(
+        _combine_shingles(th[offs[i]:offs[i + 1]], shingle_k))
+        .view(np.int64)) for i in range(len(t))]
     return pa.table({
         "doc_id": t["doc_id"].cast(pa.int64()),
         "sh": pa.array([s.tolist() for s in sets],
                        pa.list_(pa.int64()))})
+
+
+def build_shingle_sets(docs_ds, shingle_k: int):
+    """ONE corpus tokenize+hash pass -> materialized slim
+    (doc_id, sh:list<int64> unique ascending) Dataset. Built once and
+    shared by candidate generation AND verification (the corpus used
+    to be re-shingled by each phase)."""
+    return _spread(docs_ds).map_batches(
+        lambda t: _shingle_sets_batch(t, shingle_k),
+        batch_format="pyarrow").materialize()
+
+
+def _prefix_rows_from_sets(t: pa.Table, threshold: float) -> pa.Table:
+    """Exploded (doc_id, sh) PREFIX rows derived from the shingle-set
+    lists, fully vectorized (no per-doc Python). The global total
+    order backing prefix filtering is int64-ascending (any fixed order
+    is valid; completeness needs only that every doc uses the same
+    one). Prefix length |A| - ceil(t*|A|) + 1 per AllPairs."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "sh": pa.array([], pa.int64())})
+    if len(t) == 0 or "doc_id" not in t.column_names:
+        return empty
+    vals, offs = _list_views(t["sh"])
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.diff(offs)
+    plen = np.where(n > 0,
+                    n - np.ceil(threshold * n).astype(np.int64) + 1, 0)
+    rel = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], n)
+    keep = rel < np.repeat(plen, n)
+    if not keep.any():
+        return empty
+    return pa.table({"doc_id": np.repeat(doc, n)[keep],
+                     "sh": vals[keep]})
 
 
 def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
@@ -308,7 +367,8 @@ def _md5_low64(tokens) -> np.ndarray:
 
 
 def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
-                      n_bands: int = 4, max_bucket_df: int = 256
+                      n_bands: int = 4, max_bucket_df: int = 256,
+                      broadcast_max_bytes: int = 256 << 20
                       ) -> pa.Table:
     """SimHash near-dup pairs: 64-bit md5-token SimHash, banded
     candidate generation, exact Hamming verify.
@@ -435,6 +495,40 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
         batch_format="pyarrow").repartition(
         max(1, min(nparts, n_cand // 5000 + 1)))
 
+    if fps.size_bytes() <= broadcast_max_bytes:
+        # fingerprints are 16 B/doc: broadcast the sorted (id -> fp)
+        # map once and verify map-side (vectorized Hamming, 0 shuffles)
+        import ray
+
+        ids_l, fp_l = [], []
+        for t in fps.iter_batches(batch_size=None,
+                                  batch_format="pyarrow"):
+            if t.num_rows:
+                ids_l.append(t["doc_id"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+                fp_l.append(t["fp"].to_numpy(zero_copy_only=False))
+        ids = np.concatenate(ids_l)
+        fpv = np.concatenate(fp_l)
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put((ids[order], fpv[order]))
+
+        def _vb(t: pa.Table) -> pa.Table:
+            empty = pa.table({"a_id": pa.array([], pa.int64()),
+                              "b_id": pa.array([], pa.int64())})
+            if len(t) == 0 or "a_id" not in t.column_names:
+                return empty
+            sids, sfp = ray.get(ref)
+            a = t["a_id"].to_numpy(zero_copy_only=False)
+            b = t["b_id"].to_numpy(zero_copy_only=False)
+            ia = np.minimum(np.searchsorted(sids, a), len(sids) - 1)
+            ib = np.minimum(np.searchsorted(sids, b), len(sids) - 1)
+            ok = (sids[ia] == a) & (sids[ib] == b)
+            ok &= hamming64(sfp[ia], sfp[ib]) <= hamming_threshold
+            return t.select(["a_id", "b_id"]).filter(pa.array(ok))
+
+        return _finalize_pairs(cand.map_batches(_vb,
+                                                batch_format="pyarrow"))
+
     fa = fps.map_batches(lambda t: t.rename_columns(["doc_id", "fp_a"]),
                          batch_format="pyarrow")
     fb = fps.map_batches(lambda t: t.rename_columns(["doc_id", "fp_b"]),
@@ -451,34 +545,129 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
         if len(t) else pa.table({"a_id": pa.array([], pa.int64()),
                                  "b_id": pa.array([], pa.int64())}),
         batch_format="pyarrow")
-    parts = list(verified.iter_batches(batch_size=None,
-                                       batch_format="pyarrow"))
-    tbl = pa.concat_tables(parts, promote_options="default") \
-        if parts else pa.table({"a_id": pa.array([], pa.int64()),
-                                "b_id": pa.array([], pa.int64())})
-    if len(tbl) == 0:
+    return _finalize_pairs(verified)
+
+
+def _collect_set_csr(sh_ds) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Materialize a (doc_id, sh:list<int64>) Dataset into one compact
+    CSR (ids ascending, offsets, values) for broadcast — ~8 bytes per
+    shingle, gathered via zero-copy list views (never to_pylist)."""
+    ids_l, vals_l, lens_l = [], [], []
+    for t in sh_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            continue
+        v, o = _list_views(t["sh"])
+        ids_l.append(t["doc_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        vals_l.append(v)
+        lens_l.append(np.diff(o))
+    if not ids_l:
+        return (np.array([], np.int64), np.array([0], np.int64),
+                np.array([], np.int64))
+    ids = np.concatenate(ids_l)
+    vals = np.concatenate(vals_l)
+    lens = np.concatenate(lens_l)
+    order = np.argsort(ids, kind="stable")
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    starts, ln = offs[:-1][order], lens[order]
+    new_offs = np.concatenate(([0], np.cumsum(ln)))
+    gather = (np.repeat(starts, ln)
+              + (np.arange(int(ln.sum()), dtype=np.int64)
+                 - np.repeat(new_offs[:-1], ln)))
+    return ids[order], new_offs, vals[gather]
+
+
+def _finalize_pairs(verified_ds) -> pa.Table:
+    """Collect the (tiny, verified) pair stream: dedup + sort on the
+    driver — pairs reach the driver only after verification shrinks
+    them."""
+    parts = list(verified_ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(parts, promote_options="default")
     df = tbl.to_pandas().drop_duplicates()\
         .sort_values(["a_id", "b_id"])
     return pa.table({"a_id": df["a_id"].astype(np.int64),
                      "b_id": df["b_id"].astype(np.int64)})
 
 
+def _verify_broadcast(cand, sh_ds, jaccard_threshold: float) -> pa.Table:
+    """Exact-Jaccard verify with the corpus shingle-set CSR broadcast
+    once via ray.put — ZERO shuffles; candidate pair rows stay slim
+    (two int64s) and each map task reads the CSR zero-copy from the
+    object store. Chosen when the set table fits comfortably in the
+    store (`broadcast_max_bytes`); the bucketed-join path covers the
+    beyond-broadcast scale."""
+    import ray
+
+    ref = ray.put(_collect_set_csr(sh_ds))
+
+    def _vb(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64())})
+        if len(t) == 0 or "a_id" not in t.column_names:
+            return empty
+        key = ("set_csr", ref.hex())
+        got = _STAGE_CACHE.get(key)
+        if got is None:
+            # one CSR memo per process: drop stale corpora so long-
+            # lived workers don't pin superseded plasma objects
+            for k in [k for k in _STAGE_CACHE if k[0] == "set_csr"]:
+                del _STAGE_CACHE[k]
+            got = _STAGE_CACHE[key] = ray.get(ref)
+        ids, offs, vals = got
+        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        ia_c = np.minimum(ia, len(ids) - 1)
+        ib_c = np.minimum(ib, len(ids) - 1)
+        ok = ((ia < len(ids)) & (ib < len(ids))
+              & (ids[ia_c] == a) & (ids[ib_c] == b)) \
+            if len(ids) else np.zeros(len(t), bool)
+        # vectorized length filter: J >= t forces min/max sizes >= t
+        na = offs[ia_c + 1] - offs[ia_c]
+        nb = offs[ib_c + 1] - offs[ib_c]
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        ok &= (lo > 0) & (lo >= jaccard_threshold * hi)
+        keep = np.zeros(len(t), bool)
+        for i in np.flatnonzero(ok):
+            ua = vals[offs[ia[i]]:offs[ia[i] + 1]]
+            ub = vals[offs[ib[i]]:offs[ib[i] + 1]]
+            if len(ub) < len(ua):
+                ua, ub = ub, ua
+            idx = np.searchsorted(ub, ua)
+            idx[idx == len(ub)] = len(ub) - 1
+            inter = int((ub[idx] == ua).sum())
+            keep[i] = (inter / (len(ua) + len(ub) - inter)
+                       >= jaccard_threshold)
+        return t.select(["a_id", "b_id"]).filter(pa.array(keep))
+
+    return _finalize_pairs(cand.map_batches(_vb, batch_format="pyarrow"))
+
+
 def _attach_and_verify(cand, docs_ds, shingle_k: int,
-                       jaccard_threshold: float, nparts: int) -> pa.Table:
-    """Distributed exact-Jaccard verification of candidate id pairs:
-    attach each side's slim shingle set by a hash-bucket join, filter
-    exact Jaccard per pair inside map_batches, return sorted pairs.
-    Shared by MinHash-LSH and the prefix-filtered exact path."""
+                       jaccard_threshold: float, nparts: int,
+                       sh_ds=None,
+                       broadcast_max_bytes: int = 256 << 20) -> pa.Table:
+    """Distributed exact-Jaccard verification of candidate id pairs.
+    Strategy is size-dispatched like the cut pipelines: when the slim
+    shingle-set table fits in `broadcast_max_bytes`, ship it ONCE via
+    ray.put and verify map-side with zero shuffles; past that, attach
+    each side's set by a hash-bucket join and filter inside
+    map_batches. Shared by MinHash-LSH and the prefix-filtered exact
+    path; pass `sh_ds` (from `build_shingle_sets`) to reuse the
+    corpus pass the caller already ran."""
     from . import join as J
 
-    def _shingle_batch(t: pa.Table) -> pa.Table:
-        return _shingle_sets_batch(t, shingle_k)
-
-    sh_ds = _spread(docs_ds).map_batches(_shingle_batch,
-                                         batch_format="pyarrow")\
-        .materialize()
+    if sh_ds is None:
+        sh_ds = build_shingle_sets(docs_ds, shingle_k)
+    if sh_ds.size_bytes() <= broadcast_max_bytes:
+        return _verify_broadcast(cand, sh_ds, jaccard_threshold)
     sh_a = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_a"]),
                              batch_format="pyarrow")
     sh_b = sh_ds.map_batches(lambda t: t.rename_columns(["doc_id", "sh_b"]),
@@ -490,18 +679,7 @@ def _attach_and_verify(cand, docs_ds, shingle_k: int,
     verified = with_b.map_batches(
         lambda t: _jaccard_filter_batch(t, jaccard_threshold),
         batch_format="pyarrow")
-    parts = list(verified.iter_batches(batch_size=None,
-                                       batch_format="pyarrow"))
-    tbl = pa.concat_tables(parts, promote_options="default") \
-        if parts else pa.table({"a_id": pa.array([], pa.int64()),
-                                "b_id": pa.array([], pa.int64())})
-    if len(tbl) == 0:
-        return pa.table({"a_id": pa.array([], pa.int64()),
-                         "b_id": pa.array([], pa.int64())})
-    df = tbl.to_pandas().drop_duplicates()\
-        .sort_values(["a_id", "b_id"])
-    return pa.table({"a_id": df["a_id"].astype(np.int64),
-                     "b_id": df["b_id"].astype(np.int64)})
+    return _finalize_pairs(verified)
 
 
 def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
@@ -512,12 +690,14 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
     docs_ds: Dataset with (doc_id, text). Returns a pyarrow Table of
     pairs (a_id < b_id) whose exact shingle Jaccard >= threshold.
 
-    Fully distributed end to end: candidate generation is ONE capped
-    bucketed-group shuffle on the (band_id, band_hash) key
-    (pairs_from_key_rows); verification attaches slim
-    (doc_id, shingle-set) projections to each candidate pair via two
-    hash-bucket joins and filters exact Jaccard inside map_batches —
-    no texts or shingle dicts ever land on the driver.
+    Fully distributed end to end: the corpus is tokenized+hashed ONCE
+    (`build_shingle_sets`, shared by signatures and verification);
+    candidate generation is ONE capped bucketed-group shuffle on the
+    (band_id, band_hash) key (pairs_from_key_rows); verification is
+    size-dispatched (`_attach_and_verify`): broadcast shingle-set CSR
+    + map-side exact Jaccard when the slim set table fits in the
+    object store, two hash-bucket attach joins past that — no texts
+    or shingle dicts ever land on the driver.
 
     `max_bucket_df` caps degenerate band buckets (e.g. thousands of
     empty docs sharing the sentinel signature would emit O(n^2)
@@ -527,27 +707,39 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
     stop-signature buckets; true near-dup pairs still collide in their
     other n_bands-1 bands.
     """
-    # signatures / bands: task-mode map_batches (setup is O(1), an
-    # actor pool's cold start would dominate — see BASELINE notes)
-    def _sig_and_band(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
+    # ONE corpus tokenize+hash pass, shared with verification
+    sh_ds = build_shingle_sets(docs_ds, shingle_k)
+
+    # signatures / bands from the set lists: task-mode map_batches
+    # (setup is O(1), an actor pool's cold start would dominate)
+    def _sig_and_band(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
             return pa.table({"bkey": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64())})
         key = ("mh", n_perm, seed, shingle_k)
         mh = _STAGE_CACHE.get(key)
         if mh is None:
             mh = _STAGE_CACHE[key] = MinHasher(n_perm, seed, shingle_k)
-        bdf = band_rows(mh(df), n_bands)
-        # single int64 bucket key so candidate generation is ONE C++
-        # hash self-join, not a per-bucket Python UDF
-        bkey = (bdf["band_hash"].to_numpy().view(np.uint64)
-                * np.uint64(0x9E3779B97F4A7C15)
-                + bdf["band_id"].to_numpy().astype(np.uint64)).view(np.int64)
+        vals, offs = _list_views(t["sh"])
+        uv = vals.view(np.uint64)
+        sigs = np.stack([mh.signature(uv[offs[i]:offs[i + 1]])
+                         for i in range(len(t))])  # (n, n_perm)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_per_band = n_perm // n_bands
+        out = np.empty((n_bands, len(t)), np.uint64)
+        for bnd in range(n_bands):
+            seg = sigs[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
+            h = np.bitwise_xor.reduce(
+                seg * np.uint64(0x9E3779B97F4A7C15) + np.uint64(bnd),
+                axis=1)
+            # single int64 bucket key so candidate generation is ONE
+            # capped bucketed-group shuffle
+            out[bnd] = (h * np.uint64(0x9E3779B97F4A7C15)
+                        + np.uint64(bnd))
         # return an ARROW table: pandas-format blocks poison the
         # sort-shuffle downstream (~20x slower per AggregateMap task)
-        return pa.table({"bkey": bkey,
-                         "doc_id": bdf["doc_id"].to_numpy()
-                         .astype(np.int64)})
+        return pa.table({"bkey": out.reshape(-1).view(np.int64),
+                         "doc_id": np.tile(doc, n_bands)})
 
     from . import join as J
 
@@ -555,12 +747,8 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
 
-    # repartition before the wide ops: hash/sort shuffles over a
-    # couple of fat blocks (single-row-group parquet reads) serialize;
-    # many small blocks keep every aggregator busy
     bands, n_band = J.solidify(
-        _spread(docs_ds).map_batches(_sig_and_band,
-                                     batch_format="pandas"),
+        sh_ds.map_batches(_sig_and_band, batch_format="pyarrow"),
         max_parts=128)
     if n_band == 0:   # empty corpus: downstream joins would see
         return _empty_pairs()  # schema-less blocks and fail
@@ -605,7 +793,7 @@ def minhash_lsh_pairs(docs_ds, *, n_perm=64, n_bands=16, shingle_k=3,
         return _empty_pairs()
 
     return _attach_and_verify(cand, docs_ds, shingle_k,
-                              jaccard_threshold, nparts)
+                              jaccard_threshold, nparts, sh_ds=sh_ds)
 
 
 # ---------------------------------------------------------------- simhash
@@ -876,32 +1064,18 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
     pairs); capped groups are dropped. A true pair is lost only if ALL
     its prefix collisions are capped — the cap is a documented safety
     valve, not a correctness knob, at realistic df distributions.
+
+    The corpus is tokenized+hashed exactly ONCE (`build_shingle_sets`);
+    prefix rows are derived vectorized from the set lists and the same
+    materialized sets feed verification.
     """
     t_thr = jaccard_threshold
 
-    def prefix_rows(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0 or "doc_id" not in df.columns:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "sh": pa.array([], pa.int64())})
-        docs, shs = [], []
-        for did, text in zip(df["doc_id"], df["text"]):
-            sh = np.unique(shingle_hashes(text, shingle_k))  # ascending
-            n = len(sh)
-            if n == 0:
-                continue
-            plen = n - int(np.ceil(t_thr * n)) + 1
-            p = sh[:plen].view(np.int64)
-            docs.append(np.full(len(p), did, np.int64))
-            shs.append(p)
-        if not docs:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "sh": pa.array([], pa.int64())})
-        return pa.table({"doc_id": pa.array(np.concatenate(docs)),
-                         "sh": pa.array(np.concatenate(shs))})
-
     from . import join as J
+    sh_ds = build_shingle_sets(docs_ds, shingle_k)
     rows, n_rows = J.solidify(
-        _spread(docs_ds).map_batches(prefix_rows, batch_format="pandas"),
+        sh_ds.map_batches(lambda t: _prefix_rows_from_sets(t, t_thr),
+                          batch_format="pyarrow"),
         max_parts=128)
     if n_rows == 0:
         return pa.table({"a_id": pa.array([], pa.int64()),
@@ -941,4 +1115,4 @@ def exact_jaccard_pairs(docs_ds, *, shingle_k: int = 3,
         max(1, min(nparts, n_cand // 5000 + 1)))
 
     return _attach_and_verify(cand, docs_ds, shingle_k,
-                              jaccard_threshold, nparts)
+                              jaccard_threshold, nparts, sh_ds=sh_ds)

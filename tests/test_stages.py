@@ -496,3 +496,47 @@ def test_prefix_filter_jaccard_equals_brute_force(ray_session):
         want = {(a, b) for a in range(60) for b in range(a + 1, 60)
                 if jaccard(sh[a], sh[b]) >= thr}
         assert got_pairs == want, (thr, got_pairs ^ want)
+
+
+def test_verify_broadcast_equals_bucketed(ray_session):
+    """_attach_and_verify's two strategies (broadcast shingle-set CSR
+    vs hash-bucket attach joins) must be result-identical — the same
+    contract the cut pipelines pin for broadcast vs shuffle."""
+    from osm_cut_ray.stages.dedup import (_adaptive_parts,
+                                          _attach_and_verify,
+                                          build_shingle_sets)
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(6, 20)))
+             for _ in range(40)]
+    texts += [t + " extra" for t in texts[:10]]  # planted near-dups
+    ids = np.arange(50, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    sh_ds = build_shingle_sets(docs, 3)
+    a, b = np.triu_indices(50, k=1)
+    cand = rd.from_arrow(pa.table({"a_id": a.astype(np.int64),
+                                   "b_id": b.astype(np.int64)}))
+    nparts = _adaptive_parts(len(a))
+    bc = _attach_and_verify(cand, docs, 3, 0.5, nparts, sh_ds=sh_ds,
+                            broadcast_max_bytes=1 << 30)
+    bk = _attach_and_verify(cand, docs, 3, 0.5, nparts, sh_ds=sh_ds,
+                            broadcast_max_bytes=0)
+    assert bc.equals(bk)
+    assert len(bc) > 0  # the corpus genuinely has near-dups
+
+
+def test_simhash_verify_strategies_identical(ray_session):
+    """simhash_md5_pairs' broadcast fingerprint verify must equal the
+    bucketed attach-join verify."""
+    from osm_cut_ray.stages.dedup import simhash_md5_pairs
+    rng = np.random.default_rng(11)
+    vocab = [f"word{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    texts = base + [t + " tail" for t in base[:8]]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}))
+    bc = simhash_md5_pairs(docs, broadcast_max_bytes=1 << 30)
+    bk = simhash_md5_pairs(docs, broadcast_max_bytes=0)
+    assert bc.equals(bk)
+    assert len(bc) > 0
