@@ -46,9 +46,10 @@ def _combine_shingles(th: np.ndarray, k: int) -> np.ndarray:
     if len(th) == 0:
         return np.array([], np.uint64)
     if len(th) < k:
-        acc = np.uint64(0)
-        for i, h in enumerate(th):
-            acc ^= h * _SHINGLE_MULS[i % len(_SHINGLE_MULS)]
+        with np.errstate(over="ignore"):  # uint64 wraparound intended
+            acc = np.uint64(0)
+            for i, h in enumerate(th):
+                acc ^= h * _SHINGLE_MULS[i % len(_SHINGLE_MULS)]
         return np.array([acc], np.uint64)
     n = len(th) - k + 1
     acc = np.zeros(n, dtype=np.uint64)
