@@ -88,3 +88,89 @@ def test_decontaminate_clean_corpus_is_noop(ray_session):
 def test_benchmark_shingle_set_empty():
     assert len(benchmark_shingle_set([], 8)) == 0
     assert len(benchmark_shingle_set(["two words"], 8)) == 1  # short doc
+
+
+# ------------------------------------------------------------- sketches
+
+def _zipf_keys(n=200_000, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.zipf(1.3, n).astype(np.int64) % 10_000
+
+
+def test_countmin_bounds_and_linearity():
+    from osm_cut_ray.functions.sketch import CountMin
+    keys = _zipf_keys()
+    uniq, true = np.unique(keys, return_counts=True)
+    cm = CountMin(width=4096, depth=4).add_int64(keys)
+    est = cm.estimate(uniq)
+    assert (est >= true).all()              # CM never underestimates
+    assert (est - true).max() <= 2 * len(keys) / 4096 * 4  # CM bound w/ slack
+    # CM is LINEAR: split + merge must equal the streaming sketch exactly
+    a = CountMin(width=4096, depth=4).add_int64(keys[:50_000])
+    b = CountMin(width=4096, depth=4).add_int64(keys[50_000:])
+    merged = a.merge(CountMin.from_bytes(b.to_bytes()))
+    assert np.array_equal(merged.table, cm.table)
+    assert merged.n == cm.n
+
+
+def test_misra_gries_heavy_hitter_guarantee():
+    from osm_cut_ray.functions.sketch import MisraGries
+    keys = _zipf_keys()
+    uniq, true = np.unique(keys, return_counts=True)
+    k = 64
+    mg = MisraGries(k=k).add_int64(keys)
+    n = len(keys)
+    # estimates are lower bounds, off by at most n/(k+1)
+    for key, c in mg.counts.items():
+        t = int(true[np.searchsorted(uniq, key)])
+        assert c <= t
+        assert t - c <= n / (k + 1)
+    # every key with true count > n/(k+1) is present
+    must = set(uniq[true > n / (k + 1)].tolist())
+    assert must <= set(mg.counts)
+    # merged variant keeps the same guarantee
+    a = MisraGries(k=k).add_int64(keys[:70_000])
+    b = MisraGries(k=k).add_int64(keys[70_000:])
+    m = a.merge(MisraGries.from_bytes(b.to_bytes()))
+    for key, c in m.counts.items():
+        t = int(true[np.searchsorted(uniq, key)])
+        assert c <= t and t - c <= n / (k + 1)
+    assert must <= set(m.counts)
+
+
+def test_kll_quantile_error_and_determinism():
+    from osm_cut_ray.functions.sketch import KLL
+    rng = np.random.default_rng(11)
+    vals = rng.standard_normal(150_000) * 10 + 3
+    sk = KLL(k=200).add(vals)
+    sv = np.sort(vals)
+    n = len(vals)
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        got = sk.quantile(q)
+        rank = np.searchsorted(sv, got) / n
+        assert abs(rank - q) < 0.03, (q, rank)
+    # deterministic: same input -> byte-identical sketch
+    assert KLL(k=200).add(vals).to_bytes() == sk.to_bytes()
+    # weight conservation across compactions
+    total_w = sum(len(a) * (1 << lv) for lv, a in enumerate(sk.levels))
+    assert total_w == n
+    # merged halves stay within the rank bound
+    m = KLL(k=200).add(vals[:60_000]).merge(
+        KLL.from_bytes(KLL(k=200).add(vals[60_000:]).to_bytes()))
+    for q in [0.1, 0.5, 0.9]:
+        rank = np.searchsorted(sv, m.quantile(q)) / n
+        assert abs(rank - q) < 0.04
+
+
+def test_sketch_dataset_over_ray(ray_session):
+    from osm_cut_ray.functions.sketch import CountMin, KLL, sketch_dataset
+    keys = _zipf_keys(50_000)
+    ds = rd.from_arrow(pa.table({"k": keys,
+                                 "v": keys.astype(np.float64)}))
+    cm = sketch_dataset(ds, "k", CountMin, width=2048, depth=4)
+    ref = CountMin(width=2048, depth=4).add_int64(keys)
+    assert np.array_equal(cm.table, ref.table)  # linearity: exact match
+    kll = sketch_dataset(ds, "v", KLL, value_kind="float", k=200)
+    sv = np.sort(keys.astype(np.float64))
+    med_rank = np.searchsorted(sv, kll.quantile(0.5)) / len(keys)
+    assert abs(med_rank - 0.5) < 0.04
