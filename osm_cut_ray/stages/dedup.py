@@ -386,9 +386,6 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
     silent. Token-less docs carry no fingerprint (matching SQL, where
     they produce no token rows).
     """
-    bits_per_band = 64 // n_bands
-    from . import join as J
-
     def fp_batch(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "doc_id" not in t.column_names:
             return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -442,8 +439,33 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
             "doc_id": pa.array(out_ids, pa.int64()),
             "fp": pa.array(fp.astype(np.uint64).view(np.int64))})
 
-    fps, n_fp = J.solidify(
-        _spread(docs_ds).map_batches(fp_batch, batch_format="pyarrow"))
+    return fp_hamming_pairs(
+        _spread(docs_ds).map_batches(fp_batch, batch_format="pyarrow"),
+        hamming_threshold=hamming_threshold, n_bands=n_bands,
+        max_bucket_df=max_bucket_df,
+        broadcast_max_bytes=broadcast_max_bytes,
+        report_name="simhash_md5_pairs")
+
+
+def fp_hamming_pairs(fps_ds, *, hamming_threshold: int = 3,
+                     n_bands: int = 4, max_bucket_df: int = 256,
+                     broadcast_max_bytes: int = 256 << 20,
+                     report_name: str = "fp_hamming_pairs") -> pa.Table:
+    """(doc_id, fp:int64) Dataset -> verified near-dup (a_id, b_id)
+    pairs with Hamming(fp_a, fp_b) <= threshold.
+
+    The fingerprint-agnostic half of the SimHash pipeline, shared by
+    text SimHash (`simhash_md5_pairs`) and image perceptual hashing
+    (`stages/image_dedup.py`): banded candidate generation (pigeonhole-
+    complete for n_bands > threshold), ONE capped bucketed-group
+    shuffle (`pairs_from_key_rows`, drops surfaced via sentinels +
+    report), then exact Hamming verify — broadcast map-side when the
+    16 B/doc fingerprint table fits the object store, hash-bucket
+    attach joins past that."""
+    bits_per_band = 64 // n_bands
+    from . import join as J
+
+    fps, n_fp = J.solidify(fps_ds)
     if n_fp < 2:
         return pa.table({"a_id": pa.array([], pa.int64()),
                          "b_id": pa.array([], pa.int64())})
@@ -482,7 +504,7 @@ def simhash_md5_pairs(docs_ds, *, hamming_threshold: int = 3,
         lambda t: t.filter(pc.equal(t["a_id"], CAP_SENTINEL_ID)),
         batch_format="pyarrow").take_all()]
     if drops:
-        print(f"simhash_md5_pairs: dropped {len(drops)} band bucket(s) "
+        print(f"{report_name}: dropped {len(drops)} band bucket(s) "
               f"over max_bucket_df={max_bucket_df}, sizes="
               f"{sorted(drops)[-5:]} — pairs whose only untouched band "
               f"is capped are lost (exactness caveat)")

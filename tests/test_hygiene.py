@@ -174,3 +174,61 @@ def test_sketch_dataset_over_ray(ray_session):
     sv = np.sort(keys.astype(np.float64))
     med_rank = np.searchsorted(sv, kll.quantile(0.5)) / len(keys)
     assert abs(med_rank - 0.5) < 0.04
+
+
+# ------------------------------------------- image perceptual-hash dedup
+
+def _image_table(patterns):
+    from osm_cut_ray.sources.images import encode_image
+    ids = [f"img{i:08d}" for i in range(len(patterns))]
+    blobs = [encode_image(p, "fpng") for p in patterns]
+    return pa.table({"image_id": ids,
+                     "bytes": pa.array(blobs, pa.binary())})
+
+
+def test_ahash_shift_invariance_and_reencode_robustness():
+    from osm_cut_ray.sources.images import decode_image, encode_image
+    from osm_cut_ray.stages.image_dedup import ahash_stack
+    from osm_cut_ray.stages.dedup import hamming64
+    rng = np.random.default_rng(5)
+    img = rng.integers(20, 200, (32, 32)).astype(np.uint8)
+    # constant brightness shift (no wraparound) leaves aHash unchanged
+    h0 = ahash_stack(img[None])[0]
+    h1 = ahash_stack((img + 10)[None])[0]
+    assert h0 == h1
+    # lossy re-encode (quantization noise) stays within a few bits
+    lossy = decode_image(encode_image(img, "fjpg"))[0]
+    h2 = ahash_stack(lossy[None])[0]
+    d = hamming64(np.array([h0], np.uint64).view(np.int64),
+                  np.array([h2], np.uint64).view(np.int64))[0]
+    assert d <= 8
+    # non-divisible shape works (block grid from reduceat offsets)
+    h3 = ahash_stack(rng.integers(0, 256, (2, 21, 13)).astype(np.uint8))
+    assert h3.shape == (2,)
+
+
+def test_image_dup_pairs_match_brute_force(ray_session):
+    from osm_cut_ray.stages.dedup import hamming64
+    from osm_cut_ray.stages.image_dedup import ahash_stack, image_dup_pairs
+    rng = np.random.default_rng(9)
+    base = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+            for _ in range(15)]
+    # 5 planted near-dups: tiny additive noise on the first 5 patterns
+    dups = [np.clip(p.astype(np.int16)
+                    + rng.integers(-1, 2, p.shape), 0, 255)
+            .astype(np.uint8) for p in base[:5]]
+    patterns = base + dups          # ids 15..19 duplicate ids 0..4
+    tbl = _image_table(patterns)
+    thr = 3
+    # brute-force over the same fingerprints
+    fps = ahash_stack(np.stack(patterns)).view(np.int64)
+    exp = set()
+    for i in range(len(patterns)):
+        for j in range(i + 1, len(patterns)):
+            if hamming64(fps[i:i + 1], fps[j:j + 1])[0] <= thr:
+                exp.add((i, j))
+    got = image_dup_pairs(rd.from_arrow(tbl), hamming_threshold=thr)
+    got_pairs = set(zip(got["a_id"].to_pylist(), got["b_id"].to_pylist()))
+    assert got_pairs == exp
+    # sanity: banding found real planted dups, not an empty intersection
+    assert len(got_pairs & {(i, i + 15) for i in range(5)}) >= 3
