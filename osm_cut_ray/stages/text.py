@@ -101,3 +101,66 @@ def rolling_fingerprint(text: str, window: int = 8,
         if i >= window - 1:
             h ^= acc
     return h
+
+
+def repetition_stats(t):
+    """Gopher-style within-document repetition signals (public
+    Rae et al. quality-filter family), one row per doc:
+
+      dup_line_frac   — 1 - unique_lines/lines (copy-paste detector)
+      top_bigram_frac — tokens covered by the most frequent token
+                        bigram (2*max_count/n_tokens, capped at 1)
+
+    Batch-vectorized via the factorize/bincount pattern: lines and
+    bigrams across the WHOLE batch are factorized once (hash-based, no
+    string sorts), per-(doc, code) collapse happens on packed int64
+    keys, and per-doc maxima use np.maximum.at — no per-doc Python in
+    the hot loop. Accepts a pyarrow Table (doc_id, text).
+    """
+    import pyarrow as pa
+
+    from .dedup import _combine_shingles, _token_hashes_batch
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dup_line_frac": pa.array([], pa.float64()),
+                      "top_bigram_frac": pa.array([], pa.float64())})
+    if len(t) == 0 or "doc_id" not in t.column_names:
+        return empty
+    texts = [str(x) for x in t["text"].to_pylist()]
+    n = len(texts)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # ---- duplicate-line fraction
+    lines_per_doc = [s.split("\n") for s in texts]
+    lens = np.fromiter((len(ls) for ls in lines_per_doc), np.int64, n)
+    flat = np.array([ln for ls in lines_per_doc for ln in ls],
+                    dtype=object)
+    codes, _ = pd.factorize(flat)
+    didx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    packed = (didx << np.int64(32)) | codes.astype(np.int64)
+    uniq_per_doc = np.bincount(
+        (np.unique(packed) >> np.int64(32)).astype(np.int64),
+        minlength=n)
+    dup_line_frac = 1.0 - uniq_per_doc / np.maximum(lens, 1)
+
+    # ---- top-bigram token coverage
+    th, offs = _token_hashes_batch(texts)
+    n_tok = np.diff(offs)
+    big_per_doc = [_combine_shingles(th[offs[i]:offs[i + 1]], 2)
+                   if n_tok[i] >= 2 else np.array([], np.uint64)
+                   for i in range(n)]
+    blens = np.fromiter((len(b) for b in big_per_doc), np.int64, n)
+    top = np.zeros(n, np.int64)
+    if blens.sum():
+        bflat = np.concatenate([b for b in big_per_doc if len(b)])
+        bdidx = np.repeat(np.arange(n, dtype=np.int64), blens)
+        bcodes, _ = pd.factorize(bflat)
+        bpacked = (bdidx << np.int64(32)) | bcodes.astype(np.int64)
+        upacked, ucnt = np.unique(bpacked, return_counts=True)
+        np.maximum.at(top, (upacked >> np.int64(32)).astype(np.int64),
+                      ucnt)
+    top_bigram_frac = np.minimum(
+        2.0 * top / np.maximum(n_tok, 1), 1.0)
+    return pa.table({"doc_id": doc_ids,
+                     "dup_line_frac": dup_line_frac,
+                     "top_bigram_frac": top_bigram_frac})

@@ -232,3 +232,42 @@ def test_image_dup_pairs_match_brute_force(ray_session):
     assert got_pairs == exp
     # sanity: banding found real planted dups, not an empty intersection
     assert len(got_pairs & {(i, i + 15) for i in range(5)}) >= 3
+
+
+# ----------------------------------------------- repetition quality stats
+
+def test_repetition_stats_match_brute_force(ray_session):
+    import collections
+    import re
+
+    from osm_cut_ray.stages.text import repetition_stats
+    rng = np.random.default_rng(21)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        "one\ntwo\nthree\nfour",                     # no dup lines
+        "same\nsame\nsame\nother",                   # 50% dup lines
+        "spam spam spam spam spam spam",             # one dominant bigram
+        " ".join(rng.choice(words, 40)) + "\nx\nx",  # mixed
+        "",                                          # degenerate
+        "single",                                    # one token, no bigram
+    ]
+    ids = np.arange(len(texts), dtype=np.int64)
+    got = repetition_stats(pa.table({"doc_id": ids, "text": texts}))\
+        .to_pandas().set_index("doc_id")
+    tok_re = re.compile(r"\S+")
+    for i, s in enumerate(texts):
+        lines = s.split("\n")
+        exp_dup = 1.0 - len(set(lines)) / len(lines)
+        toks = tok_re.findall(s.lower())
+        bigs = list(zip(toks, toks[1:]))
+        exp_top = min(
+            2.0 * max(collections.Counter(bigs).values()) / len(toks), 1.0
+        ) if bigs else 0.0
+        assert got.loc[i, "dup_line_frac"] == pytest.approx(exp_dup), i
+        assert got.loc[i, "top_bigram_frac"] == pytest.approx(exp_top), i
+    # distributed: same kernel per batch over a Dataset
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    dist = ds.map_batches(repetition_stats, batch_format="pyarrow")\
+        .to_pandas().set_index("doc_id").sort_index()
+    assert np.allclose(dist["dup_line_frac"], got.sort_index()["dup_line_frac"])
+    assert np.allclose(dist["top_bigram_frac"], got.sort_index()["top_bigram_frac"])
