@@ -60,9 +60,11 @@ def _extra_decontaminate(sf_dir: str):
     """Benchmark-overlap scoring + anti-join drop over documents."""
     import ray.data as rd
 
+    from osm_cut_ray.sources.tables import strip_schema_metadata
     from osm_cut_ray.stages.decontaminate import decontaminate
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
     bench_texts = [r["text"] for r in docs.take(20)]
     clean, _report = decontaminate(docs, bench_texts, shingle_k=8,
                                    max_overlap=0.5)
@@ -75,8 +77,10 @@ def _extra_sketches(sf_dir: str):
     import ray.data as rd
 
     from osm_cut_ray.functions.sketch import CountMin, KLL, sketch_dataset
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                         columns=["l_partkey", "l_quantity"])
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    li = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_partkey", "l_quantity"]))
     cm = sketch_dataset(li, "l_partkey", CountMin, width=4096, depth=4)
     kll = sketch_dataset(li, "l_quantity", KLL, value_kind="float", k=200)
     return pa.table({"n": pa.array([cm.n]),
@@ -153,8 +157,10 @@ def headline(sf_dir: str) -> tuple[float, int]:
     # parallel). Materialize the tiny 2-column key projection once and
     # split it into fine-grained blocks so the timed section measures
     # the engine: synthesize -> decode geotag -> assign cells -> PIP.
-    li = rd.read_parquet(sf_path(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_linenumber"])\
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    li = strip_schema_metadata(
+        rd.read_parquet(sf_path(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_linenumber"]))\
         .repartition(NCPU * 8).materialize()
     n_base = li.count()
 

@@ -76,7 +76,9 @@ def collect(ds) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(sf_path(sf_dir, table), columns=columns)
+    from ..sources.tables import strip_schema_metadata
+    return strip_schema_metadata(
+        rd.read_parquet(sf_path(sf_dir, table), columns=columns))
 
 
 # ======================================================================

@@ -10,11 +10,28 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import ray.data as rd
 
 
 def sf_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _strip_md(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def strip_schema_metadata(ds):
+    """Drop Arrow schema metadata right after a parquet read.
+
+    Pandas-written parquet embeds a 'pandas' dict in the schema
+    metadata; such schemas are UNHASHABLE in pyarrow 16, which defeats
+    Ray's block-schema deduplication — every `unify_schemas` on a
+    shuffle/union takes the expensive path and logs "Failed to hash
+    the schemas". The rewrite is metadata-only (zero-copy) and fuses
+    into the read task."""
+    return ds.map_batches(_strip_md, batch_format="pyarrow")
 
 
 def read_table(path: str, columns: list[str] | None = None, **kwargs):
@@ -33,4 +50,5 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
                 "Lance reader unavailable in this environment; "
                 "use parquet inputs"
             ) from exc
-    return rd.read_parquet(path, columns=columns, **kwargs)
+    return strip_schema_metadata(
+        rd.read_parquet(path, columns=columns, **kwargs))

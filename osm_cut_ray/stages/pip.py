@@ -85,7 +85,9 @@ def read_points_pruned(paths, polygon: PolygonIndex, *,
             & (pds.field(lat_col) >= ymin) & (pds.field(lat_col) <= ymax))
     if columns is not None:
         read_kwargs["columns"] = columns
-    return rd.read_parquet(paths, filter=expr, **read_kwargs)
+    from ..sources.tables import strip_schema_metadata
+    return strip_schema_metadata(
+        rd.read_parquet(paths, filter=expr, **read_kwargs))
 
 
 def default_pool_size() -> tuple[int, int]:
