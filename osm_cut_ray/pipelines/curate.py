@@ -1,0 +1,201 @@
+"""End-to-end training-corpus curation: the composed pipeline a
+100-TB documents corpus actually runs, built from the engine's hygiene
+operators.
+
+Two-phase shape chosen for scale:
+
+1. GLOBAL DECISION PASSES over slim projections compute the small
+   drop-id sets — exact-dup non-representatives (content-hash
+   bucketed groups), MinHash near-dup non-representatives (LSH pairs
+   -> connected components, keep min id), benchmark-contaminated docs
+   (broadcast k-gram overlap). Only (id, hash/fingerprint) columns
+   transit these shuffles; the verified outputs are orders of
+   magnitude smaller than the corpus.
+2. A PER-SHARD RESUMABLE REWRITE streams every input shard through
+   map-side filters (quality/repetition/language thresholds computed
+   in-place, drop-id broadcast anti-join) and writes partitioned
+   parquet with manifest-last checkpoints (`state/checkpoint.py`) —
+   a failed run reprocesses only unfinished shards, and the global
+   decisions are reused because they are part of the params lineage
+   only through their thresholds (decision sets are deterministic
+   functions of the inputs).
+
+Per-doc decisions are deliberately id-based so phase 2 needs no
+second shuffle: the drop set broadcasts once via `ray.put`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sources.tables import sf_path, strip_schema_metadata
+from ..stages import join as J
+from ..stages.decontaminate import benchmark_shingle_set, \
+    contamination_scores
+from ..stages.dedup import _spread, dup_clusters, minhash_lsh_pairs
+from ..stages.text import LANG_RES, CJK_RE, repetition_stats
+from ..state.checkpoint import run_resumable
+
+
+def _exact_dup_drop_ids(docs_ds) -> np.ndarray:
+    """doc_ids that are exact-content duplicates of a smaller id.
+
+    md5-low64 of the text per batch (hash + id transit the shuffle,
+    never text), ONE bucketed-group pass emitting every non-min id per
+    hash group."""
+    def h(df: pd.DataFrame) -> pa.Table:
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                            "little") for s in df["text"].astype(str)),
+            np.uint64, len(df))
+        return pa.table({"h": pa.array(hs.view(np.int64)),
+                         "doc_id": pa.array(
+                             df["doc_id"].to_numpy(np.int64))})
+
+    hashed = _spread(docs_ds).map_batches(h, batch_format="pandas")
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["h", "doc_id"])
+        dup = g["h"].to_numpy() == np.roll(g["h"].to_numpy(), 1)
+        dup[0] = False
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[dup]})
+
+    out = J.bucketed_group_apply(hashed, "h", drops)
+    ids = [b["doc_id"].to_numpy(zero_copy_only=False)
+           for b in out.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")
+           if b.num_rows]
+    return np.concatenate(ids).astype(np.int64) if ids \
+        else np.array([], np.int64)
+
+
+def _near_dup_drop_ids(docs_ds, jaccard_threshold: float) -> np.ndarray:
+    """Non-representative members of MinHash near-dup clusters
+    (keep the min id of each connected component)."""
+    pairs = minhash_lsh_pairs(docs_ds,
+                              jaccard_threshold=jaccard_threshold)
+    if len(pairs) == 0:
+        return np.array([], np.int64)
+    cl = dup_clusters(pairs)
+    doc = cl["doc_id"].to_numpy(zero_copy_only=False)
+    rep = cl["cluster_id"].to_numpy(zero_copy_only=False)
+    return doc[doc != rep].astype(np.int64)
+
+
+def _contaminated_ids(docs_ds, bench_texts, shingle_k: int,
+                      max_overlap: float) -> np.ndarray:
+    import pyarrow.compute as pc
+    bench = benchmark_shingle_set(bench_texts, shingle_k)
+    if len(bench) == 0:
+        return np.array([], np.int64)
+    scores = contamination_scores(docs_ds, bench, shingle_k=shingle_k)
+    flagged = scores.map_batches(
+        lambda t: t.filter(pc.greater(t["overlap"], max_overlap))
+        .select(["doc_id"]) if len(t)
+        else pa.table({"doc_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    ids = [b["doc_id"].to_numpy(zero_copy_only=False)
+           for b in flagged.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")
+           if b.num_rows]
+    return np.concatenate(ids).astype(np.int64) if ids \
+        else np.array([], np.int64)
+
+
+def _quality_filter_batch(t: pa.Table, *, langs: tuple[str, ...],
+                          max_dup_line_frac: float,
+                          max_top_bigram_frac: float,
+                          min_tokens: int) -> pa.Table:
+    """Map-side in-place quality gate: language allow-list +
+    repetition thresholds + minimum length, computed on the batch and
+    applied immediately (no stats join)."""
+    if len(t) == 0 or "doc_id" not in t.column_names:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())})
+    text = pd.Series(t["text"].to_pylist()).astype(str)
+    low = text.str.lower()
+    counts = {k: low.str.count(v).to_numpy() for k, v in LANG_RES.items()}
+    c_zh = text.str.count(CJK_RE).to_numpy()
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    lang = np.select(
+        [c_zh > 0,
+         (en >= de) & (en >= fr) & (en >= es),
+         (de >= fr) & (de >= es),
+         fr >= es],
+        ["zh", "en", "de", "fr"], default="es")  # == stages.text.LangId
+    rep = repetition_stats(t)
+    n_tok = text.str.count(r"\S+").to_numpy()
+    keep = (np.isin(lang, list(langs))
+            & (rep["dup_line_frac"].to_numpy() <= max_dup_line_frac)
+            & (rep["top_bigram_frac"].to_numpy() <= max_top_bigram_frac)
+            & (n_tok >= min_tokens))
+    return t.filter(pa.array(keep))
+
+
+def curate_documents(input_paths, out_dir: str, *,
+                     bench_texts=(), shingle_k: int = 8,
+                     max_overlap: float = 0.1,
+                     jaccard_threshold: float = 0.8,
+                     langs: tuple[str, ...] = ("en",),
+                     max_dup_line_frac: float = 0.5,
+                     max_top_bigram_frac: float = 0.5,
+                     min_tokens: int = 3) -> dict:
+    """Curate a documents corpus into `out_dir` (one parquet directory
+    per input shard, manifest-last checkpoints). Returns the resume
+    report extended with per-cause drop counters.
+
+    input_paths: list of parquet paths, each with (doc_id, text) —
+    doc_ids must be globally unique across shards."""
+    docs = strip_schema_metadata(
+        rd.read_parquet(list(input_paths), columns=["doc_id", "text"]))
+
+    exact = _exact_dup_drop_ids(docs)
+    near = _near_dup_drop_ids(docs, jaccard_threshold)
+    contam = _contaminated_ids(docs, list(bench_texts), shingle_k,
+                               max_overlap)
+    drop = np.unique(np.concatenate([exact, near, contam])) \
+        if len(exact) + len(near) + len(contam) \
+        else np.array([], np.int64)
+
+    params = {"shingle_k": shingle_k, "max_overlap": max_overlap,
+              "jaccard_threshold": jaccard_threshold,
+              "langs": list(langs),
+              "max_dup_line_frac": max_dup_line_frac,
+              "max_top_bigram_frac": max_top_bigram_frac,
+              "min_tokens": min_tokens,
+              "n_bench": len(bench_texts)}
+
+    def process(path: str):
+        shard = strip_schema_metadata(
+            rd.read_parquet(path, columns=["doc_id", "text"]))
+        gated = shard.map_batches(
+            lambda t: _quality_filter_batch(
+                t, langs=langs, max_dup_line_frac=max_dup_line_frac,
+                max_top_bigram_frac=max_top_bigram_frac,
+                min_tokens=min_tokens),
+            batch_format="pyarrow")
+        return J.broadcast_is_in(gated, "doc_id", drop, mode="anti") \
+            if len(drop) else gated
+
+    shards = [(os.path.splitext(os.path.basename(p))[0] or f"s{i}", p)
+              for i, p in enumerate(input_paths)]
+    report = run_resumable(shards, process, out_dir, params=params)
+    report["n_drop_exact_dup"] = int(len(exact))
+    report["n_drop_near_dup"] = int(len(near))
+    report["n_drop_contaminated"] = int(len(contam))
+    return report
+
+
+def curate_sf_documents(sf_dir: str, out_dir: str, **kwargs) -> dict:
+    """Convenience wrapper over the sf test layout."""
+    return curate_documents([sf_path(sf_dir, "documents")], out_dir,
+                            **kwargs)

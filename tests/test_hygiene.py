@@ -1,6 +1,8 @@
 """Training-data hygiene additions: benchmark decontamination (plus,
 further down, mergeable sketches and image perceptual-hash dedup)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -271,3 +273,78 @@ def test_repetition_stats_match_brute_force(ray_session):
         .to_pandas().set_index("doc_id").sort_index()
     assert np.allclose(dist["dup_line_frac"], got.sort_index()["dup_line_frac"])
     assert np.allclose(dist["top_bigram_frac"], got.sort_index()["top_bigram_frac"])
+
+
+# ------------------------------------------------- composed curation run
+
+def test_curate_documents_end_to_end(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.pipelines.curate import curate_documents
+    rng = np.random.default_rng(31)
+    words = np.array(["alpha", "beta", "gamma", "delta", "epsilon",
+                      "zeta", "eta", "theta", "iota", "kappa",
+                      "the", "and", "of", "to", "is"])
+
+    def doc(n=40):
+        return " ".join(rng.choice(words, n))
+
+    base = [doc() for _ in range(20)]
+    texts = list(base)
+    ids = list(range(20))
+    # shard 2 content: planted problems
+    texts2 = [
+        base[0],                       # 100: exact dup of 0 -> drop
+        base[1] + " extra tail word",  # 101: near dup of 1 -> drop
+        BENCH[0],                      # 102: contaminated -> drop
+        "der die und das ist nicht " * 5,     # 103: German -> drop
+        "spam " * 30,                  # 104: repetitive -> drop
+        "tiny",                        # 105: under min_tokens -> drop
+        doc(),                         # 106: clean -> keep
+    ]
+    ids2 = [100 + i for i in range(len(texts2))]
+    p1 = str(tmp_path / "shard_a.parquet")
+    p2 = str(tmp_path / "shard_b.parquet")
+    pq.write_table(pa.table({"doc_id": np.array(ids, np.int64),
+                             "text": texts}), p1)
+    pq.write_table(pa.table({"doc_id": np.array(ids2, np.int64),
+                             "text": texts2}), p2)
+    out = str(tmp_path / "curated")
+
+    report = curate_documents(
+        [p1, p2], out, bench_texts=BENCH, max_overlap=0.1,
+        jaccard_threshold=0.5, langs=("en",),
+        max_dup_line_frac=0.5, max_top_bigram_frac=0.5, min_tokens=3)
+    assert sorted(report["completed"]) == ["shard_a", "shard_b"]
+    assert report["n_drop_exact_dup"] == 1        # 100
+    assert report["n_drop_near_dup"] >= 1         # 101
+    assert report["n_drop_contaminated"] == 1     # 102
+
+    kept = pa.concat_tables([
+        pq.read_table(os.path.join(out, s, f))
+        for s in ("shard_a", "shard_b")
+        for f in os.listdir(os.path.join(out, s))
+        if f.endswith(".parquet")])
+    kept_ids = set(kept["doc_id"].to_pylist())
+    for bad in (100, 101, 102, 103, 104, 105):
+        assert bad not in kept_ids, bad
+    assert 106 in kept_ids
+    # shard_a survivors: everything except docs pulled into near-dup
+    # clusters as non-representatives (base docs keep their min id)
+    assert set(ids) <= kept_ids | {i for i in ids}  # reps stay by min-id rule
+    assert 0 in kept_ids and 1 in kept_ids
+
+    # resume: second run skips both shards, same row counts
+    report2 = curate_documents(
+        [p1, p2], out, bench_texts=BENCH, max_overlap=0.1,
+        jaccard_threshold=0.5, langs=("en",),
+        max_dup_line_frac=0.5, max_top_bigram_frac=0.5, min_tokens=3)
+    assert sorted(report2["skipped"]) == ["shard_a", "shard_b"]
+    assert report2["rows_out"] == report["rows_out"]
+
+    # changed params -> shards recompute
+    report3 = curate_documents(
+        [p1, p2], out, bench_texts=BENCH, max_overlap=0.1,
+        jaccard_threshold=0.5, langs=("en",),
+        max_dup_line_frac=0.5, max_top_bigram_frac=0.5, min_tokens=4)
+    assert sorted(report3["completed"]) == ["shard_a", "shard_b"]
