@@ -348,3 +348,21 @@ def test_curate_documents_end_to_end(ray_session, tmp_path):
         jaccard_threshold=0.5, langs=("en",),
         max_dup_line_frac=0.5, max_top_bigram_frac=0.5, min_tokens=4)
     assert sorted(report3["completed"]) == ["shard_a", "shard_b"]
+
+
+def test_read_table_strips_unhashable_schema_metadata(ray_session):
+    """Pandas-written parquet schemas carry a metadata dict that is
+    unhashable in pyarrow 16, defeating Ray's block-schema dedup; the
+    shared readers must emit metadata-free (hashable) schemas."""
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.sources.tables import read_table, sf_path
+    path = sf_path("/root/testdata/sf0.001", "documents")
+    raw = pq.read_schema(path)
+    assert raw.metadata  # the fixture really does carry metadata
+    with pytest.raises(TypeError):
+        hash(raw)
+    for b in read_table(path, columns=["doc_id"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        assert b.schema.metadata is None
+        hash(b.schema)  # must not raise
