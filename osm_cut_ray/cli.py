@@ -80,6 +80,43 @@ def _cmd_flagship(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    import glob
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.curate import curate_documents
+    paths = sorted(p for pat in args.inputs for p in glob.glob(pat))
+    if not paths:
+        print(f"no inputs matched {args.inputs}", file=sys.stderr)
+        return 2
+    bench_texts = []
+    if args.benchmark:
+        with open(args.benchmark, encoding="utf-8") as f:
+            bench_texts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    report = curate_documents(
+        paths, args.output, bench_texts=bench_texts,
+        max_overlap=args.max_overlap,
+        jaccard_threshold=args.jaccard_threshold,
+        langs=tuple(args.langs.split(",")),
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        min_tokens=args.min_tokens)
+    print(f"completed={report['completed']} skipped={report['skipped']} "
+          f"rows_out={report['rows_out']} "
+          f"drops: exact={report['n_drop_exact_dup']} "
+          f"near={report['n_drop_near_dup']} "
+          f"contaminated={report['n_drop_contaminated']} "
+          f"wall={report['wall_sec']}s")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_cut_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -98,6 +135,22 @@ def main(argv=None) -> int:
     f.add_argument("sf_dir", help="input table directory")
     f.add_argument("output", help="checkpoint output directory")
     f.set_defaults(fn=_cmd_flagship)
+    cu = sub.add_parser("curate",
+                        help="resumable corpus curation: dedup + "
+                             "decontaminate + quality gate -> parquet")
+    cu.add_argument("inputs", nargs="+",
+                    help="input parquet paths/globs with (doc_id, text)")
+    cu.add_argument("output", help="curated output directory")
+    cu.add_argument("--benchmark", default=None,
+                    help="text file, one benchmark document per line")
+    cu.add_argument("--max-overlap", type=float, default=0.1)
+    cu.add_argument("--jaccard-threshold", type=float, default=0.8)
+    cu.add_argument("--langs", default="en",
+                    help="comma-separated language allow-list")
+    cu.add_argument("--max-dup-line-frac", type=float, default=0.5)
+    cu.add_argument("--max-top-bigram-frac", type=float, default=0.5)
+    cu.add_argument("--min-tokens", type=int, default=3)
+    cu.set_defaults(fn=_cmd_curate)
     args = p.parse_args(argv)
     return args.fn(args)
 

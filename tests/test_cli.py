@@ -78,3 +78,30 @@ def test_cli_cut_parquet_dir_roundtrip(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert check.returncode == 0, check.stderr[-500:]
     assert "[1, 2, 3, 4] [[1, 2, 3, 4, 1]]" in check.stdout
+
+
+def test_cli_curate_resume(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["the cat sat on the mat today fine",
+                 "the cat sat on the mat today fine",   # exact dup -> drop
+                 "the dog ran in the park and then home",
+                 "benchmark sentence to remove from the training set"],
+    })
+    p = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(p))
+    bench = tmp_path / "bench.txt"
+    bench.write_text("benchmark sentence to remove from the training set\n")
+    out = str(tmp_path / "curated")
+    r1 = _run(["curate", str(p), out, "--benchmark", str(bench),
+               "--max-overlap", "0.5", "--min-tokens", "1",
+               "--jaccard-threshold", "0.9"])
+    assert r1.returncode == 0, r1.stderr[-800:]
+    assert "exact=1" in r1.stdout and "contaminated=1" in r1.stdout
+    assert "rows_out=2" in r1.stdout
+    r2 = _run(["curate", str(p), out, "--benchmark", str(bench),
+               "--max-overlap", "0.5", "--min-tokens", "1",
+               "--jaccard-threshold", "0.9"])
+    assert r2.returncode == 0 and "skipped=['docs']" in r2.stdout
