@@ -27,7 +27,7 @@ def _cmd_cut(args) -> int:
 
     import ray.data as rd
     from .geometry.polygon import PolygonIndex, parse_poly_file
-    from .pipelines.cut import cut
+    from .pipelines.cut import cut, cut_auto
     from .sources.osm_xml import load_osm_xml
 
     poly = PolygonIndex.compile(parse_poly_file(args.polygon))
@@ -48,8 +48,18 @@ def _cmd_cut(args) -> int:
         work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
         nodes, ways, rels = load_osm_xml(args.input, work)
 
-    res = cut(nodes, ways, rels, poly, complete=not args.non_complete,
-              pip_nodes=pip_nodes)
+    if args.strategy == "broadcast":
+        res = cut(nodes, ways, rels, poly,
+                  complete=not args.non_complete, pip_nodes=pip_nodes)
+    elif args.strategy == "shuffle":
+        from .pipelines.cut_shuffle import cut_shuffle
+        res = cut_shuffle(nodes, ways, rels, poly,
+                          complete=not args.non_complete)
+    else:
+        strategy, res = cut_auto(nodes, ways, rels, poly,
+                                 complete=not args.non_complete,
+                                 pip_nodes=pip_nodes)
+        print(f"strategy: {strategy}", file=sys.stderr)
 
     # pluggable writer (reference S5 writer_module analog): --format
     # picks from the registry; library callers can pass any Sink to
@@ -128,6 +138,11 @@ def main(argv=None) -> int:
                    help="drop referenced-but-outside objects "
                         "(reference default keeps them: complete_objects)")
     c.add_argument("--format", choices=["xml", "parquet"], default="xml")
+    c.add_argument("--strategy", choices=["auto", "broadcast", "shuffle"],
+                   default="auto",
+                   help="membership-join strategy; auto sizes the "
+                        "inputs and broadcasts only when the id sets "
+                        "fit (cut_auto)")
     c.set_defaults(fn=_cmd_cut)
     f = sub.add_parser("flagship",
                        help="checkpointed flagship image-cut run "

@@ -294,3 +294,39 @@ def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
     return CutResult(nodes=out_nodes, ways=out_ways, relations=out_rels,
                      node_ids=node_ids.astype(np.int64), way_ids=way_ids,
                      rel_ids=rel_ids)
+
+
+def cut_auto(nodes: Dataset, ways: Dataset, relations: Dataset,
+             polygon: PolygonIndex, *, complete: bool = True,
+             id_col: str = "id", pip_nodes: Dataset | None = None,
+             broadcast_max_keys: int | None = None
+             ) -> tuple[str, "CutResult | dict"]:
+    """Pick the cut join strategy from measured input size.
+
+    The broadcast cut's membership sets are bounded by the node/way
+    counts (inside ⊆ nodes, needed refs ⊆ nodes when refs resolve,
+    kept ways ⊆ ways), so if those counts fit the broadcast cap the
+    `ray.put` + `pc.is_in` path wins (zero shuffles for membership);
+    past it, every membership decision must be a hash-partitioned join
+    (`cut_shuffle`). Both strategies are result-identical
+    (tests/test_cut_shuffle.py), so the choice is pure physics.
+
+    `count()` is metadata-only on parquet-backed datasets — the
+    intended callers (CLI, job entry) pass raw table reads. If an
+    out-of-corpus way ref ever pushed the true needed-set past the cap
+    despite the bound, `broadcast_is_in` raises rather than silently
+    shipping an oversized set, so the heuristic has a hard backstop.
+
+    Returns ``(strategy, result)``: ``("broadcast", CutResult)`` or
+    ``("shuffle", cut_shuffle-dict)`` — both shapes are accepted by
+    `sources.sink.write_cut_result`.
+    """
+    cap = broadcast_max_keys if broadcast_max_keys is not None \
+        else J.BROADCAST_MAX_KEYS
+    if max(nodes.count(), ways.count()) <= cap:
+        return "broadcast", cut(nodes, ways, relations, polygon,
+                                complete=complete, id_col=id_col,
+                                pip_nodes=pip_nodes)
+    from .cut_shuffle import cut_shuffle
+    return "shuffle", cut_shuffle(nodes, ways, relations, polygon,
+                                  complete=complete, id_col=id_col)

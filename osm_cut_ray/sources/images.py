@@ -190,6 +190,88 @@ class ImageDecodeStage:
         })
 
 
+def resize_stack(stack: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized downsample of a same-shape image stack (m, h, w).
+
+    Area (block-mean) resampling when the scale divides evenly — the
+    power-of-two thumbnail path — else nearest-neighbor via floor index
+    mapping. Deterministic: means round half-up (floor(x + 0.5)), not
+    numpy banker's rounding.
+    """
+    m, h, w = stack.shape
+    if (out_h, out_w) == (h, w):
+        return stack
+    if h % out_h == 0 and w % out_w == 0:
+        fy, fx = h // out_h, w // out_w
+        mean = stack.reshape(m, out_h, fy, out_w, fx) \
+            .mean(axis=(2, 4), dtype=np.float64)
+        return np.floor(mean + 0.5).astype(np.uint8)
+    yi = np.arange(out_h, dtype=np.int64) * h // out_h
+    xi = np.arange(out_w, dtype=np.int64) * w // out_w
+    return stack[:, yi][:, :, xi]
+
+
+class ImageResizeStage:
+    """Actor-pool resize/thumbnail stage (the north_star's multimodal
+    decode/feature-extract/RESIZE/frame-sample family).
+
+    Decodes the binary column, downsamples every image whose max side
+    exceeds `target` (aspect-preserving), re-encodes in the row's own
+    format, and emits the same input_hint schema with updated
+    bytes/w/h — so the output composes with every other image stage
+    (flagship, ImageDecodeStage, image_dedup). Per-row zlib
+    encode/decode is inherent to the codec; the resample itself is
+    vectorized per shape group. Images already at/below `target` pass
+    through untouched (bytes included).
+    """
+
+    def __init__(self, target: int = 16):
+        if target < 1:
+            raise ValueError("target must be >= 1")
+        self.target = target
+
+    def _out_shape(self, h: int, w: int) -> tuple[int, int]:
+        side = max(h, w)
+        if side <= self.target:
+            return h, w
+        # round half-up keeps aspect within 1px and never hits 0
+        return (max(1, (h * self.target + side // 2) // side),
+                max(1, (w * self.target + side // 2) // side))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return t
+        bufs = t["bytes"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        out_bufs: list = list(bufs)          # default: passthrough
+        out_w = np.empty(n, np.int32)
+        out_h = np.empty(n, np.int32)
+        pixels: list = [None] * n
+        by_shape: dict[tuple[int, int], list[int]] = {}
+        for i, buf in enumerate(bufs):
+            px, _ = decode_image(buf)
+            pixels[i] = px
+            by_shape.setdefault(px.shape, []).append(i)
+        for (h, w), idxs in by_shape.items():
+            oh, ow = self._out_shape(h, w)
+            idx = np.asarray(idxs, np.int64)
+            out_h[idx], out_w[idx] = oh, ow
+            if (oh, ow) == (h, w):
+                continue
+            small = resize_stack(np.stack([pixels[i] for i in idxs]),
+                                 oh, ow)
+            for j, i in enumerate(idxs):
+                out_bufs[i] = encode_image(small[j], fmts[i])
+        return pa.table({
+            "image_id": t["image_id"],
+            "bytes": pa.array(out_bufs, pa.binary()),
+            "w": pa.array(out_w), "h": pa.array(out_h),
+            "fmt": t["fmt"], "caption": t["caption"],
+            "phash": t["phash"],
+        })
+
+
 # per-worker-process singleton for task-mode map_batches: the stage's
 # only state is the cached base patterns (3 shapes), so tasks + this
 # memo beat an actor pool's cold start

@@ -143,10 +143,17 @@ def _shuffle_relations(result: dict):
 
 def write_cut_result(result, sink: Sink) -> dict:
     """Stream a CutResult (or cut_shuffle dict) through a Sink in the
-    reference's element order; returns sink.close()'s counts."""
+    reference's element order; returns sink.close()'s counts.
+
+    The broadcast CutResult preserves input document order (filters
+    only), but the shuffle dict's row order is hash-join-dependent —
+    so the dict branch restores id order per kind with an output-sized
+    sort. OSM dumps are id-sorted within kind, which makes the two
+    strategies' sink output byte-identical on standard inputs.
+    """
     if isinstance(result, dict):  # cut_shuffle output shape
-        trio = (result["nodes"], result["ways"],
-                _shuffle_relations(result))
+        trio = (result["nodes"].sort("id"), result["ways"].sort("id"),
+                _shuffle_relations(result).sort("id"))
     else:
         trio = (result.nodes, result.ways, result.relations)
     for kind, ds in zip(KINDS, trio):

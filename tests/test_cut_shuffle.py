@@ -96,6 +96,27 @@ def test_shuffle_cut_matches_broadcast_on_corpus(ray_session):
         assert b_mem == s_mem
 
 
+def test_cut_auto_strategy_selection(ray_session):
+    from osm_cut_ray.pipelines.cut import cut_auto
+    nodes = rd.from_arrow(fixture_nodes())
+    ways = rd.from_arrow(fixture_ways())
+    rels = rd.from_arrow(fixture_relations())
+    poly = PolygonIndex.compile(FIXTURE_POLY)
+
+    strat_b, res_b = cut_auto(nodes, ways, rels, poly)
+    assert strat_b == "broadcast"
+    # force the cap below the input size -> the shuffle path, same result
+    strat_s, res_s = cut_auto(nodes, ways, rels, poly,
+                              broadcast_max_keys=1)
+    assert strat_s == "shuffle"
+    assert _ids(res_s["node_ids"], "node_id") == \
+        sorted(res_b.node_ids.tolist())
+    assert _ids(res_s["way_ids"], "way_id") == \
+        sorted(res_b.way_ids.tolist())
+    assert _ids(res_s["rel_ids"], "rel_id") == \
+        sorted(res_b.rel_ids.tolist())
+
+
 def test_noncomplete_forward_pass_member_visibility(ray_session):
     """Reference non-complete mode filters members against the set AT
     PROCESSING TIME (osm_process_non_complete.erl:90-105): a kept

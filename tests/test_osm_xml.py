@@ -192,8 +192,10 @@ def test_sink_cut_shuffle_members_rebuilt(xml_path, tmp_path, ray_session):
     assert scounts == bcounts
 
     def rows(sink, kind):
-        return sorted(sink.table(kind).to_pylist(),
-                      key=lambda r: r["id"])
+        # EMISSION order, not re-sorted: the dict branch must deliver
+        # id order so sinks match the broadcast path byte-for-byte on
+        # id-sorted inputs (OSM dump order)
+        return sink.table(kind).to_pylist()
 
     assert [r["id"] for r in rows(ssink, "node")] \
         == [r["id"] for r in rows(bsink, "node")]

@@ -38,6 +38,53 @@ def test_image_decode_stage_enforces_invariant(ray_session):
         ImageDecodeStage()(bad)
 
 
+def test_image_resize_stage(ray_session):
+    from osm_cut_ray.sources.images import (ImageDecodeStage,
+                                            ImageResizeStage, decode_image,
+                                            images_batch_from_keys,
+                                            resize_stack)
+    t = images_batch_from_keys(np.arange(60, dtype=np.int64))  # 16/32/64 px
+    out = ImageResizeStage(target=16)(t)
+    assert out.schema.names == ["image_id", "bytes", "w", "h", "fmt",
+                                "caption", "phash"]
+    assert (np.asarray(out["w"].to_numpy()) == 16).all()
+    assert (np.asarray(out["h"].to_numpy()) == 16).all()
+    assert out["fmt"].to_pylist() == t["fmt"].to_pylist()
+    assert out["caption"].to_pylist() == t["caption"].to_pylist()
+    for buf, w, h in zip(out["bytes"].to_pylist(),
+                         out["w"].to_pylist(), out["h"].to_pylist()):
+        assert decode_image(buf)[0].shape == (h, w)
+    # already-at-target rows pass through byte-identical
+    orig_w = np.asarray(t["w"].to_numpy())
+    small = np.flatnonzero(orig_w == 16)
+    assert len(small) and all(
+        out["bytes"][int(i)].as_py() == t["bytes"][int(i)].as_py()
+        for i in small)
+    # independent brute check: 64->16 lossless block-mean, half-up
+    big = np.flatnonzero((orig_w == 64)
+                         & (np.asarray(t["fmt"].to_pylist()) == "fpng"))[0]
+    px = decode_image(t["bytes"][int(big)].as_py())[0]
+    brute = np.floor(px.reshape(16, 4, 16, 4)
+                     .mean(axis=(1, 3), dtype=np.float64) + 0.5) \
+        .astype(np.uint8)
+    got = decode_image(out["bytes"][int(big)].as_py())[0]
+    np.testing.assert_array_equal(got, brute)
+    # non-divisible path = nearest neighbor floor mapping
+    stack = np.arange(2 * 10 * 6, dtype=np.uint8).reshape(2, 10, 6)
+    nn = resize_stack(stack, 4, 4)
+    yi = np.arange(4) * 10 // 4
+    xi = np.arange(4) * 6 // 4
+    np.testing.assert_array_equal(nn, stack[:, yi][:, :, xi])
+    # composes downstream through Ray map_batches into the decode stage
+    ds = rd.from_arrow(t).map_batches(ImageResizeStage(target=16),
+                                      batch_format="pyarrow",
+                                      concurrency=2, batch_size=32)
+    dec = ds.map_batches(ImageDecodeStage(check_invariant=False),
+                         batch_format="pyarrow").take_all()
+    assert len(dec) == 60
+    assert all(r["dec_w"] == 16 and r["dec_h"] == 16 for r in dec)
+
+
 def test_simhash_near_dup_behavior():
     from osm_cut_ray.stages.dedup import SimHasher, hamming64
     base = "the quick brown fox jumps over the lazy dog " * 8
