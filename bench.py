@@ -126,10 +126,33 @@ def _as_ds(tbl):
     return rd.from_arrow(tbl)
 
 
+def _extra_image_resize(sf_dir: str):
+    """Resize/thumbnail throughput: 50k mixed-size (16/32/64 px)
+    input_hint images, decode -> per-shape vectorized downsample to
+    16 px -> re-encode; consumes a slim (id, w, h) projection."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import (ImageResizeStage,
+                                            images_batch_from_keys)
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    return corpus.map_batches(ImageResizeStage(target=16),
+                              batch_format="pyarrow", batch_size=1024) \
+        .map_batches(lambda t: t.select(["image_id", "w", "h"]),
+                     batch_format="pyarrow")
+
+
 EXTRA_SET = {
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
     "image_phash_dedup": _extra_image_phash,
+    "image_resize_50k": _extra_image_resize,
 }
 
 
