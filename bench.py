@@ -148,11 +148,33 @@ def _extra_image_resize(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def _extra_curate(sf_dir: str):
+    """Composed corpus curation end-to-end (exact dup + MinHash near-dup
+    + decontamination decision passes, then the resumable per-shard
+    quality-gated rewrite) over the documents table into a fresh /tmp
+    output. Measures the whole two-phase pipeline, not one op."""
+    import glob
+    import shutil
+    import tempfile
+
+    from osm_cut_ray.pipelines.curate import curate_documents
+
+    paths = sorted(glob.glob(os.path.join(sf_dir, "documents.parquet")))
+    out = tempfile.mkdtemp(prefix="bench_curate_", dir="/tmp")
+    try:
+        bench_texts = ["the quick brown fox jumps over the lazy dog"]
+        curate_documents(paths, out, bench_texts=bench_texts)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return None
+
+
 EXTRA_SET = {
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
     "image_phash_dedup": _extra_image_phash,
     "image_resize_50k": _extra_image_resize,
+    "curate_docs_e2e": _extra_curate,
 }
 
 
