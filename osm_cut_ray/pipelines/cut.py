@@ -238,8 +238,12 @@ def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
         }), batch_format="pyarrow")
     # relation graph + direct matches are tiny vs the corpus (SURVEY J4):
     # collect to the driver and close there.
+    _EMPTY_MEM = pa.table({"rel_id": pa.array([], pa.int64()),
+                           "m_type": pa.array([], pa.large_string()),
+                           "m_ref": pa.array([], pa.int64())})
     mem_tbl = pa.concat_tables(
-        list(mem.iter_batches(batch_size=None, batch_format="pyarrow")))
+        list(mem.iter_batches(batch_size=None, batch_format="pyarrow"))
+        or [_EMPTY_MEM])  # empty relations table -> zero batches
     mt = mem_tbl["m_type"].to_numpy(zero_copy_only=False)
     mref = mem_tbl["m_ref"].to_numpy(zero_copy_only=False).astype(np.int64)
     mrel = mem_tbl["rel_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -100,6 +100,43 @@ def _distinct_keys(ds: Dataset, col: str) -> Dataset:
     return _coerce_single_int64(J.distinct(ds, [col]), col)
 
 
+def _empty_ids(col: str) -> Dataset:
+    import ray.data as rd
+    return rd.from_arrow(pa.table({col: pa.array([], pa.int64())}))
+
+
+def _solid_ids(ds: Dataset, col: str) -> Dataset:
+    """Make a MATERIALIZED kept-id set safe to feed a native join.
+
+    Two zero-row edges (both observed): (1) an all-filtered-out set
+    materializes to schema-less empty blocks — replace with one
+    explicit int64-typed block; (2) an OVER-PARTITIONED tiny set (the
+    _coerce repartition targets _num_partitions regardless of rows)
+    carries schema-less empty splits that crash downstream joins
+    NONDETERMINISTICALLY ("No match for key field" when an aggregator
+    partition sees only those) — re-solidify to a data-sized partition
+    count so every block has rows. count()/num_blocks() are
+    metadata-only on materialized inputs; the re-shuffle only fires
+    when the set is small, where it is O(rows).
+
+    NOTE typing alone does not make an EMPTY set joinable: the hash
+    aggregator drops zero-row blocks, so an empty side reaches Acero
+    schema-less regardless — every native join in this module is
+    therefore also count-short-circuited on its materialized sides."""
+    n = ds.count()
+    if n == 0:
+        return _empty_ids(col)
+    target = min(_num_partitions(), n // 5000 + 1)
+    if target < ds.num_blocks():
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
+def _empty_like(ds: Dataset) -> Dataset:
+    import ray.data as rd
+    return rd.from_arrow(ds.schema().base_schema.empty_table())
+
+
 def semi_join(left: Dataset, key: str, keys_ds: Dataset,
               keys_col: str | None = None, *,
               keys_distinct: bool = False) -> Dataset:
@@ -114,6 +151,13 @@ def semi_join(left: Dataset, key: str, keys_ds: Dataset,
     # key Dataset (the materialized kept-id sets) — use it verbatim
     slim = keys_ds if keys_distinct else _distinct_keys(keys_ds, keys_col)
     schema: pa.Schema = left.schema().base_schema
+    if keys_distinct and slim.count() == 0:
+        # Ray 2.49 native joins crash on an empty side (the aggregator
+        # drops zero-row blocks); an empty DISTINCT key set means an
+        # empty semi-join by definition. keys_distinct sets are
+        # materialized, so count() is metadata-only.
+        import ray.data as rd
+        return rd.from_arrow(schema.empty_table())
     if any(pa.types.is_nested(f.type) for f in schema):
         return J.bucketed_semi_join(left, key, slim, keys_col,
                                     num_buckets=_num_partitions())
@@ -137,10 +181,10 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
     # phase 1: PIP -> inside id Dataset (slim: id only)
     flagged = apply_pip(nodes.select_columns([id_col, "lon", "lat"]),
                         polygon)
-    inside_ids = flagged.map_batches(
+    inside_ids = _solid_ids(flagged.map_batches(
         lambda t: t.filter(t["inside"]).select([id_col])
-        .rename_columns(["node_id"]), batch_format="pyarrow")\
-        .materialize()  # phase barrier (T5): id sets are slim; keeps
+        .rename_columns(["node_id"]), batch_format="pyarrow")
+        .materialize(), "node_id")  # phase barrier (T5): slim id sets;
     # successive hash joins from contending in one streaming DAG
 
     ph.mark("pip+inside_ids")
@@ -154,40 +198,62 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
     # explode per consumer (slim columns only — payloads stay behind)
     # size join partitions to the measured slim-row volume (both sets
     # are materialized, so count() is metadata-only)
-    _PARTS_STATE["value"] = _size_partitions(
-        max(pairs.count(), inside_ids.count()))
-    # inside_ids is distinct by construction (unique input node ids)
-    hit_pairs = pairs.join(
-        inside_ids, join_type="inner",
-        num_partitions=_num_partitions(), on=("node_id",))
-    way_ids = _distinct_keys(hit_pairs.select_columns(["way_id"]),
-                             "way_id").materialize()
+    n_pairs, n_inside = pairs.count(), inside_ids.count()
+    _PARTS_STATE["value"] = _size_partitions(max(n_pairs, n_inside))
+    if n_pairs and n_inside:
+        # inside_ids is distinct by construction (unique input node ids)
+        hit_pairs = pairs.join(
+            inside_ids, join_type="inner",
+            num_partitions=_num_partitions(), on=("node_id",))
+        way_ids = _solid_ids(
+            _distinct_keys(hit_pairs.select_columns(["way_id"]),
+                           "way_id").materialize(), "way_id")
+    else:  # zero-kept edge: joining an empty side crashes (see above)
+        way_ids = _empty_ids("way_id")
+    n_ways = way_ids.count()
     ph.mark("way_ids")
 
-    kept_pairs = pairs.join(
-        way_ids.map_batches(lambda t: t.rename_columns(["way_id"]),
-                            batch_format="pyarrow"),
-        join_type="inner", num_partitions=_num_partitions(),
-        on=("way_id",))
+    def _kept_pairs():
+        return pairs.join(
+            way_ids.map_batches(lambda t: t.rename_columns(["way_id"]),
+                                batch_format="pyarrow"),
+            join_type="inner", num_partitions=_num_partitions(),
+            on=("way_id",))
 
-    if complete:
+    if complete and n_ways:
         # J2: all refs of kept ways become needed nodes; ONE distinct
         # over the union (inside ∪ referenced) instead of two
         needed = _coerce_single_int64(
-            kept_pairs.select_columns(["node_id"]), "node_id")
-        node_ids = _distinct_keys(
-            inside_ids.union(needed), "node_id").materialize()
-    else:
+            _kept_pairs().select_columns(["node_id"]), "node_id")
+        node_ids = _solid_ids(_distinct_keys(
+            inside_ids.union(needed), "node_id").materialize(), "node_id")
+    else:  # no kept ways -> nothing beyond the inside set is needed
         node_ids = inside_ids
 
     # emit ways: complete keeps verbatim lists; non-complete rebuilds
     # the list from inside pairs (explode->join->regroup, order by pos)
     out_ways = semi_join(ways, id_col, way_ids, "way_id",
                          keys_distinct=True)
-    if not complete:
-        inside_pairs = kept_pairs.join(
-            inside_ids, join_type="inner",
-            num_partitions=_num_partitions(), on=("node_id",))
+    if not complete and n_ways:
+        # kept_pairs is a JOIN OUTPUT: row-less aggregator partitions
+        # come back as schema-less empty blocks, which the next join
+        # rejects — rebuild the schema and repartition them away
+        # (same medicine as _coerce_single_int64 / _norm_mem)
+        _PAIR_FIELDS = [("way_id", pa.int64()), ("pos", pa.int64()),
+                        ("node_id", pa.int64())]
+
+        def _norm_pairs(t: pa.Table) -> pa.Table:
+            return pa.table({n: (t[n].cast(typ) if n in t.column_names
+                                 else pa.nulls(0, typ))
+                             for n, typ in _PAIR_FIELDS})
+
+        kp = _kept_pairs().map_batches(_norm_pairs,
+                                       batch_format="pyarrow")\
+            .materialize()  # slim (3 int cols); enables data-sizing
+        kp_parts = min(_num_partitions(), kp.count() // 5000 + 1)
+        inside_pairs = kp.repartition(kp_parts)\
+            .join(inside_ids, join_type="inner",
+                  num_partitions=_num_partitions(), on=("node_id",))
 
         def regroup_bucket(g: pd.DataFrame) -> pa.Table:
             # vectorized list rebuild for EVERY way in the bucket:
@@ -253,11 +319,14 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
     # node_ids/way_ids are distinct and the mkey code spaces disjoint,
     # so membership is distinct by construction — no extra shuffle
     membership = membership.materialize()
-    direct_rows = mem_keyed.join(
-        membership, join_type="inner",
-        num_partitions=_num_partitions(), on=("mkey",))
-    direct = {int(r["rel_id"])
-              for r in direct_rows.select_columns(["rel_id"]).take_all()}
+    if mem_keyed.count() and membership.count():
+        direct_rows = mem_keyed.join(
+            membership, join_type="inner",
+            num_partitions=_num_partitions(), on=("mkey",))
+        direct = {int(r["rel_id"]) for r in
+                  direct_rows.select_columns(["rel_id"]).take_all()}
+    else:  # no members or nothing kept -> no direct matches
+        direct = set()
     edge_rows = mem.map_batches(
         lambda t: t.filter(pc.equal(t["m_type"], "relation"))
         .select(["m_ref", "rel_id"]), batch_format="pyarrow")
@@ -306,17 +375,25 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
                              else pa.nulls(0, typ))
                          for n, typ in _MEM_FIELDS})
 
-    kept_par = mem_keyed.join(
-        rel_ids, join_type="inner", num_partitions=_num_partitions(),
-        on=("rel_id",))
-    # join output can carry schema-less empty blocks for row-less
-    # partitions, which the NEXT Acero join rejects ("No match for key
-    # field") — rebuild the schema and repartition them away
-    kept_par = kept_par.map_batches(_norm_mem, batch_format="pyarrow")\
-        .repartition(_num_partitions())
-    kept_mem = kept_par.join(
-        full_membership, join_type="inner",
-        num_partitions=_num_partitions(), on=("mkey",))
+    if not kept:  # empty join sides crash (see _solid_ids note)
+        kept_mem = rd.from_arrow(_norm_mem(pa.table({})))
+    else:
+        kept_par = mem_keyed.join(
+            rel_ids, join_type="inner", num_partitions=_num_partitions(),
+            on=("rel_id",))
+        # join output can carry schema-less empty blocks for row-less
+        # partitions, which the NEXT Acero join rejects ("No match for
+        # key field") — rebuild the schema and repartition them away,
+        # DATA-SIZED so tiny kept sets don't re-split into new empties
+        # (member rows are ~1e-4 of the corpus, so the materialize
+        # barrier is slim)
+        kept_par = kept_par.map_batches(_norm_mem, batch_format="pyarrow")\
+            .materialize()
+        kept_par = kept_par.repartition(
+            min(_num_partitions(), kept_par.count() // 5000 + 1))
+        kept_mem = kept_par.join(
+            full_membership, join_type="inner",
+            num_partitions=_num_partitions(), on=("mkey",))
     if not complete:
         # forward-pass visibility (non_complete.erl:90-105): a
         # relation-type member is only in the set when its id precedes
@@ -345,8 +422,15 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
         return pa.table({"rel_id": pa.array(rid[starts]),
                          "members": lst})
 
-    out_members = J.bucketed_group_apply(kept_mem, "rel_id",
-                                         regroup_members_bucket)
+    if kept:
+        out_members = J.bucketed_group_apply(kept_mem, "rel_id",
+                                             regroup_members_bucket)
+    else:  # group_apply on zero rows would come back schema-less
+        out_members = rd.from_arrow(pa.table({
+            "rel_id": pa.array([], pa.int64()),
+            "members": pa.array([], pa.list_(pa.struct(
+                [("type", pa.large_string()), ("ref", pa.int64()),
+                 ("role", pa.large_string())])))}))
     out_rels_meta = semi_join(relations, id_col, rel_ids, "rel_id",
                               keys_distinct=True)
 

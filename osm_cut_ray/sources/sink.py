@@ -132,6 +132,8 @@ def _shuffle_relations(result: dict):
     broadcast/shuffle result-identity contract."""
     from ..stages import join as J
     meta = result["relations_meta"]
+    if result["rel_ids"].count() == 0:  # metadata-only (from_arrow set)
+        return meta  # empty by definition; nothing to rebuild/attach
     orig_names = list(meta.schema().base_schema.names)
     rebuilt = J.bucketed_attach_column(
         meta.drop_columns(["members"]), "id",

@@ -96,6 +96,72 @@ def test_shuffle_cut_matches_broadcast_on_corpus(ray_session):
         assert b_mem == s_mem
 
 
+_MEM_T = pa.list_(pa.struct([("type", pa.large_string()),
+                             ("ref", pa.int64()),
+                             ("role", pa.large_string())]))
+_TAG_T = pa.list_(pa.struct([("k", pa.large_string()),
+                             ("v", pa.large_string())]))
+
+
+def _tiny_corpus(lons, way_lists, rel_members):
+    n = len(lons)
+    nodes = pa.table({"id": pa.array(range(n), pa.int64()),
+                      "lon": pa.array(lons, pa.float64()),
+                      "lat": pa.array([0.0] * n, pa.float64())})
+    ways = pa.table({"id": pa.array(range(len(way_lists)), pa.int64()),
+                     "node_ids": pa.array(way_lists,
+                                          pa.list_(pa.int64()))})
+    rels = pa.table({"id": pa.array(range(len(rel_members)), pa.int64()),
+                     "members": pa.array(rel_members, _MEM_T),
+                     "tags": pa.array([[]] * len(rel_members), _TAG_T)})
+    return nodes, ways, rels
+
+
+_DEGENERATE = {
+    # nothing inside at all
+    "zero_kept": _tiny_corpus(
+        [10.0, 11.0, 12.0], [[0, 1], [1, 2]],
+        [[{"type": "way", "ref": 0, "role": "w"}]]),
+    # node 0 inside, ways reference only outside nodes, rel hits node 0
+    "nodes_only": _tiny_corpus(
+        [0.0, 10.0, 11.0], [[1, 2]],
+        [[{"type": "node", "ref": 0, "role": "n"}]]),
+    # nodes inside, ways kept, but no relation matches anything kept
+    "no_rels": _tiny_corpus(
+        [0.0, 1.0, 10.0], [[0, 1]],
+        [[{"type": "node", "ref": 2, "role": "n"}]]),
+    # relations table has ZERO rows
+    "empty_rels": _tiny_corpus([0.0, 1.0, 10.0], [[0, 1]], []),
+}
+
+
+@pytest.mark.parametrize("case", sorted(_DEGENERATE))
+def test_degenerate_corpora_both_strategies(ray_session, case):
+    """Zero-kept edges (empty inside set / no kept ways / no kept or
+    present relations) crashed cut_shuffle nondeterministically in Ray
+    2.49: join aggregators drop zero-row blocks, so an empty or
+    over-partitioned join side reaches Acero schema-less ("No match
+    for key field"). Every join side is now count-short-circuited or
+    data-size re-solidified (`_solid_ids`); broadcast `cut` also hit
+    `pa.concat_tables([])` on a zero-row relations table. Both
+    strategies must agree AND stream through a sink."""
+    from osm_cut_ray.sources.sink import CollectSink, write_cut_result
+    nt, wt, rt = _DEGENERATE[case]
+    poly = PolygonIndex.compile(
+        [("include", [(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0),
+                      (-5.0, 5.0)])])
+    for complete in (True, False):
+        nodes, ways, rels = (rd.from_arrow(nt), rd.from_arrow(wt),
+                             rd.from_arrow(rt))
+        b = cut(nodes, ways, rels, poly, complete=complete)
+        s = cut_shuffle(nodes, ways, rels, poly, complete=complete)
+        assert _ids(s["node_ids"], "node_id") == sorted(b.node_ids.tolist())
+        assert _ids(s["way_ids"], "way_id") == sorted(b.way_ids.tolist())
+        assert _ids(s["rel_ids"], "rel_id") == sorted(b.rel_ids.tolist())
+        bsink, ssink = CollectSink(), CollectSink()
+        assert write_cut_result(s, ssink) == write_cut_result(b, bsink)
+
+
 def test_cut_auto_strategy_selection(ray_session):
     from osm_cut_ray.pipelines.cut import cut_auto
     nodes = rd.from_arrow(fixture_nodes())
