@@ -97,6 +97,10 @@ def run_resumable(shards: list[tuple[str, str]],
         final_dir = os.path.join(out_dir, shard_id)
         tmp_dir = final_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        # pre-create: an all-rows-dropped shard writes ZERO files and
+        # Ray then leaves no directory at all — the empty dir is still
+        # a valid (0-row) committed output
+        os.makedirs(tmp_dir, exist_ok=True)
         ds.write_parquet(tmp_dir)
         rows_out = sum(
             _parquet_rows(os.path.join(tmp_dir, f))

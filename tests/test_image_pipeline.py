@@ -1,0 +1,273 @@
+"""Image-axis pipeline tests: quality scoring, patch extraction, and
+the composed resumable image-curation pipeline (spatial gate + dedup +
+quality + caption gates + resize)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from osm_cut_ray.geometry.geotag import encode_geotag
+from osm_cut_ray.geometry.polygon import PolygonIndex
+from osm_cut_ray.sources.images import decode_image, encode_image, \
+    pixels_for_key
+
+EN_CAP = "a photo of the tree and the garden in spring"
+DE_CAP = "der die und das ist nicht gut hier"
+
+
+def _hint(entries):
+    """entries: [(key:int, pixels, fmt, caption, lon, lat)] ->
+    input_hint-shaped pa.Table."""
+    ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
+    for k, px, fmt, cap, lon, lat in entries:
+        ids.append(f"img{k:08d}")
+        blobs.append(encode_image(px, fmt))
+        h, w = px.shape
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        caps.append(cap)
+        phs.append(int(encode_geotag(np.array([lon]),
+                                     np.array([lat]))[0]))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(phs, pa.int64()),
+    })
+
+
+def _collect(ds) -> pa.Table:
+    bs = [b for b in ds.iter_batches(batch_size=None,
+                                     batch_format="pyarrow") if b.num_rows]
+    return pa.concat_tables(bs) if bs \
+        else ds.schema().base_schema.empty_table()
+
+
+# ------------------------------------------------------ quality scores
+
+def _brute_quality(px: np.ndarray) -> dict:
+    f = px.astype(np.float64)
+    _, counts = np.unique(px, return_counts=True)
+    p = counts / px.size
+    return {
+        "brightness": f.mean() / 255.0,
+        "contrast": f.std() / 255.0,
+        "entropy": float(-(p * np.log2(p)).sum()),
+        "sharpness": (np.abs(np.diff(f, axis=1)).mean()
+                      + np.abs(np.diff(f, axis=0)).mean()) / 2 / 255.0,
+        "extreme_frac": float(((px <= 1) | (px >= 254)).mean()),
+    }
+
+
+def test_quality_stack_matches_brute_force():
+    from osm_cut_ray.stages.image_quality import quality_stack
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (32, 32)).astype(np.uint8),
+            np.full((32, 32), 128, np.uint8),          # constant
+            np.clip(rng.integers(-200, 456, (32, 32)),  # heavy clipping
+                    0, 255).astype(np.uint8)]
+    got = quality_stack(np.stack(imgs))
+    for i, px in enumerate(imgs):
+        exp = _brute_quality(px)
+        for k, v in exp.items():
+            assert abs(got[k][i] - v) < 1e-9, (i, k)
+    # constant image: zero entropy/contrast/sharpness
+    assert got["entropy"][1] == 0.0
+    assert got["contrast"][1] == 0.0
+    # non-square shape doesn't mix h/w
+    ns = rng.integers(0, 256, (21, 13)).astype(np.uint8)
+    g2 = quality_stack(ns[None])
+    e2 = _brute_quality(ns)
+    for k, v in e2.items():
+        assert abs(g2[k][0] - v) < 1e-9, k
+
+
+def test_quality_keep_mask_gates():
+    from osm_cut_ray.stages.image_quality import quality_keep_mask, \
+        quality_stack
+    rng = np.random.default_rng(12)
+    good = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    flat = np.full((32, 32), 77, np.uint8)
+    black = np.zeros((32, 32), np.uint8)
+    scores = quality_stack(np.stack([good, flat, black]))
+    keep = quality_keep_mask(scores)
+    assert keep.tolist() == [True, False, False]
+
+
+def test_image_quality_dataset(ray_session):
+    from osm_cut_ray.stages.image_quality import image_quality, \
+        image_quality_batch
+    rng = np.random.default_rng(13)
+    entries = [(i, rng.integers(0, 256, (s, s)).astype(np.uint8),
+                "fpng", EN_CAP, 1.0, 1.0)
+               for i, s in enumerate([16, 32, 64, 32])]
+    tbl = _hint(entries)
+    got = _collect(image_quality(rd.from_arrow(tbl))) \
+        .sort_by("image_id")
+    exp = image_quality_batch(tbl).sort_by("image_id")
+    assert got.equals(exp)
+    assert got.column_names == ["image_id", "w", "h", "fmt",
+                                "brightness", "contrast", "entropy",
+                                "sharpness", "extreme_frac"]
+    assert len(got) == 4
+
+
+# ------------------------------------------------------ patch extraction
+
+def test_patch_stack_reassembles():
+    from osm_cut_ray.stages.image_patch import patch_stack
+    rng = np.random.default_rng(21)
+    stack = rng.integers(0, 256, (3, 40, 24)).astype(np.uint8)
+    tiles, ny, nx = patch_stack(stack, 16)
+    assert (ny, nx) == (2, 1)          # 40//16, 24//16
+    assert tiles.shape == (6, 16, 16)
+    for m in range(3):
+        for r in range(ny):
+            for c in range(nx):
+                np.testing.assert_array_equal(
+                    tiles[m * ny * nx + r * nx + c],
+                    stack[m, r * 16:(r + 1) * 16, c * 16:(c + 1) * 16])
+    # too-small image -> zero patches
+    t2, ny2, nx2 = patch_stack(stack[:, :8, :8], 16)
+    assert len(t2) == 0 and ny2 == 0 and nx2 == 0
+
+
+def test_image_patches_dataset(ray_session):
+    from osm_cut_ray.stages.image_patch import image_patches
+    entries = [(k, pixels_for_key(k, s, s), "fpng", EN_CAP,
+                float(k), float(k))
+               for k, s in [(0, 16), (1, 32), (2, 64)]]
+    tbl = _hint(entries)
+    got = _collect(image_patches(rd.from_arrow(tbl), patch=16))
+    per = {iid: n for iid, n in
+           zip(*np.unique(got["image_id"].to_numpy(zero_copy_only=False),
+                          return_counts=True))}
+    assert per == {"img00000000": 1, "img00000001": 4, "img00000002": 16}
+    assert set(got["w"].to_pylist()) == {16}
+    # every patch decodes to the parent's crop; caption/phash inherited
+    parent = {f"img{k:08d}": (pixels_for_key(k, s, s),
+                              int(tbl["phash"][i].as_py()))
+              for i, (k, s) in enumerate([(0, 16), (1, 32), (2, 64)])}
+    for i in range(len(got)):
+        iid = got["image_id"][i].as_py()
+        r = got["patch_row"][i].as_py()
+        c = got["patch_col"][i].as_py()
+        px, _ = decode_image(got["bytes"][i].as_py())
+        src, ph = parent[iid]
+        np.testing.assert_array_equal(
+            px, src[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16])
+        assert got["phash"][i].as_py() == ph
+        assert got["caption"][i].as_py() == EN_CAP
+
+
+# -------------------------------------------------- composed curation
+
+def _curate_corpus(rng):
+    """shard_a: 12 clean random images inside the polygon; shard_b: one
+    planted problem per drop cause + one clean keeper."""
+    base = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+            for _ in range(12)]
+    a = [(i, base[i], "fpng", EN_CAP, 4.0 + 0.1 * i, 5.0)
+         for i in range(12)]
+    near = np.clip(base[1].astype(np.int16)
+                   + rng.integers(-1, 2, base[1].shape),
+                   0, 255).astype(np.uint8)
+    b = [
+        (100, base[0], "fpng", EN_CAP, 5.0, 4.0),      # exact dup of 0
+        (101, near, "fpng", EN_CAP, 5.0, 4.1),         # near dup of 1
+        (102, rng.integers(0, 256, (32, 32)).astype(np.uint8),
+         "fpng", EN_CAP, 50.0, 5.0),                   # outside polygon
+        (103, np.full((32, 32), 99, np.uint8),
+         "fpng", EN_CAP, 5.0, 4.2),                    # flat -> quality
+        (104, rng.integers(0, 256, (32, 32)).astype(np.uint8),
+         "fpng", DE_CAP, 5.0, 4.3),                    # German caption
+        (105, rng.integers(0, 256, (32, 32)).astype(np.uint8),
+         "fpng", "x", 5.0, 4.4),                       # 1-token caption
+        (106, rng.integers(0, 256, (32, 32)).astype(np.uint8),
+         "fpng", EN_CAP, 5.0, 4.5),                    # clean -> keep
+    ]
+    return a, b
+
+
+def _kept_ids(out, shards):
+    kept = pa.concat_tables([
+        pq.read_table(os.path.join(out, s, f))
+        for s in shards
+        for f in os.listdir(os.path.join(out, s))
+        if f.endswith(".parquet")])
+    return kept, {int(i[3:]) for i in kept["image_id"].to_pylist()}
+
+
+def test_curate_images_end_to_end(ray_session, tmp_path):
+    from osm_cut_ray.pipelines.curate_images import curate_images
+    rng = np.random.default_rng(31)
+    a, b = _curate_corpus(rng)
+    p1 = str(tmp_path / "shard_a.parquet")
+    p2 = str(tmp_path / "shard_b.parquet")
+    pq.write_table(_hint(a), p1)
+    pq.write_table(_hint(b), p2)
+    poly = PolygonIndex.compile(
+        [("include", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                      (0.0, 10.0)])])
+    out = str(tmp_path / "curated")
+    kw = dict(polygon=poly, langs=("en",), min_caption_tokens=2)
+
+    report = curate_images([p1, p2], out, **kw)
+    assert sorted(report["completed"]) == ["shard_a", "shard_b"]
+    assert report["n_drop_exact_dup"] == 1          # 100
+    assert report["n_drop_near_dup"] >= 1           # 101 (and maybe 100)
+
+    kept, kept_ids = _kept_ids(out, ("shard_a", "shard_b"))
+    for bad in (100, 101, 102, 103, 104, 105):
+        assert bad not in kept_ids, bad
+    assert 106 in kept_ids
+    assert set(range(12)) <= kept_ids               # clean base all kept
+    # output keeps the exact input_hint schema
+    assert kept.column_names == ["image_id", "bytes", "w", "h", "fmt",
+                                 "caption", "phash"]
+    assert kept.schema.field("w").type == pa.int32()
+
+    # resume: second run skips both shards
+    report2 = curate_images([p1, p2], out, **kw)
+    assert sorted(report2["skipped"]) == ["shard_a", "shard_b"]
+    assert report2["rows_out"] == report["rows_out"]
+
+    # changed params -> recompute
+    report3 = curate_images([p1, p2], out, **kw, min_entropy=0.6)
+    assert sorted(report3["completed"]) == ["shard_a", "shard_b"]
+
+
+def test_curate_images_resize(ray_session, tmp_path):
+    from osm_cut_ray.pipelines.curate_images import curate_images
+    rng = np.random.default_rng(33)
+    a, b = _curate_corpus(rng)
+    # one already-small image: must pass through byte-identical
+    small = rng.integers(0, 256, (12, 12)).astype(np.uint8)
+    a.append((50, small, "fpng", EN_CAP, 6.0, 6.0))
+    p1 = str(tmp_path / "shard_a.parquet")
+    p2 = str(tmp_path / "shard_b.parquet")
+    pq.write_table(_hint(a), p1)
+    pq.write_table(_hint(b), p2)
+    poly = PolygonIndex.compile(
+        [("include", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                      (0.0, 10.0)])])
+    out = str(tmp_path / "curated16")
+    report = curate_images([p1, p2], out, polygon=poly,
+                           resize_target=16)
+    assert report["rows_out"] > 0
+    kept, kept_ids = _kept_ids(out, ("shard_a", "shard_b"))
+    assert 106 in kept_ids and 50 in kept_ids
+    for i in range(len(kept)):
+        w = kept["w"][i].as_py()
+        h = kept["h"][i].as_py()
+        assert max(w, h) <= 16
+        px, _ = decode_image(kept["bytes"][i].as_py())
+        assert px.shape == (h, w)
+        if kept["image_id"][i].as_py() == "img00000050":
+            np.testing.assert_array_equal(px, small)  # passthrough
