@@ -169,12 +169,130 @@ def _extra_curate(sf_dir: str):
     return None
 
 
+def _extra_image_quality(sf_dir: str):
+    """Quality-score throughput: 50k mixed-size (16/32/64 px) images,
+    decode -> per-shape vectorized histogram/entropy/gradient scores."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import images_batch_from_keys
+    from osm_cut_ray.stages.image_quality import image_quality_batch
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    return corpus.map_batches(image_quality_batch,
+                              batch_format="pyarrow", batch_size=1024)
+
+
+def _extra_image_patches(sf_dir: str):
+    """Grid patch extraction: 24k mixed-size images -> 16px tiles
+    (1/4/16 tiles per image; decode + reshape + per-tile re-encode)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import images_batch_from_keys
+    from osm_cut_ray.stages.image_patch import image_patches_batch
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(24_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    return corpus.map_batches(
+        lambda t: image_patches_batch(t, 16).select(
+            ["image_id", "patch_row", "patch_col"]),
+        batch_format="pyarrow", batch_size=512)
+
+
+def _synth_image_corpus_batch(keys, n, nd):
+    """Distinct 32x32 gradient patterns with planted exact dups
+    (keys in [n, n+nd)) and 1-level-jitter near dups ([n+nd, n+2*nd)),
+    5% German captions, ~3% flat (quality-fail) frames, geotags spread
+    over the whole lon range (the bench polygon keeps about half)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.geometry.geotag import encode_geotag
+    from osm_cut_ray.sources.images import encode_image
+
+    base = np.where(keys >= n + nd, keys - (n + nd),
+                    np.where(keys >= n, keys - n, keys))
+    xx = np.arange(32, dtype=np.int64)[None, None, :]
+    yy = np.arange(32, dtype=np.int64)[None, :, None]
+    a = (base % 251 + 3)[:, None, None]
+    b = (base % 241 + 5)[:, None, None]
+    px = ((a * xx + b * yy + (xx * yy) // 7
+           + base[:, None, None]) % 256).astype(np.uint8)
+    jit = (keys >= n + nd).astype(np.uint8)[:, None, None]
+    px = px + jit * ((xx + yy) % 2).astype(np.uint8)
+    flat = (base % 37 == 0) & (keys < n)           # quality failures
+    px[flat] = 99
+    lon = (base % 3600) / 10.0 - 180.0
+    lat = (base % 1700) / 10.0 - 85.0
+    ph = encode_geotag(lon, lat)
+    de = base % 20 == 0
+    caps = np.where(de, "ein bild der blumen und das licht",
+                    "a photo of the item in the field")
+    blobs = [encode_image(px[i], "fpng") for i in range(len(keys))]
+    w = np.full(len(keys), 32, np.int32)
+    return pa.table({
+        "image_id": pa.array([f"img{k:08d}" for k in keys.tolist()]),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(w), "h": pa.array(w),
+        "fmt": pa.array(["fpng"] * len(keys)),
+        "caption": pa.array(caps.tolist()),
+        "phash": pa.array(ph),
+    })
+
+
+def _extra_curate_images(sf_dir: str):
+    """Composed image curation end-to-end over a synthesized 20.4k-image
+    sharded corpus (writes 4 parquet shards to /tmp, then runs the
+    exact-dup + phash near-dup decision passes and the resumable
+    spatial/caption/quality-gated thumbnail rewrite). Timed number
+    includes the corpus synthesis+write (~small vs the curation)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.pipelines.curate_images import curate_images
+
+    n, nd = 20_000, 200
+    tmp = tempfile.mkdtemp(prefix="bench_curimg_", dir="/tmp")
+    try:
+        keys = np.arange(n + 2 * nd, dtype=np.int64)
+        paths = []
+        for s, part in enumerate(np.array_split(keys, 4)):
+            p = os.path.join(tmp, f"shard{s}.parquet")
+            pq.write_table(_synth_image_corpus_batch(part, n, nd), p)
+            paths.append(p)
+        poly = PolygonIndex.compile(
+            [("include", [(-180.0, -85.0), (0.0, -85.0), (0.0, 85.0),
+                          (-180.0, 85.0)])])
+        curate_images(paths, os.path.join(tmp, "out"), polygon=poly,
+                      resize_target=16)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return None
+
+
 EXTRA_SET = {
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
     "image_phash_dedup": _extra_image_phash,
     "image_resize_50k": _extra_image_resize,
     "curate_docs_e2e": _extra_curate,
+    "image_quality_50k": _extra_image_quality,
+    "image_patches_24k": _extra_image_patches,
+    "curate_images_e2e": _extra_curate_images,
 }
 
 
