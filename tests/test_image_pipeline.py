@@ -271,3 +271,78 @@ def test_curate_images_resize(ray_session, tmp_path):
         assert px.shape == (h, w)
         if kept["image_id"][i].as_py() == "img00000050":
             np.testing.assert_array_equal(px, small)  # passthrough
+
+
+# ------------------------------------------------ stub embeddings / CLIP
+
+def test_embed_stack_and_captions_contracts():
+    from osm_cut_ray.stages.image_embed import EMBED_DIM, embed_captions, \
+        embed_stack
+    from osm_cut_ray.sources.images import resize_stack
+    rng = np.random.default_rng(41)
+    stack = rng.integers(0, 256, (5, 32, 32)).astype(np.uint8)
+    e = embed_stack(stack)
+    assert e.shape == (5, EMBED_DIM)
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-12)
+    # brute: 8x8 block-mean -> center -> normalize
+    small = resize_stack(stack, 8, 8).reshape(5, 64).astype(np.float64)
+    small -= small.mean(axis=1, keepdims=True)
+    exp = small / np.linalg.norm(small, axis=1, keepdims=True)
+    np.testing.assert_allclose(e, exp, atol=1e-12)
+    # deterministic + near-dup locality: tiny noise keeps cosine high
+    noisy = np.clip(stack[0].astype(np.int16)
+                    + rng.integers(-1, 2, (32, 32)), 0, 255) \
+        .astype(np.uint8)
+    e2 = embed_stack(noisy[None])[0]
+    assert float(e[0] @ e2) > 0.99
+
+    ce = embed_captions(["a photo of a cat", "a photo of a cat",
+                         "stock chart of prices", ""])
+    np.testing.assert_allclose(np.linalg.norm(ce[:3], axis=1), 1.0,
+                               atol=1e-12)
+    np.testing.assert_array_equal(ce[0], ce[1])       # deterministic
+    assert float(ce[0] @ ce[2]) < 0.9                 # different text
+    np.testing.assert_array_equal(ce[3], 0.0)         # empty -> zeros
+
+
+def test_image_knn_retrieves_near_dup(ray_session):
+    from osm_cut_ray.stages.image_embed import image_knn_brute
+    rng = np.random.default_rng(43)
+    base = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+            for _ in range(20)]
+    twin = np.clip(base[0].astype(np.int16)
+                   + rng.integers(-1, 2, (32, 32)), 0, 255) \
+        .astype(np.uint8)
+    entries = [(i, px, "fpng", EN_CAP, 1.0, 1.0)
+               for i, px in enumerate(base)]
+    entries.append((100, twin, "fpng", EN_CAP, 1.0, 1.0))
+    tbl = _hint(entries)
+    res = image_knn_brute(rd.from_arrow(tbl), [0], k=3)
+    assert res["probe_id"].to_pylist()[0] == 0
+    assert res["neighbor_id"].to_pylist()[0] == 100   # the twin wins
+    assert res["sim"].to_pylist()[0] > 0.99
+
+
+def test_clip_scores_and_filter(ray_session):
+    from osm_cut_ray.stages.image_embed import clip_filter, clip_scores, \
+        embed_captions, embed_stack
+    rng = np.random.default_rng(45)
+    caps = [f"a photo of the {w} in the field number {i}"
+            for i, w in enumerate(["cat", "dog", "tree", "car", "boat",
+                                   "lake", "bird", "rock"])]
+    entries = [(i, rng.integers(0, 256, (32, 32)).astype(np.uint8),
+                "fpng", caps[i], 1.0, 1.0) for i in range(8)]
+    tbl = _hint(entries)
+    got = _collect(clip_scores(rd.from_arrow(tbl))).sort_by("image_id")
+    # brute: decode-free (we still hold the patterns)
+    ie = embed_stack(np.stack([e[1] for e in entries]))
+    ce = embed_captions(caps)
+    exp = (ie * ce).sum(axis=1)
+    np.testing.assert_allclose(
+        np.array(got["clip_score"].to_pylist()), exp, atol=1e-12)
+    thr = float(np.median(exp))
+    kept = _collect(clip_filter(rd.from_arrow(tbl), min_score=thr))
+    exp_ids = {f"img{i:08d}" for i in range(8) if exp[i] >= thr}
+    assert set(kept["image_id"].to_pylist()) == exp_ids
+    assert kept.column_names == ["image_id", "bytes", "w", "h", "fmt",
+                                 "caption", "phash"]
