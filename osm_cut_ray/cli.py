@@ -127,6 +127,44 @@ def _cmd_curate(args) -> int:
     return 0
 
 
+def _cmd_curate_images(args) -> int:
+    import glob
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from .pipelines.curate_images import curate_images
+    paths = sorted(p for pat in args.inputs for p in glob.glob(pat))
+    if not paths:
+        print(f"no inputs matched {args.inputs}", file=sys.stderr)
+        return 2
+    poly = None
+    if args.polygon:
+        from .geometry.polygon import PolygonIndex, parse_poly_file
+        poly = PolygonIndex.compile(parse_poly_file(args.polygon))
+    report = curate_images(
+        paths, args.output, polygon=poly,
+        hamming_threshold=args.hamming_threshold,
+        langs=tuple(args.langs.split(",")),
+        min_caption_tokens=args.min_caption_tokens,
+        min_entropy=args.min_entropy,
+        min_contrast=args.min_contrast,
+        max_extreme_frac=args.max_extreme_frac,
+        min_clip_score=args.min_clip_score,
+        resize_target=args.resize_target)
+    print(f"completed={report['completed']} skipped={report['skipped']} "
+          f"rows_out={report['rows_out']} "
+          f"drops: exact={report['n_drop_exact_dup']} "
+          f"near={report['n_drop_near_dup']} "
+          f"wall={report['wall_sec']}s")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_cut_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -166,6 +204,32 @@ def main(argv=None) -> int:
     cu.add_argument("--max-top-bigram-frac", type=float, default=0.5)
     cu.add_argument("--min-tokens", type=int, default=3)
     cu.set_defaults(fn=_cmd_curate)
+    ci = sub.add_parser(
+        "curate-images",
+        help="resumable image-corpus curation: spatial gate + dedup + "
+             "quality/caption/clip gates + thumbnail -> parquet")
+    ci.add_argument("inputs", nargs="+",
+                    help="input parquet paths/globs with the image "
+                         "table columns (image_id, bytes, w, h, fmt, "
+                         "caption, phash)")
+    ci.add_argument("output", help="curated output directory")
+    ci.add_argument("--polygon", default=None,
+                    help="Osmosis .poly file; keep only images whose "
+                         "phash geotag falls inside")
+    ci.add_argument("--hamming-threshold", type=int, default=3)
+    ci.add_argument("--langs", default="en",
+                    help="comma-separated caption-language allow-list")
+    ci.add_argument("--min-caption-tokens", type=int, default=2)
+    ci.add_argument("--min-entropy", type=float, default=0.5)
+    ci.add_argument("--min-contrast", type=float, default=0.01)
+    ci.add_argument("--max-extreme-frac", type=float, default=0.9)
+    ci.add_argument("--min-clip-score", type=float, default=None,
+                    help="drop rows whose caption<->image agreement "
+                         "score is below this (stub encoders here; "
+                         "a real CLIP on a GPU cluster)")
+    ci.add_argument("--resize-target", type=int, default=None,
+                    help="thumbnail kept images to this max side")
+    ci.set_defaults(fn=_cmd_curate_images)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -142,6 +142,7 @@ class ImageCurateStage:
                  max_extreme_frac: float = 0.9,
                  min_brightness: float = 0.02,
                  max_brightness: float = 0.98,
+                 min_clip_score: float | None = None,
                  resize_target: int | None = None,
                  id_prefix_len: int = 3):
         def _get(ref):
@@ -154,6 +155,7 @@ class ImageCurateStage:
                       max_extreme_frac=max_extreme_frac,
                       min_brightness=min_brightness,
                       max_brightness=max_brightness)
+        self.min_clip_score = min_clip_score
         self.resize_target = resize_target
         self.id_prefix_len = id_prefix_len
 
@@ -199,13 +201,23 @@ class ImageCurateStage:
         t = t.filter(pa.array(keep))
         if len(t) == 0:
             return EMPTY_HINT
-        # decode ONCE for quality gate + optional resize
+        # decode ONCE for quality gate + clip gate + optional resize
         pixels, by_shape = decode_by_shape(t["bytes"].to_pylist())
         qkeep = np.ones(len(t), bool)
         for _, idxs in by_shape.items():
             idx = np.asarray(idxs, np.int64)
             scores = quality_stack(np.stack([pixels[i] for i in idxs]))
             qkeep[idx] = quality_keep_mask(scores, **self.q)
+        if self.min_clip_score is not None:
+            from ..stages.image_embed import EMBED_DIM, embed_captions, \
+                embed_stack
+            ie = np.empty((len(t), EMBED_DIM), np.float64)
+            for _, idxs in by_shape.items():
+                idx = np.asarray(idxs, np.int64)
+                ie[idx] = embed_stack(np.stack([pixels[i] for i in idxs]))
+            ce = embed_captions([c if c is not None else ""
+                                 for c in t["caption"].to_pylist()])
+            qkeep &= (ie * ce).sum(axis=1) >= self.min_clip_score
         if self.resize_target is None:
             out = t.filter(pa.array(qkeep))
             return out if len(out) else EMPTY_HINT
@@ -256,6 +268,7 @@ def curate_images(input_paths, out_dir: str, *,
                   max_extreme_frac: float = 0.9,
                   min_brightness: float = 0.02,
                   max_brightness: float = 0.98,
+                  min_clip_score: float | None = None,
                   resize_target: int | None = None,
                   id_prefix_len: int = 3) -> dict:
     """Curate an input_hint-shaped image corpus into `out_dir` (one
@@ -284,6 +297,7 @@ def curate_images(input_paths, out_dir: str, *,
               "max_extreme_frac": max_extreme_frac,
               "min_brightness": min_brightness,
               "max_brightness": max_brightness,
+              "min_clip_score": min_clip_score,
               "resize_target": resize_target,
               "polygon_bbox": list(polygon.bbox) if polygon else None}
 
@@ -295,6 +309,7 @@ def curate_images(input_paths, out_dir: str, *,
                      max_extreme_frac=max_extreme_frac,
                      min_brightness=min_brightness,
                      max_brightness=max_brightness,
+                     min_clip_score=min_clip_score,
                      resize_target=resize_target,
                      id_prefix_len=id_prefix_len)
 

@@ -105,3 +105,29 @@ def test_cli_curate_resume(tmp_path):
                "--max-overlap", "0.5", "--min-tokens", "1",
                "--jaccard-threshold", "0.9"])
     assert r2.returncode == 0 and "skipped=['docs']" in r2.stdout
+
+
+def test_cli_curate_images_resume(tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tests.test_image_pipeline import DE_CAP, EN_CAP, _hint
+    rng = np.random.default_rng(51)
+    base = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+            for _ in range(4)]
+    entries = [
+        (0, base[0], "fpng", EN_CAP, 1.0, 1.0),
+        (1, base[0], "fpng", EN_CAP, 1.0, 1.1),   # exact dup of 0
+        (2, base[1], "fpng", DE_CAP, 1.0, 1.2),   # German caption
+        (3, np.full((32, 32), 50, np.uint8),
+         "fpng", EN_CAP, 1.0, 1.3),               # flat -> quality drop
+        (4, base[2], "fpng", EN_CAP, 1.0, 1.4),   # keep
+    ]
+    p = tmp_path / "imgs.parquet"
+    pq.write_table(_hint(entries), str(p))
+    out = str(tmp_path / "curated")
+    r1 = _run(["curate-images", str(p), out, "--resize-target", "16"])
+    assert r1.returncode == 0, r1.stderr[-800:]
+    assert "exact=1" in r1.stdout and "rows_out=2" in r1.stdout
+    r2 = _run(["curate-images", str(p), out, "--resize-target", "16"])
+    assert r2.returncode == 0 and "skipped=['imgs']" in r2.stdout

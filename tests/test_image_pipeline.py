@@ -346,3 +346,24 @@ def test_clip_scores_and_filter(ray_session):
     assert set(kept["image_id"].to_pylist()) == exp_ids
     assert kept.column_names == ["image_id", "bytes", "w", "h", "fmt",
                                  "caption", "phash"]
+
+
+def test_curate_images_clip_gate(ray_session, tmp_path):
+    from osm_cut_ray.pipelines.curate_images import curate_images
+    from osm_cut_ray.stages.image_embed import embed_captions, embed_stack
+    rng = np.random.default_rng(47)
+    pxs = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+           for _ in range(4)]
+    caps = [f"a photo of the {w} in the field"
+            for w in ("cat", "dog", "tree", "car")]
+    scores = (embed_stack(np.stack(pxs))
+              * embed_captions(caps)).sum(axis=1)
+    order = np.argsort(scores)
+    thr = float((scores[order[0]] + scores[order[1]]) / 2)
+    entries = [(i, pxs[i], "fpng", caps[i], 1.0, 1.0) for i in range(4)]
+    p = str(tmp_path / "shard.parquet")
+    pq.write_table(_hint(entries), p)
+    out = str(tmp_path / "clipcur")
+    curate_images([p], out, min_clip_score=thr)
+    _, kept_ids = _kept_ids(out, ("shard",))
+    assert kept_ids == set(range(4)) - {int(order[0])}
