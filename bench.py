@@ -284,6 +284,41 @@ def _extra_curate_images(sf_dir: str):
     return None
 
 
+def _extra_simplify(sf_dir: str):
+    """Douglas-Peucker over 20k synthesized ways (~50-pt random walks,
+    1M refs total) against a 200k-node broadcast coordinate table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.simplify import simplify_ways
+
+    n_nodes = 200_000
+
+    def synth_nodes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "lon": pa.array(np.sin(ids * 0.37) * 50 + ids * 1e-4),
+            "lat": pa.array(np.cos(ids * 0.59) * 30 + ids * 5e-5)})
+
+    def synth_ways(t: pa.Table) -> pa.Table:
+        wids = t["id"].to_numpy(zero_copy_only=False)
+        refs = [(np.arange(50, dtype=np.int64) * 37 + w * 13)
+                % n_nodes for w in wids.tolist()]
+        return pa.table({
+            "id": pa.array(wids, pa.int64()),
+            "refs": pa.array([r.tolist() for r in refs],
+                             pa.list_(pa.int64()))})
+
+    nodes = rd.range(n_nodes).map_batches(synth_nodes,
+                                          batch_format="pyarrow")
+    ways = rd.range(20_000).map_batches(synth_ways,
+                                        batch_format="pyarrow",
+                                        batch_size=1024)
+    return simplify_ways(ways, nodes, eps=0.5)
+
+
 EXTRA_SET = {
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
@@ -293,6 +328,7 @@ EXTRA_SET = {
     "image_quality_50k": _extra_image_quality,
     "image_patches_24k": _extra_image_patches,
     "curate_images_e2e": _extra_curate_images,
+    "simplify_ways_20k": _extra_simplify,
 }
 
 

@@ -1,0 +1,144 @@
+"""Douglas-Peucker way simplification — the tile-rendering /
+vector-generalization operator a spatial engine runs right after a
+cut (the reference stops at membership filtering; zoomed-out raster
+tiles need geometry thinning too).
+
+Shape: ways carry node-id lists (`refs`), nodes carry coordinates —
+the same data model as the cut pipelines (`pipelines/cut.py:90`). The
+node coordinate table is broadcast ONCE via `ray.put` as three sorted
+numpy arrays (id, lon, lat; searchsorted lookup inside `map_batches`
+— the cut's broadcast-membership strategy, `stages/join.py:131`),
+then each batch of ways flattens its ref lists, runs an ITERATIVE
+(stack-based, no recursion limit) Douglas-Peucker per way with the
+point-to-segment distances computed vectorized per split, and rebuilds
+the list column through the shared `filter_list_column` offset
+machinery — the refs stay `list<int64>`.
+
+At 10^12 nodes the broadcast table no longer fits: cap guarded by
+`max_broadcast_nodes`; past it, attach coordinates with the exploded
+bucketed joins instead (`stages/join.py:bucketed_attach_column`,
+explode→attach→regroup exactly like the shuffle cut's list rewrites) —
+the per-way kernel is unchanged because it only ever sees one way's
+points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .list_ops import _flatten, filter_list_column
+
+
+def dp_keep_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:
+    """Iterative Douglas-Peucker: bool keep-mask over one polyline.
+    Endpoints always kept; distances per split segment are vectorized."""
+    n = len(x)
+    keep = np.zeros(n, bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        xs = x[i + 1:j]
+        ys = y[i + 1:j]
+        dx = x[j] - x[i]
+        dy = y[j] - y[i]
+        seg = np.hypot(dx, dy)
+        if seg == 0.0:
+            d = np.hypot(xs - x[i], ys - y[i])
+        else:
+            d = np.abs(dy * (xs - x[i]) - dx * (ys - y[i])) / seg
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+class _CoordLookup:
+    """Broadcast (sorted id -> lon/lat) lookup; missing ids resolve to
+    NaN and are dropped from the polyline before simplification (a ref
+    to a node outside the corpus cannot contribute geometry)."""
+
+    def __init__(self, ids: np.ndarray, lon: np.ndarray, lat: np.ndarray):
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.lon = lon[order]
+        self.lat = lat[order]
+
+    def __call__(self, refs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        pos = np.searchsorted(self.ids, refs)
+        pos = np.clip(pos, 0, len(self.ids) - 1)
+        hit = self.ids[pos] == refs
+        lon = np.where(hit, self.lon[pos], np.nan)
+        lat = np.where(hit, self.lat[pos], np.nan)
+        return lon, lat
+
+
+def simplify_refs_batch(t: pa.Table, lookup: _CoordLookup, eps: float,
+                        refs_col: str = "refs") -> pa.Table:
+    """One batch of ways -> same schema with simplified ref lists."""
+    if len(t) == 0 or refs_col not in t.column_names:
+        return t
+    lengths, values = _flatten(t, refs_col)
+    refs = values.to_numpy(zero_copy_only=False).astype(np.int64)
+    lon, lat = lookup(refs)
+    known = ~np.isnan(lon)
+    keep = np.zeros(len(refs), bool)
+    start = 0
+    for ln in lengths:
+        end = start + int(ln)
+        k = known[start:end]
+        idx = np.flatnonzero(k) + start
+        if len(idx):
+            keep[idx] = dp_keep_mask(lon[idx], lat[idx], eps)
+        start = end
+    return filter_list_column(t, refs_col, keep, lengths, values)
+
+
+def simplify_ways(ways_ds, nodes_ds, eps: float, *,
+                  refs_col: str = "refs",
+                  max_broadcast_nodes: int = 50_000_000):
+    """Simplify every way's geometry to tolerance `eps` (coordinate
+    units). Returns the ways Dataset with rewritten ref lists.
+
+    Broadcast strategy (see module docstring for the shuffle path past
+    the cap): the (id, lon, lat) projection is pulled once, `ray.put`
+    once, and rehydrated zero-copy per task."""
+    n_nodes = nodes_ds.count()
+    if n_nodes > max_broadcast_nodes:
+        raise ValueError(
+            f"{n_nodes} nodes exceed max_broadcast_nodes="
+            f"{max_broadcast_nodes}; use the exploded bucketed-join "
+            "attach (stages/join.py:bucketed_attach_column) for "
+            "corpora past broadcast size")
+    cols = [[], [], []]
+    for b in nodes_ds.select_columns(["id", "lon", "lat"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            cols[0].append(b["id"].to_numpy(zero_copy_only=False))
+            cols[1].append(b["lon"].to_numpy(zero_copy_only=False))
+            cols[2].append(b["lat"].to_numpy(zero_copy_only=False))
+    if cols[0]:
+        ids = np.concatenate(cols[0]).astype(np.int64)
+        lon = np.concatenate(cols[1]).astype(np.float64)
+        lat = np.concatenate(cols[2]).astype(np.float64)
+    else:
+        ids = np.array([], np.int64)
+        lon = lat = np.array([], np.float64)
+    ref = ray.put(_CoordLookup(ids, lon, lat))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return simplify_refs_batch(t, ray.get(ref), eps, refs_col)
+
+    return ways_ds.map_batches(fn, batch_format="pyarrow")

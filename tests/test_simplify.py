@@ -1,0 +1,111 @@
+"""Douglas-Peucker way simplification: kernel vs recursive brute
+force, shape invariants, and the broadcast Ray pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from osm_cut_ray.stages.simplify import dp_keep_mask, simplify_ways
+
+
+def _brute_dp(x, y, eps):
+    n = len(x)
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+
+    def rec(i, j):
+        if j <= i + 1:
+            return
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        seg = np.hypot(dx, dy)
+        best_d, best_k = -1.0, -1
+        for k in range(i + 1, j):
+            if seg == 0.0:
+                d = np.hypot(x[k] - x[i], y[k] - y[i])
+            else:
+                d = abs(dy * (x[k] - x[i]) - dx * (y[k] - y[i])) / seg
+            if d > best_d:
+                best_d, best_k = d, k
+        if best_d > eps:
+            keep[best_k] = True
+            rec(i, best_k)
+            rec(best_k, j)
+
+    rec(0, n - 1)
+    return keep
+
+
+def test_dp_mask_matches_recursive_brute():
+    rng = np.random.default_rng(61)
+    for trial in range(20):
+        n = int(rng.integers(2, 60))
+        x = rng.normal(size=n).cumsum()
+        y = rng.normal(size=n).cumsum()
+        for eps in (0.0, 0.3, 1.0, 5.0):
+            np.testing.assert_array_equal(
+                dp_keep_mask(x, y, eps), _brute_dp(x, y, eps),
+                err_msg=f"trial={trial} eps={eps}")
+
+
+def test_dp_mask_shapes():
+    # collinear points collapse to the endpoints
+    x = np.arange(10, dtype=float)
+    y = np.zeros(10)
+    k = dp_keep_mask(x, y, 1e-9)
+    assert k.tolist() == [True] + [False] * 8 + [True]
+    # square wave keeps every extreme at small eps
+    x = np.arange(8, dtype=float)
+    y = np.array([0.0, 1, 0, 1, 0, 1, 0, 1])
+    assert dp_keep_mask(x, y, 0.1).all()
+    # degenerate inputs
+    assert dp_keep_mask(np.array([1.0]), np.array([2.0]), 1.0).tolist() \
+        == [True]
+    assert dp_keep_mask(np.array([], float), np.array([], float),
+                        1.0).size == 0
+    # duplicate endpoints (closed ring shape): falls back to radial dist
+    x = np.array([0.0, 2.0, 0.0])
+    y = np.array([0.0, 0.0, 0.0])
+    assert dp_keep_mask(x, y, 1.0).tolist() == [True, True, True]
+
+
+def test_simplify_ways_matches_driver(ray_session):
+    rng = np.random.default_rng(63)
+    n_nodes, n_ways = 500, 40
+    ids = np.arange(n_nodes, dtype=np.int64)
+    lon = rng.normal(size=n_nodes).cumsum()
+    lat = rng.normal(size=n_nodes).cumsum()
+    nodes = pa.table({"id": ids, "lon": lon, "lat": lat})
+    refs, way_ids = [], []
+    for w in range(n_ways):
+        ln = int(rng.integers(2, 30))
+        refs.append(rng.choice(ids, ln, replace=False).tolist())
+        way_ids.append(w)
+    # way 40: one ref unknown to the node table -> dropped from geometry
+    refs.append([0, 99999, 1, 2])
+    way_ids.append(40)
+    ways = pa.table({"id": pa.array(way_ids, pa.int64()),
+                     "refs": pa.array(refs, pa.list_(pa.int64()))})
+    eps = 1.0
+    out = simplify_ways(rd.from_arrow(ways), rd.from_arrow(nodes), eps)
+    got = pa.concat_tables([b for b in out.iter_batches(
+        batch_size=None, batch_format="pyarrow")]).sort_by("id")
+    assert got.schema.field("refs").type == pa.list_(pa.int64())
+    for i in range(len(got)):
+        wid = got["id"][i].as_py()
+        orig = np.array(refs[wid], np.int64)
+        known = orig < n_nodes
+        kn = orig[known]
+        mask = _brute_dp(lon[kn], lat[kn], eps)
+        exp = kn[mask].tolist()
+        assert got["refs"][i].as_py() == exp, wid
+
+
+def test_simplify_ways_broadcast_cap(ray_session):
+    nodes = pa.table({"id": pa.array([0, 1], pa.int64()),
+                      "lon": [0.0, 1.0], "lat": [0.0, 1.0]})
+    ways = pa.table({"id": pa.array([0], pa.int64()),
+                     "refs": pa.array([[0, 1]], pa.list_(pa.int64()))})
+    import pytest
+    with pytest.raises(ValueError, match="max_broadcast_nodes"):
+        simplify_ways(rd.from_arrow(ways), rd.from_arrow(nodes), 1.0,
+                      max_broadcast_nodes=1)
