@@ -142,3 +142,77 @@ def simplify_ways(ways_ds, nodes_ds, eps: float, *,
         return simplify_refs_batch(t, ray.get(ref), eps, refs_col)
 
     return ways_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simplify_ways_shuffle(ways_ds, nodes_ds, eps: float, *,
+                          id_col: str = "id", refs_col: str = "refs",
+                          num_buckets: int | None = None):
+    """The past-broadcast-cap strategy: refs explode with positions,
+    coordinates attach through ONE Arrow-native bucketed join (lon/lat
+    packed as a struct so a single shuffle carries both), then a
+    bucketed regroup runs the same per-way DP kernel and rebuilds the
+    lists. Nothing is ever pulled to the driver.
+
+    Output is the slim (id, refs) projection; refs unknown to the node
+    table are dropped by the inner attach (same as the broadcast
+    path), and ways with NO known refs disappear entirely (the
+    broadcast path keeps them with an empty list) — semi-join the
+    result back to re-attach metadata or empties if needed."""
+    import pyarrow.compute as pc
+
+    from . import join as J
+    if num_buckets is None:
+        num_buckets = J.default_bucket_count()
+    exploded = J.explode(ways_ds.select_columns([id_col, refs_col]),
+                         [id_col], refs_col, value_col="ref",
+                         pos_col="pos")
+
+    def pack(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nid": t["id"],
+            "coord": pa.StructArray.from_arrays(
+                [t["lon"].combine_chunks(), t["lat"].combine_chunks()],
+                ["lon", "lat"])})
+
+    coords = nodes_ds.select_columns(["id", "lon", "lat"]).map_batches(
+        pack, batch_format="pyarrow")
+    att = J.bucketed_attach_column(exploded, "ref", coords, "nid",
+                                   "coord", num_buckets=num_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = ((t[id_col].to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return t.append_column("__wb", pa.array(b.view(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          refs_col: pa.array([], pa.list_(pa.int64()))})
+        if len(t) == 0 or id_col not in t.column_names:
+            return empty
+        wid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, wid))
+        wid = wid[order]
+        refs = t["ref"].to_numpy(zero_copy_only=False)[order]
+        coord = t["coord"].combine_chunks() \
+            if isinstance(t["coord"], pa.ChunkedArray) else t["coord"]
+        lon = pc.struct_field(coord, "lon") \
+            .to_numpy(zero_copy_only=False)[order]
+        lat = pc.struct_field(coord, "lat") \
+            .to_numpy(zero_copy_only=False)[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(wid)) + 1, [len(wid)]))
+        keep = np.zeros(len(wid), bool)
+        for s, e in zip(starts[:-1], starts[1:]):
+            keep[s:e] = dp_keep_mask(lon[s:e], lat[s:e], eps)
+        kept_per_way = np.add.reduceat(keep, starts[:-1])
+        offs = np.zeros(len(starts), np.int64)
+        np.cumsum(kept_per_way, out=offs[1:])
+        return pa.table({
+            id_col: pa.array(wid[starts[:-1]]),
+            refs_col: pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(refs[keep]))})
+
+    return att.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__wb").map_groups(per_bucket, batch_format="pyarrow")

@@ -109,3 +109,34 @@ def test_simplify_ways_broadcast_cap(ray_session):
     with pytest.raises(ValueError, match="max_broadcast_nodes"):
         simplify_ways(rd.from_arrow(ways), rd.from_arrow(nodes), 1.0,
                       max_broadcast_nodes=1)
+
+
+def test_simplify_shuffle_matches_broadcast(ray_session):
+    from osm_cut_ray.stages.simplify import simplify_ways_shuffle
+    rng = np.random.default_rng(67)
+    n_nodes = 300
+    ids = np.arange(n_nodes, dtype=np.int64)
+    nodes = pa.table({"id": ids,
+                      "lon": rng.normal(size=n_nodes).cumsum(),
+                      "lat": rng.normal(size=n_nodes).cumsum()})
+    refs = [rng.choice(ids, int(rng.integers(2, 40)),
+                       replace=False).tolist() for _ in range(30)]
+    refs.append([5, 99999, 17, 23, 8])   # unknown ref dropped, way kept
+    ways = pa.table({"id": pa.array(range(len(refs)), pa.int64()),
+                     "refs": pa.array(refs, pa.list_(pa.int64()))})
+    eps = 0.8
+
+    def collect(ds):
+        return pa.concat_tables(
+            [b for b in ds.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")
+             if b.num_rows]).sort_by("id")
+
+    bc = collect(simplify_ways(rd.from_arrow(ways),
+                               rd.from_arrow(nodes), eps)) \
+        .select(["id", "refs"])
+    sh = collect(simplify_ways_shuffle(rd.from_arrow(ways),
+                                       rd.from_arrow(nodes), eps))
+    assert bc["id"].to_pylist() == sh["id"].to_pylist()
+    assert bc["refs"].to_pylist() == sh["refs"].to_pylist()
+    assert sh.schema.field("refs").type == pa.list_(pa.int64())
