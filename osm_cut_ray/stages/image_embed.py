@@ -162,3 +162,17 @@ def clip_filter(images_ds, *, min_score: float,
 
     from .dedup import _spread
     return _spread(images_ds).map_batches(fn, batch_format="pyarrow")
+
+
+def image_embedding_dup_pairs(images_ds, *, cosine_threshold: float = 0.999,
+                              n_bits: int = 16, seed: int = 42,
+                              id_prefix_len: int = 3) -> pa.Table:
+    """Embedding-cosine near-duplicate image pairs: the third dedup
+    modality next to bytes-md5 (exact) and aHash (perceptual) — at a
+    real deployment this catches semantic dups (rescaled/recropped
+    variants) the pixel hashes miss. Embeds map-side, then reuses the
+    hyperplane-LSH + exact-verify machinery on the 64-dim vectors."""
+    from .dedup import embedding_dup_pairs
+    emb = image_embeddings(images_ds, id_prefix_len=id_prefix_len)
+    return embedding_dup_pairs(emb, cosine_threshold=cosine_threshold,
+                               n_bits=n_bits, seed=seed)

@@ -367,3 +367,23 @@ def test_curate_images_clip_gate(ray_session, tmp_path):
     curate_images([p], out, min_clip_score=thr)
     _, kept_ids = _kept_ids(out, ("shard",))
     assert kept_ids == set(range(4)) - {int(order[0])}
+
+
+def test_image_embedding_dup_pairs(ray_session):
+    from osm_cut_ray.stages.image_embed import image_embedding_dup_pairs
+    rng = np.random.default_rng(49)
+    base = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+            for _ in range(15)]
+    entries = [(i, px, "fpng", EN_CAP, 1.0, 1.0)
+               for i, px in enumerate(base)]
+    # exact pixel copies at new ids: embedding-identical -> same LSH
+    # bucket by construction, cosine exactly 1
+    entries += [(100 + i, base[i], "fpng", EN_CAP, 1.0, 1.0)
+                for i in range(3)]
+    tbl = _hint(entries)
+    got = image_embedding_dup_pairs(rd.from_arrow(tbl),
+                                    cosine_threshold=0.9999)
+    pairs = set(zip(got["a_id"].to_pylist(), got["b_id"].to_pylist()))
+    assert {(i, 100 + i) for i in range(3)} <= pairs
+    # no random-pair false positives at this threshold
+    assert all(b - a == 100 for a, b in pairs)
