@@ -165,6 +165,34 @@ def _cmd_curate_images(args) -> int:
     return 0
 
 
+def _cmd_export_wds(args) -> int:
+    import glob
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .sources.tables import strip_schema_metadata
+    from .sources.webdataset import write_wds_shards
+    paths = sorted(p for pat in args.inputs for p in glob.glob(pat))
+    if not paths:
+        print(f"no inputs matched {args.inputs}", file=sys.stderr)
+        return 2
+    ds = strip_schema_metadata(rd.read_parquet(paths))
+    man = write_wds_shards(ds, args.output,
+                           rows_per_shard=args.rows_per_shard)
+    print(f"wrote {len(man)} shard(s), "
+          f"rows={sum(man['rows'].to_pylist())}, "
+          f"bytes={sum(man['bytes'].to_pylist())} to {args.output}")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_cut_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -230,6 +258,15 @@ def main(argv=None) -> int:
     ci.add_argument("--resize-target", type=int, default=None,
                     help="thumbnail kept images to this max side")
     ci.set_defaults(fn=_cmd_curate_images)
+    ew = sub.add_parser(
+        "export-wds",
+        help="export an image-table parquet corpus (e.g. curate-images "
+             "output) as WebDataset tar shards")
+    ew.add_argument("inputs", nargs="+",
+                    help="input parquet paths/globs (image table schema)")
+    ew.add_argument("output", help="shard output directory")
+    ew.add_argument("--rows-per-shard", type=int, default=10_000)
+    ew.set_defaults(fn=_cmd_export_wds)
     args = p.parse_args(argv)
     return args.fn(args)
 

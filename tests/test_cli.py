@@ -131,3 +131,23 @@ def test_cli_curate_images_resume(tmp_path):
     assert "exact=1" in r1.stdout and "rows_out=2" in r1.stdout
     r2 = _run(["curate-images", str(p), out, "--resize-target", "16"])
     assert r2.returncode == 0 and "skipped=['imgs']" in r2.stdout
+
+
+def test_cli_export_wds(tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tests.test_image_pipeline import EN_CAP, _hint
+    rng = np.random.default_rng(53)
+    entries = [(i, rng.integers(0, 256, (16, 16)).astype(np.uint8),
+                "fpng", EN_CAP, 1.0, 1.0) for i in range(7)]
+    p = tmp_path / "imgs.parquet"
+    pq.write_table(_hint(entries), str(p))
+    out = str(tmp_path / "wds")
+    r = _run(["export-wds", str(p), out, "--rows-per-shard", "3"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "rows=7" in r.stdout
+    import json as _json
+    man = _json.load(open(os.path.join(out, "_manifest.json")))
+    assert sum(man["rows"]) == 7
+    assert all(s.endswith(".tar") for s in man["shards"])
