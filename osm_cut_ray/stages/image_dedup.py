@@ -91,3 +91,132 @@ def image_dup_pairs(images_ds, *, hamming_threshold: int = 3,
     return fp_hamming_pairs(fps, hamming_threshold=hamming_threshold,
                             n_bands=n_bands, max_bucket_df=max_bucket_df,
                             report_name="image_dup_pairs")
+
+
+class RefFpIndex:
+    """Broadcastable banded index over a REFERENCE fingerprint set —
+    the image analog of `stages/decontaminate.py`'s benchmark shingle
+    set: build once from the existing training corpus's aHashes
+    (16 B/image), `ray.put` once, probe map-side with zero shuffles.
+
+    Banding mirrors `stages/dedup.py:fp_hamming_pairs` (pigeonhole:
+    n_bands > threshold guarantees a within-threshold pair shares at
+    least one exact band), so lookups are exact up to the per-probe
+    `max_candidates` cap (degenerate bands — e.g. the all-flat aHash —
+    are truncated with a surfaced count)."""
+
+    def __init__(self, ref_ids: np.ndarray, ref_fps: np.ndarray,
+                 n_bands: int = 4):
+        self.n_bands = n_bands
+        self.bits = 64 // n_bands
+        fps = np.asarray(ref_fps, np.int64).view(np.uint64)
+        ids = np.asarray(ref_ids, np.int64)
+        self.segs, self.fps, self.ids = [], [], []
+        for b in range(n_bands):
+            seg = (fps >> np.uint64(b * self.bits)) \
+                & np.uint64((1 << self.bits) - 1)
+            order = np.argsort(seg, kind="stable")
+            self.segs.append(seg[order])
+            self.fps.append(fps[order])
+            self.ids.append(ids[order])
+
+    def query(self, probe_fps: np.ndarray, threshold: int,
+              max_candidates: int = 4096
+              ) -> tuple[np.ndarray, np.ndarray, int]:
+        """probe int64 fps -> (hit mask, matched ref id or -1,
+        truncated-candidate count)."""
+        from .dedup import hamming64
+        p = np.asarray(probe_fps, np.int64).view(np.uint64)
+        hit = np.zeros(len(p), bool)
+        ref = np.full(len(p), -1, np.int64)
+        truncated = 0
+        for b in range(self.n_bands):
+            todo = np.flatnonzero(~hit)
+            if len(todo) == 0:
+                break
+            seg = (p[todo] >> np.uint64(b * self.bits)) \
+                & np.uint64((1 << self.bits) - 1)
+            lo = np.searchsorted(self.segs[b], seg, side="left")
+            hi = np.searchsorted(self.segs[b], seg, side="right")
+            for j, i in enumerate(todo.tolist()):
+                l, h = int(lo[j]), int(hi[j])
+                if h - l > max_candidates:
+                    truncated += h - l - max_candidates
+                    h = l + max_candidates
+                if h <= l:
+                    continue
+                d = hamming64(self.fps[b][l:h].view(np.int64),
+                              np.full(h - l, p[i], np.uint64)
+                              .view(np.int64))
+                k = int(np.argmin(d))
+                if d[k] <= threshold:
+                    hit[i] = True
+                    ref[i] = self.ids[b][l + k]
+        return hit, ref, truncated
+
+
+def build_ref_fp_index(ref_images_ds, *, n_bands: int = 4,
+                       id_prefix_len: int = 3) -> RefFpIndex:
+    """Fingerprint the reference corpus distributed, pull only the
+    (id, fp) projection (16 B/image — the broadcast side must fit,
+    same contract as the decontamination benchmark set)."""
+    fps = image_fingerprints(ref_images_ds, id_prefix_len=id_prefix_len)
+    ids_l, fps_l = [], []
+    for b in fps.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            ids_l.append(b["doc_id"].to_numpy(zero_copy_only=False))
+            fps_l.append(b["fp"].to_numpy(zero_copy_only=False))
+    if not ids_l:
+        return RefFpIndex(np.array([], np.int64),
+                          np.array([], np.int64), n_bands)
+    return RefFpIndex(np.concatenate(ids_l), np.concatenate(fps_l),
+                      n_bands)
+
+
+def image_cross_dup_filter(new_ds, ref_index: RefFpIndex, *,
+                           hamming_threshold: int = 3,
+                           mode: str = "anti",
+                           max_candidates: int = 4096,
+                           id_prefix_len: int = 3):
+    """Drop (mode='anti') or keep (mode='semi') new-corpus images
+    whose aHash is within `hamming_threshold` of ANY reference image —
+    cross-corpus dedup of a fresh crawl against the existing training
+    set. The index rides the object store once; each batch decodes,
+    hashes, and probes map-side with zero shuffles."""
+    import ray
+    if mode not in ("anti", "semi"):
+        raise ValueError("mode must be anti|semi")
+    if ref_index.n_bands <= hamming_threshold:
+        raise ValueError("index n_bands must exceed hamming_threshold "
+                         "for pigeonhole-complete lookups")
+    ref = ray.put(ref_index)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "image_id" not in t.column_names:
+            from ..pipelines.curate_images import EMPTY_HINT
+            return EMPTY_HINT
+        idx: RefFpIndex = ray.get(ref)
+        pixels = [decode_image(buf)[0] for buf in t["bytes"].to_pylist()]
+        by_shape: dict[tuple[int, int], list[int]] = {}
+        for i, px in enumerate(pixels):
+            by_shape.setdefault(px.shape, []).append(i)
+        fp = np.empty(len(t), np.uint64)
+        for _, idxs in by_shape.items():
+            ii = np.asarray(idxs, np.int64)
+            fp[ii] = ahash_stack(np.stack([pixels[i] for i in idxs]))
+        hit, _refid, truncated = idx.query(fp.view(np.int64),
+                                           hamming_threshold,
+                                           max_candidates)
+        if truncated:
+            print(f"image_cross_dup_filter: {truncated} candidate(s) "
+                  f"past max_candidates={max_candidates} skipped in a "
+                  "degenerate band — raise the cap for exactness")
+        keep = ~hit if mode == "anti" else hit
+        out = t.filter(pa.array(keep))
+        if len(out):
+            return out
+        from ..pipelines.curate_images import EMPTY_HINT
+        return EMPTY_HINT
+
+    from .dedup import _spread
+    return _spread(new_ds).map_batches(fn, batch_format="pyarrow")

@@ -387,3 +387,58 @@ def test_image_embedding_dup_pairs(ray_session):
     assert {(i, 100 + i) for i in range(3)} <= pairs
     # no random-pair false positives at this threshold
     assert all(b - a == 100 for a, b in pairs)
+
+
+# ------------------------------------------- cross-corpus image dedup
+
+def test_ref_fp_index_matches_brute(ray_session):
+    from osm_cut_ray.stages.dedup import hamming64
+    from osm_cut_ray.stages.image_dedup import RefFpIndex
+    rng = np.random.default_rng(81)
+    ref_fps = rng.integers(0, 2**63, 200, dtype=np.int64)
+    ref_ids = np.arange(200, dtype=np.int64)
+    # probes: 30 random + 10 refs with <=3 flipped bits
+    probes = rng.integers(0, 2**63, 30, dtype=np.int64).tolist()
+    for i in range(10):
+        f = np.uint64(ref_fps[i])
+        for b in rng.choice(64, int(rng.integers(0, 4)), replace=False):
+            f ^= np.uint64(1) << np.uint64(b)
+        probes.append(np.int64(f))
+    probes = np.array(probes, np.int64)
+    idx = RefFpIndex(ref_ids, ref_fps, n_bands=4)
+    hit, refid, trunc = idx.query(probes, threshold=3)
+    assert trunc == 0
+    for j in range(len(probes)):
+        d = hamming64(ref_fps, np.full(200, probes[j], np.int64))
+        assert hit[j] == bool(d.min() <= 3), j
+        if hit[j]:
+            assert d[np.flatnonzero(ref_ids == refid[j])[0]] <= 3
+
+
+def test_image_cross_dup_filter(ray_session):
+    from osm_cut_ray.stages.image_dedup import build_ref_fp_index, \
+        image_cross_dup_filter
+    rng = np.random.default_rng(83)
+    ref_px = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+              for _ in range(10)]
+    new_px = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+              for _ in range(5)]
+    copies = [np.clip(ref_px[i].astype(np.int16)
+                      + rng.integers(-1, 2, (32, 32)), 0, 255)
+              .astype(np.uint8) for i in range(3)]
+    ref = _hint([(i, px, "fpng", EN_CAP, 1.0, 1.0)
+                 for i, px in enumerate(ref_px)])
+    new = _hint([(100 + i, px, "fpng", EN_CAP, 1.0, 1.0)
+                 for i, px in enumerate(new_px + copies)])
+    idx = build_ref_fp_index(rd.from_arrow(ref))
+    kept = _collect(image_cross_dup_filter(rd.from_arrow(new), idx,
+                                           mode="anti"))
+    dups = _collect(image_cross_dup_filter(rd.from_arrow(new), idx,
+                                           mode="semi"))
+    kept_ids = {int(i[3:]) for i in kept["image_id"].to_pylist()}
+    dup_ids = {int(i[3:]) for i in dups["image_id"].to_pylist()}
+    assert {105, 106, 107} <= dup_ids          # the near-copies
+    assert kept_ids | dup_ids == set(range(100, 108))
+    assert kept_ids & dup_ids == set()
+    assert kept.column_names == ["image_id", "bytes", "w", "h", "fmt",
+                                 "caption", "phash"]
