@@ -319,6 +319,38 @@ def _extra_simplify(sf_dir: str):
     return simplify_ways(ways, nodes, eps=0.5)
 
 
+def _extra_cross_dedup(sf_dir: str):
+    """Cross-corpus image dedup: 20k-reference banded aHash index
+    broadcast once, 20.4k new images (1% planted ref copies) probed
+    map-side with zero shuffles."""
+    import numpy as np
+    import ray.data as rd
+
+    from osm_cut_ray.stages.image_dedup import build_ref_fp_index, \
+        image_cross_dup_filter
+
+    n, nd = 20_000, 200
+
+    def synth(lo):
+        def fn(t):
+            keys = t["id"].to_numpy(zero_copy_only=False) + lo
+            return _synth_image_corpus_batch(keys, n, nd)
+        return fn
+
+    ref = rd.range(n).map_batches(synth(0), batch_format="pyarrow",
+                                  batch_size=2048)
+    # new corpus reuses the dup tail: keys >= n replay ref patterns
+    new = rd.range(2 * nd).map_batches(
+        synth(n), batch_format="pyarrow", batch_size=2048) \
+        .union(rd.range(n).map_batches(
+            lambda t: _synth_image_corpus_batch(
+                t["id"].to_numpy(zero_copy_only=False)
+                + np.int64(10 ** 6), 10 ** 9, 0),
+            batch_format="pyarrow", batch_size=2048))
+    idx = build_ref_fp_index(ref)
+    return image_cross_dup_filter(new, idx, mode="anti")
+
+
 EXTRA_SET = {
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
@@ -329,6 +361,7 @@ EXTRA_SET = {
     "image_patches_24k": _extra_image_patches,
     "curate_images_e2e": _extra_curate_images,
     "simplify_ways_20k": _extra_simplify,
+    "image_cross_dedup_40k": _extra_cross_dedup,
 }
 
 
