@@ -1,0 +1,98 @@
+"""Geographic de-biasing sampler — cap the corpus at K images per
+spatial cell.
+
+Web-scale geotagged imagery is brutally skewed (city centers hold
+millions of near-identical views, rural cells a handful); training on
+the raw distribution over-fits the hot cells. The standard cure is a
+per-cell cap, and the scalable shape is the engine's stratified-
+sampling pattern with an UNBOUNDED stratum count: only
+(cell, id, hash) transits any shuffle, image bytes never move.
+
+1. Slim pass: decode the phash geotag, assign the hex cell
+   (`geometry/cells.py:hex_cell`), keep the HASH-SMALLEST K ids per
+   cell within each batch (vectorized sort + C-speed groupby head —
+   a deterministic, reproducible reservoir analog).
+2. Merge: ONE bucketed-group shuffle over the partial rows
+   (`stages/join.py:bucketed_group_apply` — Ray group overhead per
+   bucket, not per cell) finishes the per-cell top-K exactly.
+3. The kept-id set (bounded by #cells x K) broadcasts once and a
+   map-side semi-join filters the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geometry.cells import hex_cell
+from ..geometry.geotag import decode_geotag
+
+_HASH_MULT = 2654435761
+
+
+def sample_hash(ids: np.ndarray) -> np.ndarray:
+    """The deterministic per-id ordering key (same formula as the
+    oracle-checked stratified sampler, queries.py)."""
+    return (np.asarray(ids, np.int64) * _HASH_MULT) % 4294967296
+
+
+def geo_debias_sample(images_ds, *, hex_res: int = 7,
+                      per_cell_k: int = 10, id_prefix_len: int = 3):
+    """input_hint-shaped Dataset -> same-schema Dataset with at most
+    `per_cell_k` rows per hex cell (hash-smallest ids win; fully
+    deterministic under any partitioning)."""
+    from ..pipelines.curate_images import parse_image_ids
+    from . import join as J
+    from .dedup import _spread
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64())})
+        if len(t) == 0 or "image_id" not in t.column_names:
+            return empty
+        ids = parse_image_ids(t["image_id"], id_prefix_len)
+        lon, lat = decode_geotag(
+            t["phash"].to_numpy(zero_copy_only=False))
+        cell = hex_cell(lon, lat, hex_res)
+        d = pd.DataFrame({"cell": cell, "doc_id": ids,
+                          "h": sample_hash(ids)})
+        d = d.sort_values(["cell", "h", "doc_id"])
+        top = d.groupby("cell", sort=False).head(per_cell_k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    part = _spread(images_ds).map_batches(partial,
+                                          batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell", "h", "doc_id"])
+        return g.groupby("cell", sort=False).head(per_cell_k)[["doc_id"]]
+
+    kept_ds = J.bucketed_group_apply(part, "cell", merge)
+    ids_l = [b["doc_id"].to_numpy(zero_copy_only=False)
+             for b in kept_ds.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+             if b.num_rows]
+    keep = np.concatenate(ids_l).astype(np.int64) if ids_l \
+        else np.array([], np.int64)
+
+    import ray
+    ref = ray.put(np.sort(keep))
+
+    def filt(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "image_id" not in t.column_names:
+            from ..pipelines.curate_images import EMPTY_HINT
+            return EMPTY_HINT
+        ids = parse_image_ids(t["image_id"], id_prefix_len)
+        k = ray.get(ref)
+        pos = np.searchsorted(k, ids)
+        pos_c = np.minimum(pos, max(0, len(k) - 1))
+        hit = (k[pos_c] == ids) if len(k) else np.zeros(len(t), bool)
+        out = t.filter(pa.array(hit))
+        if len(out):
+            return out
+        from ..pipelines.curate_images import EMPTY_HINT
+        return EMPTY_HINT
+
+    return images_ds.map_batches(filt, batch_format="pyarrow")

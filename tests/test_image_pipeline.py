@@ -442,3 +442,40 @@ def test_image_cross_dup_filter(ray_session):
     assert kept_ids & dup_ids == set()
     assert kept.column_names == ["image_id", "bytes", "w", "h", "fmt",
                                  "caption", "phash"]
+
+
+# ------------------------------------------------- geo-debias sampling
+
+def test_geo_debias_sample(ray_session):
+    from osm_cut_ray.geometry.cells import hex_cell
+    from osm_cut_ray.stages.geo_sample import geo_debias_sample, \
+        sample_hash
+    rng = np.random.default_rng(91)
+    # three far-apart clusters: 30 / 10 / 2 images
+    spots = [(10.0, 10.0, 30), (60.0, -20.0, 10), (-120.0, 45.0, 2)]
+    entries, k = [], 0
+    for lon, lat, n in spots:
+        for _ in range(n):
+            entries.append((k, rng.integers(0, 256, (16, 16))
+                            .astype(np.uint8), "fpng", EN_CAP,
+                            lon + rng.uniform(-1e-4, 1e-4),
+                            lat + rng.uniform(-1e-4, 1e-4)))
+            k += 1
+    tbl = _hint(entries)
+    got = _collect(geo_debias_sample(rd.from_arrow(tbl), hex_res=7,
+                                     per_cell_k=5))
+    kept_ids = sorted(int(i[3:]) for i in got["image_id"].to_pylist())
+    # expected: per true cell, hash-smallest 5 ids
+    from osm_cut_ray.geometry.geotag import decode_geotag
+    lon, lat = decode_geotag(tbl["phash"].to_numpy(zero_copy_only=False))
+    cells = hex_cell(lon, lat, 7)
+    ids = np.arange(len(entries), dtype=np.int64)
+    exp = []
+    for c in np.unique(cells):
+        m = ids[cells == c]
+        order = np.lexsort((m, sample_hash(m)))
+        exp.extend(m[order][:5].tolist())
+    assert kept_ids == sorted(exp)
+    assert len(kept_ids) == 5 + 5 + 2
+    assert got.column_names == ["image_id", "bytes", "w", "h", "fmt",
+                                "caption", "phash"]
