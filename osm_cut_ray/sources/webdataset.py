@@ -72,10 +72,18 @@ def write_shard_batch(t: pa.Table, out_dir: str) -> pa.Table:
 
 
 def write_wds_shards(images_ds, out_dir: str, *,
-                     rows_per_shard: int = 10_000) -> pa.Table:
+                     rows_per_shard: int = 10_000,
+                     shuffle_seed: int | None = None) -> pa.Table:
     """Write an input_hint-shaped Dataset as WebDataset tar shards.
-    Returns the shard manifest table (shard, rows, bytes)."""
+    Returns the shard manifest table (shard, rows, bytes).
+
+    `shuffle_seed` runs a seeded global `random_shuffle` first so
+    samples land in random shards (what training ingestion wants).
+    This is the ONE place the pipeline deliberately shuffles payload
+    bytes — it is the export, there is nothing downstream to spare."""
     os.makedirs(out_dir, exist_ok=True)
+    if shuffle_seed is not None:
+        images_ds = images_ds.random_shuffle(seed=shuffle_seed)
     manifest = images_ds.map_batches(
         lambda t: write_shard_batch(t, out_dir),
         batch_format="pyarrow", batch_size=rows_per_shard)

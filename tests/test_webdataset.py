@@ -51,3 +51,22 @@ def test_wds_shards_are_deterministic(ray_session, tmp_path):
         b1 = open(os.path.join(d1, s), "rb").read()
         b2 = open(os.path.join(d2, s), "rb").read()
         assert b1 == b2                      # byte-identical shards
+
+
+def test_wds_seeded_shuffle_is_reproducible(ray_session, tmp_path):
+    rng = np.random.default_rng(77)
+    tbl = _corpus(rng, n=20)
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_wds_shards(rd.from_arrow(tbl), d1, rows_per_shard=7,
+                          shuffle_seed=5)
+    m2 = write_wds_shards(rd.from_arrow(tbl), d2, rows_per_shard=7,
+                          shuffle_seed=5)
+    assert m1["shard"].to_pylist() == m2["shard"].to_pylist()
+    assert sum(m1["rows"].to_pylist()) == 20
+    # all samples survive the shuffle+shard roundtrip
+    shards = [os.path.join(d1, s) for s in m1["shard"].to_pylist()]
+    back = pa.concat_tables([
+        b for b in read_wds_shards(shards).iter_batches(
+            batch_size=None, batch_format="pyarrow") if b.num_rows])
+    assert sorted(back["image_id"].to_pylist()) == \
+        sorted(tbl["image_id"].to_pylist())
