@@ -176,3 +176,25 @@ def image_embedding_dup_pairs(images_ds, *, cosine_threshold: float = 0.999,
     emb = image_embeddings(images_ds, id_prefix_len=id_prefix_len)
     return embedding_dup_pairs(emb, cosine_threshold=cosine_threshold,
                                n_bits=n_bits, seed=seed)
+
+
+def caption_dup_pairs(images_ds, *, jaccard_threshold: float = 0.8,
+                      id_prefix_len: int = 3) -> pa.Table:
+    """Near-duplicate CAPTION pairs over the image table — boilerplate
+    and spam captions ("stock photo of ...") are the text-side dup
+    signal in image+text corpora. Projects (doc_id, text=caption)
+    map-side and reuses the fully-distributed MinHash-LSH pipeline."""
+    from ..pipelines.curate_images import parse_image_ids
+    from .dedup import minhash_lsh_pairs
+
+    def project(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "image_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        return pa.table({
+            "doc_id": pa.array(parse_image_ids(t["image_id"],
+                                               id_prefix_len)),
+            "text": t["caption"]})
+
+    docs = images_ds.map_batches(project, batch_format="pyarrow")
+    return minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)

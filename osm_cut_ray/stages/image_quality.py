@@ -119,3 +119,45 @@ def quality_keep_mask(scores: dict[str, np.ndarray], *,
             & (scores["extreme_frac"] <= max_extreme_frac)
             & (scores["brightness"] >= min_brightness)
             & (scores["brightness"] <= max_brightness))
+
+
+def validate_images_batch(t: pa.Table) -> pa.Table:
+    """Ingest-time corpus validation: decode every blob defensively
+    and report rows that would poison downstream stages — undecodable
+    bytes, dimension metadata disagreeing with the decoded pixels,
+    empty payloads. Output: (image_id, error) for BAD rows only
+    (healthy corpora produce zero rows at ~decode speed)."""
+    empty = pa.table({"image_id": pa.array([], pa.string()),
+                      "error": pa.array([], pa.string())})
+    if len(t) == 0 or "image_id" not in t.column_names:
+        return empty
+    ids = t["image_id"].to_pylist()
+    ws = t["w"].to_pylist()
+    hs = t["h"].to_pylist()
+    bad_id, bad_err = [], []
+    for i, buf in enumerate(t["bytes"].to_pylist()):
+        if not buf:
+            bad_id.append(ids[i])
+            bad_err.append("empty payload")
+            continue
+        try:
+            px, _fmt = decode_image(buf)
+        except Exception as e:                     # corrupt blob
+            bad_id.append(ids[i])
+            bad_err.append(f"decode failed: {type(e).__name__}")
+            continue
+        if px.shape != (hs[i], ws[i]):
+            bad_id.append(ids[i])
+            bad_err.append(
+                f"dims {px.shape[1]}x{px.shape[0]} != metadata "
+                f"{ws[i]}x{hs[i]}")
+    return pa.table({"image_id": pa.array(bad_id, pa.string()),
+                     "error": pa.array(bad_err, pa.string())})
+
+
+def validate_images(images_ds):
+    """input_hint-shaped Dataset -> (image_id, error) rows for every
+    invalid image (empty on a healthy corpus)."""
+    from .dedup import _spread
+    return _spread(images_ds).map_batches(validate_images_batch,
+                                          batch_format="pyarrow")

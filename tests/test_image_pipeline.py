@@ -479,3 +479,58 @@ def test_geo_debias_sample(ray_session):
     assert len(kept_ids) == 5 + 5 + 2
     assert got.column_names == ["image_id", "bytes", "w", "h", "fmt",
                                 "caption", "phash"]
+
+
+# --------------------------------------------------- corpus validation
+
+def test_validate_images(ray_session):
+    from osm_cut_ray.stages.image_quality import validate_images
+    rng = np.random.default_rng(93)
+    entries = [(i, rng.integers(0, 256, (16, 16)).astype(np.uint8),
+                "fpng", EN_CAP, 1.0, 1.0) for i in range(5)]
+    tbl = _hint(entries)
+    # plant: corrupt blob (truncated), wrong metadata dims, empty blob
+    bad = tbl.to_pydict()
+    bad["image_id"] += ["img00000100", "img00000101", "img00000102"]
+    bad["bytes"] += [bad["bytes"][0][:10], bad["bytes"][1], b""]
+    bad["w"] += [16, 99, 16]
+    bad["h"] += [16, 16, 16]
+    bad["fmt"] += ["fpng"] * 3
+    bad["caption"] += [EN_CAP] * 3
+    bad["phash"] += [0, 0, 0]
+    t2 = pa.table({
+        "image_id": pa.array(bad["image_id"], pa.string()),
+        "bytes": pa.array(bad["bytes"], pa.binary()),
+        "w": pa.array(bad["w"], pa.int32()),
+        "h": pa.array(bad["h"], pa.int32()),
+        "fmt": pa.array(bad["fmt"], pa.string()),
+        "caption": pa.array(bad["caption"], pa.string()),
+        "phash": pa.array(bad["phash"], pa.int64())})
+    got = _collect(validate_images(rd.from_arrow(t2))) \
+        .sort_by("image_id")
+    errs = dict(zip(got["image_id"].to_pylist(),
+                    got["error"].to_pylist()))
+    assert set(errs) == {"img00000100", "img00000101", "img00000102"}
+    assert "decode failed" in errs["img00000100"]
+    assert "99" in errs["img00000101"]
+    assert errs["img00000102"] == "empty payload"
+
+
+def test_caption_dup_pairs(ray_session):
+    from osm_cut_ray.stages.image_embed import caption_dup_pairs
+    rng = np.random.default_rng(95)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    caps = [" ".join(rng.choice(words, 25)) for _ in range(10)]
+    entries = [(i, rng.integers(0, 256, (16, 16)).astype(np.uint8),
+                "fpng", caps[i], 1.0, 1.0) for i in range(10)]
+    # 100 repeats caption 0 verbatim; 101 near-repeats caption 1
+    entries.append((100, rng.integers(0, 256, (16, 16))
+                    .astype(np.uint8), "fpng", caps[0], 1.0, 1.0))
+    entries.append((101, rng.integers(0, 256, (16, 16))
+                    .astype(np.uint8), "fpng", caps[1] + " tail",
+                    1.0, 1.0))
+    got = caption_dup_pairs(rd.from_arrow(_hint(entries)),
+                            jaccard_threshold=0.6)
+    pairs = set(zip(got["a_id"].to_pylist(), got["b_id"].to_pylist()))
+    assert (0, 100) in pairs and (1, 101) in pairs
