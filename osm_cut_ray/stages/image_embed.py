@@ -198,3 +198,23 @@ def caption_dup_pairs(images_ds, *, jaccard_threshold: float = 0.8,
 
     docs = images_ds.map_batches(project, batch_format="pyarrow")
     return minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+
+
+def image_knn_ivf(images_ds, probe_keys, *, k: int = 5,
+                  n_centroids: int = 16, nprobe: int = 4,
+                  id_prefix_len: int = 3) -> pa.Table:
+    """Approximate image retrieval at scale: embed map-side, then
+    search only the `nprobe` nearest IVF cells (deterministic sampled
+    k-means centroids, `stages/knn.py:knn_ivf`). Recall < 1 by design;
+    pinned against `image_knn_brute` in tests."""
+    from .join import broadcast_is_in
+    from .knn import knn_ivf
+    probe_keys = np.asarray(probe_keys, np.int64)
+    emb = image_embeddings(images_ds,
+                           id_prefix_len=id_prefix_len).materialize()
+    probes = broadcast_is_in(emb, "vec_id", probe_keys).take_all()
+    pid = np.array([r["vec_id"] for r in probes], np.int64)
+    pmat = np.stack([np.asarray(r["embedding"], np.float64)
+                     for r in probes])
+    return knn_ivf(emb, pid, pmat, k=k, n_centroids=n_centroids,
+                   nprobe=nprobe)

@@ -534,3 +534,33 @@ def test_caption_dup_pairs(ray_session):
                             jaccard_threshold=0.6)
     pairs = set(zip(got["a_id"].to_pylist(), got["b_id"].to_pylist()))
     assert (0, 100) in pairs and (1, 101) in pairs
+
+
+def test_image_knn_ivf_recall(ray_session):
+    from osm_cut_ray.stages.image_embed import image_knn_brute, \
+        image_knn_ivf
+    rng = np.random.default_rng(97)
+    # clustered corpus: 4 pattern families so IVF cells are meaningful
+    entries = []
+    fams = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+            for _ in range(4)]
+    for i in range(80):
+        fam = fams[i % 4].astype(np.int16)
+        px = np.clip(fam + rng.integers(-6, 7, fam.shape), 0, 255) \
+            .astype(np.uint8)
+        entries.append((i, px, "fpng", EN_CAP, 1.0, 1.0))
+    ds = rd.from_arrow(_hint(entries))
+    probes = [0, 1, 2, 3]
+    brute = image_knn_brute(ds, probes, k=5)
+    ivf = image_knn_ivf(ds, probes, k=5, n_centroids=8, nprobe=4)
+    hits = tot = 0
+    for p in probes:
+        bset = {n for pp, n in zip(brute["probe_id"].to_pylist(),
+                                   brute["neighbor_id"].to_pylist())
+                if pp == p}
+        iset = {n for pp, n in zip(ivf["probe_id"].to_pylist(),
+                                   ivf["neighbor_id"].to_pylist())
+                if pp == p}
+        hits += len(bset & iset)
+        tot += len(bset)
+    assert hits / tot >= 0.8, (hits, tot)
