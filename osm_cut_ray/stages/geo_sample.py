@@ -96,3 +96,44 @@ def geo_debias_sample(images_ds, *, hex_res: int = 7,
         return EMPTY_HINT
 
     return images_ds.map_batches(filt, batch_format="pyarrow")
+
+
+def split_by_hash(images_ds, *, fractions: dict[str, float],
+                  id_prefix_len: int = 3, seed: int = 0):
+    """Deterministic disjoint corpus split (train/val/test) by id hash.
+
+    Every row lands in exactly one split regardless of partitioning,
+    batch order, or cluster size — the property `random_sample` lacks
+    and reproducible training needs. fractions: {"train": 0.98,
+    "val": 0.01, "test": 0.01} (must sum to ~1). Returns
+    {name: Dataset}; each split is an independent map-side filter over
+    the shared input (no shuffles, no materialization)."""
+    from ..pipelines.curate_images import EMPTY_HINT, parse_image_ids
+    tot = sum(fractions.values())
+    if not 0.999 <= tot <= 1.001:
+        raise ValueError(f"fractions sum to {tot}, need 1.0")
+    names = sorted(fractions)          # deterministic boundary order
+    bounds, acc = {}, 0.0
+    for n in names:
+        bounds[n] = (acc, acc + fractions[n])
+        acc += fractions[n]
+    denom = float(2 ** 32)
+
+    def make(name):
+        lo, hi = bounds[name]
+        last = name == names[-1]
+
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "image_id" not in t.column_names:
+                return EMPTY_HINT
+            ids = parse_image_ids(t["image_id"], id_prefix_len)
+            u = ((ids + np.int64(seed)).view(np.uint64)
+                 * np.uint64(_HASH_MULT)) % np.uint64(2 ** 32)
+            x = u.astype(np.float64) / denom
+            keep = (x >= lo) & ((x < hi) | last)  # last takes x==1 edge
+            out = t.filter(pa.array(keep))
+            return out if len(out) else EMPTY_HINT
+
+        return images_ds.map_batches(fn, batch_format="pyarrow")
+
+    return {n: make(n) for n in names}

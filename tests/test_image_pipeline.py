@@ -564,3 +564,67 @@ def test_image_knn_ivf_recall(ray_session):
         hits += len(bset & iset)
         tot += len(bset)
     assert hits / tot >= 0.8, (hits, tot)
+
+
+def test_split_by_hash(ray_session):
+    from osm_cut_ray.stages.geo_sample import split_by_hash
+    rng = np.random.default_rng(99)
+    entries = [(i, rng.integers(0, 256, (16, 16)).astype(np.uint8),
+                "fpng", EN_CAP, 1.0, 1.0) for i in range(200)]
+    ds = rd.from_arrow(_hint(entries))
+    splits = split_by_hash(ds, fractions={"train": 0.8, "val": 0.1,
+                                          "test": 0.1})
+    got = {n: set(_collect(s)["image_id"].to_pylist())
+           for n, s in splits.items()}
+    allids = got["train"] | got["val"] | got["test"]
+    assert len(allids) == 200                       # disjoint cover
+    assert not (got["train"] & got["val"])
+    assert not (got["train"] & got["test"])
+    assert not (got["val"] & got["test"])
+    assert len(got["train"]) > len(got["val"])
+    # deterministic: a second evaluation yields the same membership
+    splits2 = split_by_hash(ds, fractions={"train": 0.8, "val": 0.1,
+                                           "test": 0.1})
+    assert set(_collect(splits2["val"])["image_id"].to_pylist()) \
+        == got["val"]
+
+
+def test_new_ops_handle_empty_corpus(ray_session, tmp_path):
+    """Degenerate-input sweep: every new image op must survive an
+    empty (0-row) corpus with a typed schema, not crash on Ray's
+    schema-less empty blocks."""
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.pipelines.curate_images import EMPTY_HINT, \
+        curate_images
+    from osm_cut_ray.sources.webdataset import write_wds_shards
+    from osm_cut_ray.stages.geo_sample import geo_debias_sample
+    from osm_cut_ray.stages.image_dedup import RefFpIndex, \
+        image_cross_dup_filter
+    from osm_cut_ray.stages.image_patch import image_patches
+    from osm_cut_ray.stages.image_quality import image_quality, \
+        validate_images
+    from osm_cut_ray.stages.simplify import simplify_ways
+
+    empty = rd.from_arrow(EMPTY_HINT)
+    assert image_quality(empty).count() == 0
+    assert validate_images(empty).count() == 0
+    assert image_patches(empty).count() == 0
+    assert geo_debias_sample(empty).count() == 0
+    idx = RefFpIndex(np.array([], np.int64), np.array([], np.int64))
+    assert image_cross_dup_filter(empty, idx).count() == 0
+    man = write_wds_shards(empty, str(tmp_path / "wds0"))
+    assert len(man) == 0
+    ways = rd.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "refs": pa.array([], pa.list_(pa.int64()))}))
+    nodes = rd.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "lon": pa.array([], pa.float64()),
+        "lat": pa.array([], pa.float64())}))
+    assert simplify_ways(ways, nodes, 1.0).count() == 0
+    # empty shard through the full curation (exact/near passes + gate)
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(EMPTY_HINT, p)
+    rep = curate_images([p], str(tmp_path / "out0"))
+    assert rep["rows_out"] == 0 and rep["completed"] == ["empty"]
