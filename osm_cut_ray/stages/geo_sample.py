@@ -38,10 +38,19 @@ def sample_hash(ids: np.ndarray) -> np.ndarray:
 
 
 def geo_debias_sample(images_ds, *, hex_res: int = 7,
-                      per_cell_k: int = 10, id_prefix_len: int = 3):
+                      per_cell_k: int = 10, id_prefix_len: int = 3,
+                      max_broadcast_keys: int = 50_000_000):
     """input_hint-shaped Dataset -> same-schema Dataset with at most
     `per_cell_k` rows per hex cell (hash-smallest ids win; fully
-    deterministic under any partitioning)."""
+    deterministic under any partitioning).
+
+    The kept-id set is bounded by #cells x K. Up to
+    `max_broadcast_keys` it broadcasts once (`ray.put`, searchsorted
+    map-side); past that — fine resolutions over a planetary corpus —
+    the filter switches to the Arrow-native bucketed semi-join
+    (`stages/join.py:bucketed_semi_join`), which shuffles the payload
+    by id hash instead of pulling any id set to the driver. Both paths
+    are result-identical (pinned in tests)."""
     from ..pipelines.curate_images import parse_image_ids
     from . import join as J
     from .dedup import _spread
@@ -69,7 +78,27 @@ def geo_debias_sample(images_ds, *, hex_res: int = 7,
         g = g.sort_values(["cell", "h", "doc_id"])
         return g.groupby("cell", sort=False).head(per_cell_k)[["doc_id"]]
 
-    kept_ds = J.bucketed_group_apply(part, "cell", merge)
+    kept_ds = J.bucketed_group_apply(part, "cell", merge).materialize()
+
+    if kept_ds.count() > max_broadcast_keys:
+        # shuffle path: tag the payload with its parsed id and
+        # semi-join against the kept-id Dataset — ids never leave
+        # the cluster (blob bytes pay ONE hash shuffle, the price of
+        # a keep-set too large to broadcast)
+        def tag(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "image_id" not in t.column_names:
+                from ..pipelines.curate_images import EMPTY_HINT
+                return EMPTY_HINT.append_column(
+                    "__gid", pa.array([], pa.int64()))
+            return t.append_column("__gid", pa.array(
+                parse_image_ids(t["image_id"], id_prefix_len)))
+
+        tagged = images_ds.map_batches(tag, batch_format="pyarrow")
+        out = J.bucketed_semi_join(tagged, "__gid", kept_ds, "doc_id")
+        return out.map_batches(
+            lambda t: t.drop_columns(["__gid"]),
+            batch_format="pyarrow")
+
     ids_l = [b["doc_id"].to_numpy(zero_copy_only=False)
              for b in kept_ds.iter_batches(batch_size=None,
                                            batch_format="pyarrow")

@@ -628,3 +628,25 @@ def test_new_ops_handle_empty_corpus(ray_session, tmp_path):
     pq.write_table(EMPTY_HINT, p)
     rep = curate_images([p], str(tmp_path / "out0"))
     assert rep["rows_out"] == 0 and rep["completed"] == ["empty"]
+
+
+def test_geo_debias_shuffle_path_matches_broadcast(ray_session):
+    from osm_cut_ray.stages.geo_sample import geo_debias_sample
+    rng = np.random.default_rng(101)
+    entries = [(i, rng.integers(0, 256, (16, 16)).astype(np.uint8),
+                "fpng", EN_CAP,
+                float((i % 7) * 20 - 60) + rng.uniform(-1e-4, 1e-4),
+                float((i % 3) * 15) + rng.uniform(-1e-4, 1e-4))
+               for i in range(60)]
+    ds = rd.from_arrow(_hint(entries))
+    bc = _collect(geo_debias_sample(ds, hex_res=7, per_cell_k=3))
+    sh = _collect(geo_debias_sample(ds, hex_res=7, per_cell_k=3,
+                                    max_broadcast_keys=0))
+    assert sorted(bc["image_id"].to_pylist()) \
+        == sorted(sh["image_id"].to_pylist())
+    assert sh.column_names == ["image_id", "bytes", "w", "h", "fmt",
+                               "caption", "phash"]
+    b = bc.sort_by("image_id")
+    s = sh.sort_by("image_id")
+    for c in b.column_names:
+        assert b[c].to_pylist() == s[c].to_pylist(), c
