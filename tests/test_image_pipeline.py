@@ -650,3 +650,62 @@ def test_geo_debias_shuffle_path_matches_broadcast(ray_session):
     s = sh.sort_by("image_id")
     for c in b.column_names:
         assert b[c].to_pylist() == s[c].to_pylist(), c
+
+
+def test_full_image_pipeline_composition(ray_session, tmp_path):
+    """A user chains every stage: validate -> curate -> geo-debias ->
+    patches -> quality -> WebDataset export -> read back."""
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.pipelines.curate_images import curate_images
+    from osm_cut_ray.sources.webdataset import read_wds_shards, \
+        write_wds_shards
+    from osm_cut_ray.stages.geo_sample import geo_debias_sample
+    from osm_cut_ray.stages.image_patch import image_patches
+    from osm_cut_ray.stages.image_quality import image_quality, \
+        validate_images
+
+    rng = np.random.default_rng(103)
+    entries = [(i, rng.integers(0, 256, (32, 32)).astype(np.uint8),
+                "fpng", EN_CAP, 2.0 + (i % 5) * 0.001,
+                3.0 + (i % 4) * 0.001) for i in range(40)]
+    entries.append((100, entries[0][1], "fpng", EN_CAP, 2.0, 3.0))
+    entries.append((101, np.full((32, 32), 7, np.uint8), "fpng",
+                    EN_CAP, 2.0, 3.0))
+    p = str(tmp_path / "raw.parquet")
+    pq.write_table(_hint(entries), p)
+
+    raw = rd.read_parquet(p)
+    assert validate_images(raw).count() == 0       # healthy corpus
+
+    poly = PolygonIndex.compile(
+        [("include", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                      (0.0, 10.0)])])
+    out = str(tmp_path / "curated")
+    rep = curate_images([p], out, polygon=poly)
+    assert rep["n_drop_exact_dup"] == 1
+    parts = [os.path.join(out, "raw", f)
+             for f in os.listdir(os.path.join(out, "raw"))
+             if f.endswith(".parquet")]
+    curated = rd.read_parquet(parts)
+    n_curated = curated.count()
+    assert 0 < n_curated <= 40                     # 100/101 dropped
+
+    balanced = geo_debias_sample(curated, hex_res=9, per_cell_k=50)
+    assert balanced.count() == n_curated           # cap not binding
+
+    q = _collect(image_quality(balanced))
+    assert len(q) == n_curated
+    assert (np.array(q["entropy"].to_pylist()) > 0.5).all()
+
+    patches = image_patches(balanced, patch=16)
+    n_patches = patches.count()
+    assert n_patches == 4 * n_curated              # 32px -> 4 tiles
+
+    wds = str(tmp_path / "wds")
+    man = write_wds_shards(balanced, wds, rows_per_shard=16,
+                           shuffle_seed=1)
+    shards = [os.path.join(wds, s) for s in man["shard"].to_pylist()]
+    back = read_wds_shards(shards)
+    assert back.count() == n_curated
