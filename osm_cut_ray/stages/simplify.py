@@ -216,3 +216,123 @@ def simplify_ways_shuffle(ways_ds, nodes_ds, eps: float, *,
 
     return att.map_batches(tag, batch_format="pyarrow") \
         .groupby("__wb").map_groups(per_bucket, batch_format="pyarrow")
+
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized great-circle distance in meters."""
+    p1 = np.radians(np.asarray(lat1, np.float64))
+    p2 = np.radians(np.asarray(lat2, np.float64))
+    dp = p2 - p1
+    dl = np.radians(np.asarray(lon2, np.float64)
+                    - np.asarray(lon1, np.float64))
+    a = np.sin(dp / 2.0) ** 2 \
+        + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def way_stats_batch(t: pa.Table, lookup: _CoordLookup,
+                    refs_col: str = "refs") -> pa.Table:
+    """One batch of ways -> per-way geometry stats: haversine length
+    (meters), vertex count, bbox, centroid (vertex mean). Unknown refs
+    are skipped; fully vectorized via reduceat over the flattened
+    coordinate run (no per-way Python loop)."""
+    import pyarrow.compute as pc
+    empty = pa.table({
+        "id": pa.array([], pa.int64()),
+        "n_vertices": pa.array([], pa.int64()),
+        "length_m": pa.array([], pa.float64()),
+        "lon_min": pa.array([], pa.float64()),
+        "lat_min": pa.array([], pa.float64()),
+        "lon_max": pa.array([], pa.float64()),
+        "lat_max": pa.array([], pa.float64()),
+        "lon_c": pa.array([], pa.float64()),
+        "lat_c": pa.array([], pa.float64())})
+    if len(t) == 0 or refs_col not in t.column_names:
+        return empty
+    lengths, values = _flatten(t, refs_col)
+    refs = values.to_numpy(zero_copy_only=False).astype(np.int64)
+    lon, lat = lookup(refs)
+    known = ~np.isnan(lon)
+    # compact to known vertices, re-derive per-way runs
+    way_of = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+    way_k = way_of[known]
+    lon_k = lon[known]
+    lat_k = lat[known]
+    nv = np.bincount(way_k, minlength=len(t)).astype(np.int64)
+    starts = np.zeros(len(t), np.int64)
+    np.cumsum(nv[:-1], out=starts[1:])
+    # segment distances: consecutive known vertices WITHIN a way
+    if len(lon_k) > 1:
+        seg = haversine_m(lon_k[:-1], lat_k[:-1], lon_k[1:], lat_k[1:])
+        same = way_k[1:] == way_k[:-1]
+        seg = np.where(same, seg, 0.0)
+        cs = np.concatenate(([0.0], np.cumsum(seg)))
+        # length per way = cumsum window over its segment run
+        ends = starts + nv
+        length = cs[np.maximum(ends - 1, 0)] - cs[np.minimum(
+            starts, len(cs) - 1)]
+        length = np.where(nv > 1, length, 0.0)
+    else:
+        length = np.zeros(len(t))
+
+    def agg(vals, fn, init):
+        out = np.full(len(t), init, np.float64)
+        if len(vals):
+            got = fn.reduceat(vals, np.minimum(starts, len(vals) - 1))
+            out = np.where(nv > 0, got, init)
+        return out
+
+    lon_min = agg(lon_k, np.minimum, np.nan)
+    lat_min = agg(lat_k, np.minimum, np.nan)
+    lon_max = agg(lon_k, np.maximum, np.nan)
+    lat_max = agg(lat_k, np.maximum, np.nan)
+    lon_sum = agg(lon_k, np.add, np.nan)
+    lat_sum = agg(lat_k, np.add, np.nan)
+    safe_nv = np.maximum(nv, 1)
+    ids = t["id"] if "id" in t.column_names else pa.array(
+        np.arange(len(t), dtype=np.int64))
+    return pa.table({
+        "id": pc.cast(ids, pa.int64()),
+        "n_vertices": pa.array(nv),
+        "length_m": pa.array(length),
+        "lon_min": pa.array(lon_min), "lat_min": pa.array(lat_min),
+        "lon_max": pa.array(lon_max), "lat_max": pa.array(lat_max),
+        "lon_c": pa.array(lon_sum / safe_nv),
+        "lat_c": pa.array(lat_sum / safe_nv)})
+
+
+def way_geometry_stats(ways_ds, nodes_ds, *, refs_col: str = "refs",
+                       max_broadcast_nodes: int = 50_000_000):
+    """Per-way geometry stats Dataset (same broadcast coordinate
+    strategy and cap as `simplify_ways`)."""
+    import ray
+    n_nodes = nodes_ds.count()
+    if n_nodes > max_broadcast_nodes:
+        raise ValueError(
+            f"{n_nodes} nodes exceed max_broadcast_nodes="
+            f"{max_broadcast_nodes}; attach coordinates via the "
+            "exploded bucketed join as in simplify_ways_shuffle")
+    cols = [[], [], []]
+    for b in nodes_ds.select_columns(["id", "lon", "lat"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            cols[0].append(b["id"].to_numpy(zero_copy_only=False))
+            cols[1].append(b["lon"].to_numpy(zero_copy_only=False))
+            cols[2].append(b["lat"].to_numpy(zero_copy_only=False))
+    if cols[0]:
+        lk = _CoordLookup(np.concatenate(cols[0]).astype(np.int64),
+                          np.concatenate(cols[1]).astype(np.float64),
+                          np.concatenate(cols[2]).astype(np.float64))
+    else:
+        lk = _CoordLookup(np.array([], np.int64),
+                          np.array([], np.float64),
+                          np.array([], np.float64))
+    ref = ray.put(lk)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return way_stats_batch(t, ray.get(ref), refs_col)
+
+    return ways_ds.map_batches(fn, batch_format="pyarrow")

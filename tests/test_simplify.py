@@ -140,3 +140,44 @@ def test_simplify_shuffle_matches_broadcast(ray_session):
     assert bc["id"].to_pylist() == sh["id"].to_pylist()
     assert bc["refs"].to_pylist() == sh["refs"].to_pylist()
     assert sh.schema.field("refs").type == pa.list_(pa.int64())
+
+
+def test_way_geometry_stats_match_brute(ray_session):
+    from osm_cut_ray.stages.simplify import haversine_m, \
+        way_geometry_stats
+    rng = np.random.default_rng(71)
+    n_nodes = 200
+    ids = np.arange(n_nodes, dtype=np.int64)
+    lon = rng.uniform(-170, 170, n_nodes)
+    lat = rng.uniform(-80, 80, n_nodes)
+    nodes = pa.table({"id": ids, "lon": lon, "lat": lat})
+    refs = [rng.choice(ids, int(rng.integers(2, 25)),
+                       replace=False).tolist() for _ in range(25)]
+    refs.append([3, 99999, 7])       # unknown ref skipped
+    refs.append([5])                 # single vertex: zero length
+    refs.append([])                  # empty way
+    ways = pa.table({"id": pa.array(range(len(refs)), pa.int64()),
+                     "refs": pa.array(refs, pa.list_(pa.int64()))})
+    got = pa.concat_tables([b for b in way_geometry_stats(
+        rd.from_arrow(ways), rd.from_arrow(nodes)).iter_batches(
+            batch_size=None, batch_format="pyarrow")]).sort_by("id")
+    for i in range(len(got)):
+        wid = got["id"][i].as_py()
+        kn = np.array([r for r in refs[wid] if r < n_nodes], np.int64)
+        assert got["n_vertices"][i].as_py() == len(kn), wid
+        if len(kn) >= 2:
+            exp = float(haversine_m(lon[kn][:-1], lat[kn][:-1],
+                                    lon[kn][1:], lat[kn][1:]).sum())
+            assert abs(got["length_m"][i].as_py() - exp) < 1e-6, wid
+        else:
+            assert got["length_m"][i].as_py() == 0.0, wid
+        if len(kn):
+            assert abs(got["lon_min"][i].as_py() - lon[kn].min()) < 1e-12
+            assert abs(got["lat_max"][i].as_py() - lat[kn].max()) < 1e-12
+            assert abs(got["lon_c"][i].as_py() - lon[kn].mean()) < 1e-12
+        else:
+            assert np.isnan(got["lon_min"][i].as_py())
+    # haversine sanity: one degree of latitude ~ 111.2 km
+    d = haversine_m(np.array([0.0]), np.array([0.0]),
+                    np.array([0.0]), np.array([1.0]))[0]
+    assert abs(d - 111_195) < 100
