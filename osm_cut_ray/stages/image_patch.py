@@ -93,3 +93,91 @@ def image_patches(images_ds, *, patch: int = 16, batch_size: int = 512):
     return _spread(images_ds).map_batches(
         lambda t: image_patches_batch(t, patch),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+AUG_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270")
+
+
+def aug_stack(stack: np.ndarray, op: str) -> np.ndarray:
+    """Deterministic whole-stack augmentation (m, h, w) -> (m, h', w')."""
+    if op == "hflip":
+        return stack[:, :, ::-1]
+    if op == "vflip":
+        return stack[:, ::-1, :]
+    if op == "rot90":
+        return np.rot90(stack, 1, axes=(1, 2))
+    if op == "rot180":
+        return np.rot90(stack, 2, axes=(1, 2))
+    if op == "rot270":
+        return np.rot90(stack, 3, axes=(1, 2))
+    raise ValueError(f"unknown augmentation '{op}' "
+                     f"(supported: {AUG_OPS})")
+
+
+def image_augment_batch(t: pa.Table, ops) -> pa.Table:
+    """Row-expanding augmentation: each image emits itself (aug='')
+    plus one variant per op, all in the image-table schema + an `aug`
+    column. Pixel ops are whole-stack numpy views per shape group;
+    per-variant zlib re-encode is inherent to the stub codec."""
+    empty = pa.table({
+        "image_id": pa.array([], pa.string()),
+        "aug": pa.array([], pa.string()),
+        "bytes": pa.array([], pa.binary()),
+        "w": pa.array([], pa.int32()), "h": pa.array([], pa.int32()),
+        "fmt": pa.array([], pa.string()),
+        "caption": pa.array([], pa.string()),
+        "phash": pa.array([], pa.int64())})
+    if len(t) == 0 or "image_id" not in t.column_names:
+        return empty
+    for op in ops:
+        if op not in AUG_OPS:
+            raise ValueError(f"unknown augmentation '{op}'")
+    pixels, by_shape = decode_by_shape(t["bytes"].to_pylist())
+    fmts = t["fmt"].to_pylist()
+    take: list[np.ndarray] = []
+    augs: list[str] = []
+    bufs: list[bytes] = []
+    ws: list[int] = []
+    hs: list[int] = []
+    orig = t["bytes"].to_pylist()
+    wcol = t["w"].to_pylist()
+    hcol = t["h"].to_pylist()
+    for (h, w), idxs in by_shape.items():
+        idx = np.asarray(idxs, np.int64)
+        stack = np.stack([pixels[i] for i in idxs])
+        take.append(idx)
+        augs.extend([""] * len(idx))
+        bufs.extend(orig[i] for i in idxs)        # identity passthrough
+        ws.extend(wcol[i] for i in idxs)
+        hs.extend(hcol[i] for i in idxs)
+        for op in ops:
+            var = aug_stack(stack, op)
+            oh, ow = var.shape[1], var.shape[2]
+            take.append(idx)
+            augs.extend([op] * len(idx))
+            bufs.extend(encode_image(np.ascontiguousarray(var[j]),
+                                     fmts[i])
+                        for j, i in enumerate(idxs))
+            ws.extend([ow] * len(idx))
+            hs.extend([oh] * len(idx))
+    ti = pa.array(np.concatenate(take))
+    sel = t.take(ti)
+    return pa.table({
+        "image_id": sel["image_id"],
+        "aug": pa.array(augs, pa.string()),
+        "bytes": pa.array(bufs, pa.binary()),
+        "w": pa.array(np.asarray(ws, np.int32)),
+        "h": pa.array(np.asarray(hs, np.int32)),
+        "fmt": sel["fmt"], "caption": sel["caption"],
+        "phash": sel["phash"],
+    })
+
+
+def image_augment(images_ds, *, ops=("hflip",), batch_size: int = 512):
+    """image-table Dataset -> original + augmented variants (schema +
+    `aug` column). Row-expanding (1 -> 1+len(ops)): size batches so a
+    batch x expansion fits the worker heap."""
+    from .dedup import _spread
+    return _spread(images_ds).map_batches(
+        lambda t: image_augment_batch(t, ops),
+        batch_format="pyarrow", batch_size=batch_size)

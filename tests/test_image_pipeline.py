@@ -709,3 +709,31 @@ def test_full_image_pipeline_composition(ray_session, tmp_path):
     shards = [os.path.join(wds, s) for s in man["shard"].to_pylist()]
     back = read_wds_shards(shards)
     assert back.count() == n_curated
+
+
+def test_image_augment(ray_session):
+    from osm_cut_ray.stages.image_patch import image_augment
+    rng = np.random.default_rng(105)
+    entries = [(i, rng.integers(0, 256, (16, 24)).astype(np.uint8),
+                "fpng", EN_CAP, 1.0, 1.0) for i in range(6)]
+    tbl = _hint(entries)
+    got = _collect(image_augment(rd.from_arrow(tbl),
+                                 ops=("hflip", "rot90")))
+    assert len(got) == 6 * 3
+    by = {}
+    for i in range(len(got)):
+        key = (got["image_id"][i].as_py(), got["aug"][i].as_py())
+        px, _ = decode_image(got["bytes"][i].as_py())
+        by[key] = (px, got["w"][i].as_py(), got["h"][i].as_py())
+    for k, (orig_px, *_rest) in enumerate(
+            [(e[1],) for e in entries]):
+        iid = f"img{k:08d}"
+        np.testing.assert_array_equal(by[(iid, "")][0], orig_px)
+        np.testing.assert_array_equal(by[(iid, "hflip")][0],
+                                      orig_px[:, ::-1])
+        np.testing.assert_array_equal(by[(iid, "rot90")][0],
+                                      np.rot90(orig_px))
+        # rot90 swaps dims: 16h x 24w -> 24h x 16w
+        assert by[(iid, "rot90")][1] == 16        # w
+        assert by[(iid, "rot90")][2] == 24        # h
+        assert by[(iid, "")][1] == 24
