@@ -351,7 +351,21 @@ def _extra_cross_dedup(sf_dir: str):
     return image_cross_dup_filter(new, idx, mode="anti")
 
 
+def _extra_pii(sf_dir: str):
+    """PII scrub (detect + redact 5 categories) over documents —
+    pure map-side actor-pool stage, vectorized regex kernels."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.pii import redact_pii
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    return redact_pii(docs)
+
+
 EXTRA_SET = {
+    "pii_redact_docs": _extra_pii,
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
     "image_phash_dedup": _extra_image_phash,

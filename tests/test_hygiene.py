@@ -366,3 +366,48 @@ def test_read_table_strips_unhashable_schema_metadata(ray_session):
             batch_size=None, batch_format="pyarrow"):
         assert b.schema.metadata is None
         hash(b.schema)  # must not raise
+
+
+# ---------------------------------------------------------------- PII
+
+PII_DOCS = [
+    "contact me at jane.doe+spam@example.co.uk or call 415-555-0199",
+    "server at 192.168.1.254 rejected 10.0.0.1; ssh root@host failed",
+    "SSN 123-45-6789 and card 4111-1111-1111-1111 were leaked",
+    "raw pan 4111111111111111 plus phone (212) 555-0100 and +1 646.555.0101",
+    "totally clean document with words only, no identifiers at all",
+    "almost-pii: version 1.2.3.4.5, date 12-34-5678 extended, a@b",
+    "unicode café naïve 北京 mail: üser@exämple.com stays ascii-only match",
+    "",
+]
+
+
+def test_pii_scrub_matches_brute_reference(ray_session):
+    from osm_cut_ray.stages.pii import (PII_ORDER, redact_pii,
+                                        pii_stats, scrub_pii_brute)
+    ids = np.arange(len(PII_DOCS), dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": PII_DOCS}))
+    got = redact_pii(docs).to_pandas().set_index("doc_id").sort_index()
+    assert len(got) == len(PII_DOCS)
+    for i, text in enumerate(PII_DOCS):
+        red, counts = scrub_pii_brute(text)
+        assert got.loc[i, "text"] == red, f"doc {i}"
+        for cat in PII_ORDER:
+            assert got.loc[i, f"n_{cat}"] == counts[cat], (i, cat)
+        assert got.loc[i, "n_pii"] == sum(counts.values())
+    # semantic pins: the known payloads really are caught
+    assert "[EMAIL]" in got.loc[0, "text"] and "[PHONE]" in got.loc[0, "text"]
+    assert got.loc[1, "n_ipv4"] == 2
+    # sequential semantics: the SSN is not double-counted as a phone
+    assert got.loc[2, "n_ssn"] == 1 and got.loc[2, "n_phone"] == 0
+    assert got.loc[2, "n_ccard"] == 1
+    # bare 16-digit PAN caught by the run-of-digits alternative
+    assert got.loc[3, "n_ccard"] == 1 and got.loc[3, "n_phone"] == 2
+    # clean docs untouched
+    assert got.loc[4, "text"] == PII_DOCS[4] and got.loc[4, "n_pii"] == 0
+    assert got.loc[7, "n_pii"] == 0
+
+    # stats variant: same counts, text dropped map-side
+    st = pii_stats(docs).to_pandas().set_index("doc_id").sort_index()
+    assert "text" not in st.columns
+    assert (st["n_pii"] == got["n_pii"]).all()
