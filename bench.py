@@ -364,8 +364,33 @@ def _extra_pii(sf_dir: str):
     return redact_pii(docs)
 
 
+def _extra_classifier(sf_dir: str):
+    """Linear quality classifier: 4 distributed-GD epochs over 5k
+    labeled docs (slim int64 gradient rows), then actor-pool scoring
+    of the full documents table."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.classify import (fit_linear_classifier,
+                                             score_quality)
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    # deterministic pseudo-label: long-doc vs short-doc (training
+    # signal is irrelevant to the throughput being measured)
+    labeled = docs.limit(5000).map_batches(
+        lambda t: t.append_column(
+            "label", pc.cast(pc.greater(
+                pc.utf8_length(t["text"]), 200), "int64")),
+        batch_format="pyarrow")
+    w, _ = fit_linear_classifier(labeled, dim=4096, epochs=4)
+    return score_quality(docs, w)
+
+
 EXTRA_SET = {
     "pii_redact_docs": _extra_pii,
+    "quality_classifier_docs": _extra_classifier,
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
     "image_phash_dedup": _extra_image_phash,

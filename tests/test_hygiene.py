@@ -411,3 +411,57 @@ def test_pii_scrub_matches_brute_reference(ray_session):
     st = pii_stats(docs).to_pandas().set_index("doc_id").sort_index()
     assert "text" not in st.columns
     assert (st["n_pii"] == got["n_pii"]).all()
+
+
+# ------------------------------------------- linear quality classifier
+
+def _labeled_corpus(n_per_class: int = 120, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    good = np.array(["thoughtful", "analysis", "research", "evidence",
+                     "method", "结论", "careful", "study", "data",
+                     "results", "discussion", "clear"])
+    bad = np.array(["buy", "click", "free", "winner", "casino",
+                    "pills", "offer", "now", "cheap", "deal",
+                    "subscribe", "prize"])
+    both = np.array(["the", "and", "with", "for", "this"])
+    texts, labels = [], []
+    for i in range(n_per_class * 2):
+        src = good if i < n_per_class else bad
+        w = np.concatenate([rng.choice(src, 20), rng.choice(both, 10)])
+        rng.shuffle(w)
+        texts.append(" ".join(w))
+        labels.append(1 if i < n_per_class else 0)
+    ids = np.arange(len(texts), dtype=np.int64)
+    return ids, texts, np.array(labels, np.int64)
+
+
+def test_linear_classifier_fit_and_score(ray_session):
+    from osm_cut_ray.stages.classify import (
+        fit_linear_classifier, quality_filter, score_quality)
+    ids, texts, labels = _labeled_corpus()
+    tbl = pa.table({"doc_id": ids, "text": texts, "label": labels})
+    ds = rd.from_arrow(tbl)
+    w, report = fit_linear_classifier(ds, dim=1024, epochs=12, lr=2.0)
+    assert report["loss_last"] < report["loss_first"]
+
+    # partitioning invariance: exact int64 gradient reduce -> weights
+    # bit-identical no matter how the training rows are split
+    w2, _ = fit_linear_classifier(ds.repartition(7), dim=1024,
+                                  epochs=12, lr=2.0)
+    assert np.array_equal(w, w2)
+
+    scores = score_quality(
+        rd.from_arrow(pa.table({"doc_id": ids, "text": texts})), w)
+    sc = scores.to_pandas().set_index("doc_id").sort_index()["score"]
+    acc = ((sc.to_numpy() >= 0.5).astype(int) == labels).mean()
+    assert acc >= 0.95, acc
+
+    # filter keeps (almost) only the quality class
+    kept, rep = quality_filter(
+        rd.from_arrow(pa.table({"doc_id": ids, "text": texts})), w,
+        min_score=0.5)
+    kept_ids = {r["doc_id"] for r in
+                kept.select_columns(["doc_id"]).iter_rows()}
+    spam_ids = set(ids[labels == 0].tolist())
+    assert len(kept_ids & spam_ids) <= 3
+    assert rep["n_dropped"] >= len(spam_ids) - 3
