@@ -388,9 +388,35 @@ def _extra_classifier(sf_dir: str):
     return score_quality(docs, w)
 
 
+def _extra_pack_batches(sf_dir: str):
+    """Aspect-bucketed training-batch packing over 200k synthetic
+    image rows (slim projection + count pass + one bucketed shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.batching import pack_training_batches
+
+    dims = np.array([(64, 64), (128, 64), (64, 128), (256, 64),
+                     (96, 64), (64, 192)])
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t["id"].to_numpy(zero_copy_only=False)
+        pick = keys % len(dims)
+        return pa.table({
+            "image_id": pa.array([f"img{k:08d}" for k in keys.tolist()]),
+            "w": dims[pick, 0].astype(np.int32),
+            "h": dims[pick, 1].astype(np.int32)})
+
+    corpus = rd.range(200_000).map_batches(synth, batch_format="pyarrow",
+                                           batch_size=8192)
+    return pack_training_batches(corpus, batch_size=64)
+
+
 EXTRA_SET = {
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
+    "pack_batches_200k": _extra_pack_batches,
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
     "image_phash_dedup": _extra_image_phash,

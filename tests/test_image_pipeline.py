@@ -737,3 +737,54 @@ def test_image_augment(ray_session):
         assert by[(iid, "rot90")][1] == 16        # w
         assert by[(iid, "rot90")][2] == 24        # h
         assert by[(iid, "")][1] == 24
+
+
+def test_pack_training_batches(ray_session):
+    """Aspect-bucketed batch packing: globally consistent, exactly
+    batch_size members per emitted batch, bit-deterministic under any
+    partitioning, equal to the driver brute-force assignment."""
+    import pandas as pd
+
+    from osm_cut_ray.stages.batching import (aspect_bucket,
+                                             pack_training_batches)
+    from osm_cut_ray.stages.geo_sample import sample_hash
+
+    rng = np.random.default_rng(23)
+    n, B = 1500, 16
+    ids = np.arange(n, dtype=np.int64)
+    dims = np.array([(64, 64), (128, 64), (64, 128), (256, 64),
+                     (96, 64)])
+    pick = rng.integers(0, len(dims), n)
+    w = dims[pick, 0].astype(np.int32)
+    h = dims[pick, 1].astype(np.int32)
+    tbl = pa.table({
+        "image_id": [f"img{i:08d}" for i in ids.tolist()],
+        "w": w, "h": h,
+        "bytes": pa.array([b"x"] * n, pa.binary()),  # must never be read
+    })
+
+    # driver brute force
+    ab = aspect_bucket(w, h)
+    hv = sample_hash(ids)
+    rows = pd.DataFrame({"doc_id": ids, "ab": ab, "h": hv})
+    parts = []
+    for a, g in rows.groupby("ab"):
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        keep = (len(g) // B) * B
+        g = g.iloc[:keep]
+        g["batch_seq"] = np.arange(keep) // B
+        g["slot"] = np.arange(keep) % B
+        parts.append(g[["doc_id", "ab", "batch_seq", "slot"]])
+    want = pd.concat(parts).sort_values("doc_id").reset_index(drop=True)
+
+    for nparts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        got = pack_training_batches(ds, batch_size=B)\
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype(np.int64), want.astype(np.int64))
+
+    # structural invariants on one run
+    sizes = got.groupby(["ab", "batch_seq"]).size()
+    assert (sizes == B).all()
+    assert got["doc_id"].is_unique
