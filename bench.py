@@ -413,10 +413,46 @@ def _extra_pack_batches(sf_dir: str):
     return pack_training_batches(corpus, batch_size=64)
 
 
+def _extra_spatial_layout(sf_dir: str):
+    """One-time Hilbert layout of 1M synthetic points + a bbox-pruned
+    PIP read back off the clustered files."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.stages.pip import read_points_pruned
+    from osm_cut_ray.stages.spatial_layout import write_spatial_layout
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t["id"].to_numpy(zero_copy_only=False)
+        lon = ((keys * 2654435761) % 360000) / 1000.0 - 180.0
+        lat = ((keys * 40503) % 180000) / 1000.0 - 90.0
+        return pa.table({"id": keys, "lon": lon, "lat": lat})
+
+    pts = rd.range(1_000_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=65536)
+    out = tempfile.mkdtemp(prefix="spatial_layout_", dir="/tmp")
+    try:
+        write_spatial_layout(pts, out, rows_per_group=16384)
+        ring = [(-12.0, -12.0), (12.0, -12.0), (12.0, 12.0),
+                (-12.0, 12.0)]
+        poly = PolygonIndex.compile([("include", ring)])
+        n = read_points_pruned(out, poly,
+                               columns=["id", "lon", "lat"]).count()
+        return rd.range(max(n, 1))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 EXTRA_SET = {
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,
+    "spatial_layout_1m": _extra_spatial_layout,
     "decontaminate_docs": _extra_decontaminate,
     "sketch_cm_kll_lineitem": _extra_sketches,
     "image_phash_dedup": _extra_image_phash,

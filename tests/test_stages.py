@@ -587,3 +587,107 @@ def test_simhash_verify_strategies_identical(ray_session):
     bk = simhash_md5_pairs(docs, broadcast_max_bytes=0)
     assert bc.equals(bk)
     assert len(bc) > 0
+
+
+def test_spatial_layout_keys_and_pruning(ray_session, tmp_path):
+    """Space-filling-curve layout: key correctness vs the public
+    scalar algorithms, full-curve bijectivity + unit-step locality,
+    and the payoff — a spatially-clustered parquet layout prunes far
+    more row groups than ingest order, with identical results."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.stages.pip import read_points_pruned
+    from osm_cut_ray.stages.spatial_layout import (
+        hilbert_key, morton_key, write_spatial_layout)
+
+    # --- scalar reference implementations (public algorithms)
+    def xy2d_ref(n, x, y):
+        rx = ry = 0
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def morton_ref(x, y):
+        out = 0
+        for b in range(32):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    bits = 4
+    n = 1 << bits
+    # full grid in lon/lat terms: cell centers
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    gx, gy = gx.ravel(), gy.ravel()
+    lon = (gx + 0.5) / n * 360.0 - 180.0
+    lat = (gy + 0.5) / n * 180.0 - 90.0
+    hk = hilbert_key(lon, lat, bits=bits)
+    mk = morton_key(lon, lat, bits=bits)
+    for i in range(0, len(gx), 7):
+        assert hk[i] == xy2d_ref(n, int(gx[i]), int(gy[i]))
+        assert mk[i] == morton_ref(int(gx[i]), int(gy[i]))
+    # bijective over the full grid, and consecutive Hilbert positions
+    # are grid neighbors (|dx|+|dy| == 1) — the locality Morton lacks
+    assert sorted(hk.tolist()) == list(range(n * n))
+    order = np.argsort(hk)
+    dx = np.abs(np.diff(gx[order]))
+    dy = np.abs(np.diff(gy[order]))
+    assert ((dx + dy) == 1).all()
+
+    # --- layout payoff on disk
+    rng = np.random.default_rng(99)
+    m = 60000
+    plon = rng.uniform(-180, 180, m)
+    plat = rng.uniform(-90, 90, m)
+    tbl = pa.table({"id": np.arange(m, dtype=np.int64),
+                    "lon": plon, "lat": plat})
+    unsorted_path = str(tmp_path / "ingest.parquet")
+    pq.write_table(tbl, unsorted_path, row_group_size=2000)
+    layout_dir = str(tmp_path / "layout")
+    write_spatial_layout(rd.from_arrow(tbl), layout_dir,
+                         rows_per_group=2000)
+
+    def groups_hit(paths, xmin, xmax, ymin, ymax):
+        hit = tot = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            li, la = names.index("lon"), names.index("lat")
+            for g in range(md.num_row_groups):
+                tot += 1
+                slon = md.row_group(g).column(li).statistics
+                slat = md.row_group(g).column(la).statistics
+                if (slon.max >= xmin and slon.min <= xmax
+                        and slat.max >= ymin and slat.min <= ymax):
+                    hit += 1
+        return hit, tot
+
+    bbox = (-10.0, 10.0, -10.0, 10.0)
+    h_un, t_un = groups_hit([unsorted_path], *bbox)
+    h_sp, t_sp = groups_hit(
+        sorted(glob.glob(layout_dir + "/*.parquet")), *bbox)
+    assert h_un == t_un          # ingest order: nothing prunes
+    assert h_sp <= t_sp // 4     # clustered: the bbox touches few groups
+
+    ring = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)]
+    poly = PolygonIndex.compile([("include", ring)])
+    a = read_points_pruned(unsorted_path, poly,
+                           columns=["id", "lon", "lat"])
+    b = read_points_pruned(layout_dir, poly,
+                           columns=["id", "lon", "lat"])
+    ids_a = sorted(r["id"] for r in a.select_columns(["id"]).iter_rows())
+    ids_b = sorted(r["id"] for r in b.select_columns(["id"]).iter_rows())
+    assert ids_a == ids_b and len(ids_a) > 0
