@@ -50,5 +50,28 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
                 "Lance reader unavailable in this environment; "
                 "use parquet inputs"
             ) from exc
+    if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+        return read_jsonl(path, columns=columns, **kwargs)
     return strip_schema_metadata(
         rd.read_parquet(path, columns=columns, **kwargs))
+
+
+def read_jsonl(path, columns: list[str] | None = None, **kwargs):
+    """JSON-Lines source (the interchange format of the public
+    text-corpus pipelines — Dolma, FineWeb, RedPajama all ship JSONL).
+
+    `ray.data.read_json` streams line-delimited blocks; column pruning
+    happens right after parse (JSONL is row-major, so unlike parquet
+    the bytes must be read — prune anyway so only the projection
+    transits the pipeline)."""
+    ds = rd.read_json(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return strip_schema_metadata(ds)
+
+
+def write_jsonl(ds, out_dir: str, **kwargs):
+    """JSON-Lines sink (one file per block, same layout contract as
+    `write_parquet` — resumable, never one giant file)."""
+    ds.write_json(out_dir, **kwargs)
+    return out_dir

@@ -465,3 +465,26 @@ def test_linear_classifier_fit_and_score(ray_session):
     spam_ids = set(ids[labels == 0].tolist())
     assert len(kept_ids & spam_ids) <= 3
     assert rep["n_dropped"] >= len(spam_ids) - 3
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL source/sink: documents roundtrip through line-delimited
+    JSON with values intact and column pruning applied."""
+    from osm_cut_ray.sources.tables import read_jsonl, read_table, \
+        write_jsonl
+    ids = np.arange(50, dtype=np.int64)
+    texts = [f"doc {i} with \"quotes\" and unicode café 北京" for i in ids]
+    src = rd.from_arrow(pa.table({"doc_id": ids, "text": texts,
+                                  "extra": ids * 2}))
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(src, out)
+    back = read_jsonl(out, columns=["doc_id", "text"]).to_pandas()
+    assert sorted(back.columns) == ["doc_id", "text"]
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == ids.tolist()
+    assert back["text"].tolist() == texts
+    # extension dispatch through the shared reader
+    import glob
+    one = sorted(glob.glob(out + "/*.json"))[0]
+    via = read_table(one, columns=["doc_id"]).count()
+    assert via > 0
