@@ -141,6 +141,27 @@ def _quality_filter_batch(t: pa.Table, *, langs: tuple[str, ...],
     return t.filter(pa.array(keep))
 
 
+def _model_low_ids(docs_ds, weights, min_score: float) -> np.ndarray:
+    """doc_ids scored below `min_score` by a fitted linear quality
+    classifier (stages/classify.py) — slim (id, score) stream, only
+    the rejected tail's ids reach the driver."""
+    import pyarrow.compute as pc
+
+    from ..stages.classify import score_quality
+    scores = score_quality(docs_ds, weights)
+    low = scores.map_batches(
+        lambda t: t.filter(pc.less(t["score"], min_score))
+        .select(["doc_id"]) if len(t)
+        else pa.table({"doc_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    ids = [b["doc_id"].to_numpy(zero_copy_only=False)
+           for b in low.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")
+           if b.num_rows]
+    return np.concatenate(ids).astype(np.int64) if ids \
+        else np.array([], np.int64)
+
+
 def curate_documents(input_paths, out_dir: str, *,
                      bench_texts=(), shingle_k: int = 8,
                      max_overlap: float = 0.1,
@@ -148,7 +169,10 @@ def curate_documents(input_paths, out_dir: str, *,
                      langs: tuple[str, ...] = ("en",),
                      max_dup_line_frac: float = 0.5,
                      max_top_bigram_frac: float = 0.5,
-                     min_tokens: int = 3) -> dict:
+                     min_tokens: int = 3,
+                     redact_pii: bool = False,
+                     quality_model: np.ndarray | None = None,
+                     min_model_score: float = 0.5) -> dict:
     """Curate a documents corpus into `out_dir` (one parquet directory
     per input shard, manifest-last checkpoints). Returns the resume
     report extended with per-cause drop counters.
@@ -162,19 +186,28 @@ def curate_documents(input_paths, out_dir: str, *,
     near = _near_dup_drop_ids(docs, jaccard_threshold)
     contam = _contaminated_ids(docs, list(bench_texts), shingle_k,
                                max_overlap)
-    drop = np.unique(np.concatenate([exact, near, contam])) \
-        if len(exact) + len(near) + len(contam) \
+    modeled = _model_low_ids(docs, quality_model, min_model_score) \
+        if quality_model is not None else np.array([], np.int64)
+    drop = np.unique(np.concatenate([exact, near, contam, modeled])) \
+        if len(exact) + len(near) + len(contam) + len(modeled) \
         else np.array([], np.int64)
 
+    model_fp = hashlib.md5(
+        np.ascontiguousarray(quality_model, np.float64).tobytes()
+    ).hexdigest() if quality_model is not None else None
     params = {"shingle_k": shingle_k, "max_overlap": max_overlap,
               "jaccard_threshold": jaccard_threshold,
               "langs": list(langs),
               "max_dup_line_frac": max_dup_line_frac,
               "max_top_bigram_frac": max_top_bigram_frac,
               "min_tokens": min_tokens,
-              "n_bench": len(bench_texts)}
+              "n_bench": len(bench_texts),
+              "redact_pii": redact_pii,
+              "model_fp": model_fp,
+              "min_model_score": min_model_score if model_fp else None}
 
     def process(path: str):
+        from ..stages.pii import PiiScrub
         shard = strip_schema_metadata(
             rd.read_parquet(path, columns=["doc_id", "text"]))
         gated = shard.map_batches(
@@ -183,6 +216,12 @@ def curate_documents(input_paths, out_dir: str, *,
                 max_top_bigram_frac=max_top_bigram_frac,
                 min_tokens=min_tokens),
             batch_format="pyarrow")
+        if redact_pii:
+            # rewrite text in the same per-shard pass (no extra
+            # shuffle); output schema stays (doc_id, text)
+            gated = gated.map_batches(
+                PiiScrub, batch_format="pandas",
+                concurrency=(1, 4)).select_columns(["doc_id", "text"])
         return J.broadcast_is_in(gated, "doc_id", drop, mode="anti") \
             if len(drop) else gated
 
@@ -192,6 +231,7 @@ def curate_documents(input_paths, out_dir: str, *,
     report["n_drop_exact_dup"] = int(len(exact))
     report["n_drop_near_dup"] = int(len(near))
     report["n_drop_contaminated"] = int(len(contam))
+    report["n_drop_model"] = int(len(modeled))
     return report
 
 

@@ -488,3 +488,61 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     one = sorted(glob.glob(out + "/*.json"))[0]
     via = read_table(one, columns=["doc_id"]).count()
     assert via > 0
+
+
+def test_curate_documents_pii_and_model_gates(ray_session, tmp_path):
+    """The composed curation pipeline with the round-3 gates: PII
+    redaction inside the per-shard rewrite, and a fitted linear
+    classifier as a global drop pass (model fingerprint in the params
+    lineage so a model swap recomputes shards)."""
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.pipelines.curate import curate_documents
+    from osm_cut_ray.stages.classify import fit_linear_classifier
+
+    ids, texts, labels = _labeled_corpus(60, seed=5)
+    train = rd.from_arrow(pa.table({"doc_id": ids, "text": texts,
+                                    "label": labels}))
+    w, _ = fit_linear_classifier(train, dim=512, epochs=10)
+
+    good = [t for t, l in zip(texts, labels) if l == 1][:6]
+    spam = [t for t, l in zip(texts, labels) if l == 0][:2]
+    shard = good + spam + [
+        good[0].replace(" ", " ", 1)
+        + " write to jane@example.com or 415-555-0199 for the data",
+    ]
+    sids = np.arange(200, 200 + len(shard), dtype=np.int64)
+    p = str(tmp_path / "shard_p.parquet")
+    pq.write_table(pa.table({"doc_id": sids, "text": shard}), p)
+    out = str(tmp_path / "curated_pm")
+
+    report = curate_documents(
+        [p], out, langs=("en", "zh"), min_tokens=3,
+        jaccard_threshold=0.99, max_dup_line_frac=1.0,
+        max_top_bigram_frac=1.0,
+        redact_pii=True, quality_model=w, min_model_score=0.5)
+    assert report["n_drop_model"] >= 2
+
+    kept = pa.concat_tables([
+        pq.read_table(os.path.join(out, "shard_p", f))
+        for f in os.listdir(os.path.join(out, "shard_p"))
+        if f.endswith(".parquet")])
+    kept_ids = set(kept["doc_id"].to_pylist())
+    spam_ids = set(sids[len(good):len(good) + len(spam)].tolist())
+    assert not (kept_ids & spam_ids)           # model gate dropped spam
+    assert sorted(kept.column_names) == ["doc_id", "text"]
+    pii_row = [t for i, t in zip(kept["doc_id"].to_pylist(),
+                                 kept["text"].to_pylist())
+               if i == int(sids[-1])]
+    assert pii_row and "[EMAIL]" in pii_row[0] \
+        and "[PHONE]" in pii_row[0] \
+        and "jane@example.com" not in pii_row[0]
+
+    # model swap changes the params lineage -> shard recomputes
+    w2 = w * 0.5
+    report2 = curate_documents(
+        [p], out, langs=("en", "zh"), min_tokens=3,
+        jaccard_threshold=0.99, max_dup_line_frac=1.0,
+        max_top_bigram_frac=1.0,
+        redact_pii=True, quality_model=w2, min_model_score=0.5)
+    assert report2["completed"] == ["shard_p"]  # not skipped
