@@ -109,6 +109,10 @@ def _cmd_curate(args) -> int:
     if args.benchmark:
         with open(args.benchmark, encoding="utf-8") as f:
             bench_texts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    model = None
+    if args.quality_model:
+        import numpy as np
+        model = np.load(args.quality_model)
     report = curate_documents(
         paths, args.output, bench_texts=bench_texts,
         max_overlap=args.max_overlap,
@@ -116,12 +120,16 @@ def _cmd_curate(args) -> int:
         langs=tuple(args.langs.split(",")),
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
-        min_tokens=args.min_tokens)
+        min_tokens=args.min_tokens,
+        redact_pii=args.redact_pii,
+        quality_model=model,
+        min_model_score=args.min_model_score)
     print(f"completed={report['completed']} skipped={report['skipped']} "
           f"rows_out={report['rows_out']} "
           f"drops: exact={report['n_drop_exact_dup']} "
           f"near={report['n_drop_near_dup']} "
           f"contaminated={report['n_drop_contaminated']} "
+          f"model={report['n_drop_model']} "
           f"wall={report['wall_sec']}s")
     ray.shutdown()
     return 0
@@ -184,11 +192,47 @@ def _cmd_export_wds(args) -> int:
         print(f"no inputs matched {args.inputs}", file=sys.stderr)
         return 2
     ds = strip_schema_metadata(rd.read_parquet(paths))
-    man = write_wds_shards(ds, args.output,
-                           rows_per_shard=args.rows_per_shard)
+    if args.pack_batch_size:
+        from .sources.webdataset import export_packed_wds
+        man = export_packed_wds(
+            ds, args.output, batch_size=args.pack_batch_size,
+            batches_per_shard=args.batches_per_shard)
+    else:
+        man = write_wds_shards(ds, args.output,
+                               rows_per_shard=args.rows_per_shard,
+                               shuffle_seed=args.shuffle_seed)
     print(f"wrote {len(man)} shard(s), "
           f"rows={sum(man['rows'].to_pylist())}, "
           f"bytes={sum(man['bytes'].to_pylist())} to {args.output}")
+    ray.shutdown()
+    return 0
+
+
+def _cmd_layout(args) -> int:
+    import glob
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .sources.tables import strip_schema_metadata
+    from .stages.spatial_layout import write_spatial_layout
+    paths = sorted(p for pat in args.inputs for p in glob.glob(pat))
+    if not paths:
+        print(f"no inputs matched {args.inputs}", file=sys.stderr)
+        return 2
+    ds = strip_schema_metadata(rd.read_parquet(paths))
+    write_spatial_layout(ds, args.output, curve=args.curve,
+                         bits=args.bits, lon_col=args.lon_col,
+                         lat_col=args.lat_col,
+                         rows_per_group=args.rows_per_group)
+    print(f"clustered layout written to {args.output} "
+          f"(curve={args.curve}, bits={args.bits})")
     ray.shutdown()
     return 0
 
@@ -231,6 +275,14 @@ def main(argv=None) -> int:
     cu.add_argument("--max-dup-line-frac", type=float, default=0.5)
     cu.add_argument("--max-top-bigram-frac", type=float, default=0.5)
     cu.add_argument("--min-tokens", type=int, default=3)
+    cu.add_argument("--redact-pii", action="store_true",
+                    help="replace emails/phones/IPs/SSNs/card numbers "
+                         "with [CATEGORY] tokens in the kept text")
+    cu.add_argument("--quality-model", default=None,
+                    help=".npy float64 weight vector from "
+                         "stages.classify.fit_linear_classifier; "
+                         "drops docs scoring below --min-model-score")
+    cu.add_argument("--min-model-score", type=float, default=0.5)
     cu.set_defaults(fn=_cmd_curate)
     ci = sub.add_parser(
         "curate-images",
@@ -266,7 +318,28 @@ def main(argv=None) -> int:
                     help="input parquet paths/globs (image table schema)")
     ew.add_argument("output", help="shard output directory")
     ew.add_argument("--rows-per-shard", type=int, default=10_000)
+    ew.add_argument("--shuffle-seed", type=int, default=None,
+                    help="seeded global shuffle before sharding")
+    ew.add_argument("--pack-batch-size", type=int, default=None,
+                    help="emit ASPECT-PACKED shards instead: every "
+                         "run of this many samples shares an "
+                         "aspect-ratio bucket (stages/batching.py)")
+    ew.add_argument("--batches-per-shard", type=int, default=64)
     ew.set_defaults(fn=_cmd_export_wds)
+    ly = sub.add_parser(
+        "layout",
+        help="one-time space-filling-curve clustering of a point "
+             "corpus so bbox/polygon reads prune row groups")
+    ly.add_argument("inputs", nargs="+",
+                    help="input parquet paths/globs with lon/lat")
+    ly.add_argument("output", help="clustered parquet directory")
+    ly.add_argument("--curve", choices=["hilbert", "morton"],
+                    default="hilbert")
+    ly.add_argument("--bits", type=int, default=16)
+    ly.add_argument("--lon-col", default="lon")
+    ly.add_argument("--lat-col", default="lat")
+    ly.add_argument("--rows-per-group", type=int, default=4096)
+    ly.set_defaults(fn=_cmd_layout)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -240,6 +240,27 @@ def _hash_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
             % np.int64(num_buckets)).astype(np.int64)
 
 
+def _pad_array(n: int, typ: pa.DataType) -> pa.Array:
+    """Placeholder column for the non-payload side of a bucketed join.
+
+    Fixed-width types pad with ZEROS, string/binary with empties —
+    never nulls: Ray's groupby shuffle moves blocks through pandas,
+    where an int64 column containing any null is promoted to float64,
+    silently corrupting full-range 64-bit values (> 2^53) in the
+    PAYLOAD rows of the same block. Nested types (list/map/struct)
+    keep nulls — pandas holds them as objects, no promotion. Pad
+    values are never read: the join drops or replaces them.
+    """
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ) \
+            or pa.types.is_boolean(typ):
+        return pa.nulls(n, typ).fill_null(0)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.nulls(n, typ).fill_null("")
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.nulls(n, typ).fill_null(b"")
+    return pa.nulls(n, typ)
+
+
 def bucketed_semi_join(payload, key: str, keys_ds, keys_col: str,
                        num_buckets: int = 64):
     """payload ⋉ keys as a pure-Arrow hash-bucket join.
@@ -262,7 +283,8 @@ def bucketed_semi_join(payload, key: str, keys_ds, keys_col: str,
         karr = pc.cast(t[keys_col], schema.field(key).type)
         cols = {}
         for f in schema:
-            cols[f.name] = karr if f.name == key else pa.nulls(len(t), f.type)
+            cols[f.name] = karr if f.name == key \
+                else _pad_array(len(t), f.type)
         out = pa.table(cols)
         b = _hash_bucket(np.asarray(karr.to_numpy(zero_copy_only=False)),
                          num_buckets)
@@ -295,7 +317,8 @@ def bucketed_attach_column(payload, key: str, attach_ds, attach_key: str,
 
     def tag_payload(t: pa.Table) -> pa.Table:
         b = _hash_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
-        return t.append_column(attach_col, pa.nulls(len(t), attach_type))\
+        return t.append_column(attach_col,
+                               _pad_array(len(t), attach_type))\
             .append_column("__bucket", pa.array(b))\
             .append_column("__side", pa.array(np.zeros(len(t), np.int8)))
 
@@ -303,7 +326,8 @@ def bucketed_attach_column(payload, key: str, attach_ds, attach_key: str,
         karr = pc.cast(t[attach_key], schema.field(key).type)
         cols = {}
         for f in schema:
-            cols[f.name] = karr if f.name == key else pa.nulls(len(t), f.type)
+            cols[f.name] = karr if f.name == key \
+                else _pad_array(len(t), f.type)
         cols[attach_col] = t[attach_col]
         out = pa.table(cols)
         b = _hash_bucket(np.asarray(karr.to_numpy(zero_copy_only=False)),

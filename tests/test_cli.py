@@ -151,3 +151,65 @@ def test_cli_export_wds(tmp_path):
     man = _json.load(open(os.path.join(out, "_manifest.json")))
     assert sum(man["rows"]) == 7
     assert all(s.endswith(".tar") for s in man["shards"])
+
+
+def test_cli_export_wds_packed_and_layout(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_image_pipeline import EN_CAP, _hint
+    rng = np.random.default_rng(59)
+    shapes = [(16, 16), (16, 32)]
+    entries = [(i, rng.integers(0, 256, shapes[i % 2]).astype(np.uint8),
+                "fpng", EN_CAP, 1.0, 1.0) for i in range(20)]
+    p = tmp_path / "imgs.parquet"
+    pq.write_table(_hint(entries), str(p))
+    out = str(tmp_path / "packed")
+    r = _run(["export-wds", str(p), out, "--pack-batch-size", "4",
+              "--batches-per-shard", "2"])
+    assert r.returncode == 0, r.stderr[-800:]
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man["batch_size"] == 4
+    # 10 per aspect bucket, batch 4 -> 8 kept per bucket
+    assert sum(man["rows"]) == 16
+    assert all(r % 4 == 0 for r in man["rows"])
+    assert all(s.startswith("packed-ab") for s in man["shards"])
+
+    # layout subcommand: clustered parquet, same rows back
+    pts = tmp_path / "pts.parquet"
+    n = 5000
+    pq.write_table(pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-90, 90, n)}), str(pts))
+    lay = str(tmp_path / "layout")
+    r = _run(["layout", str(pts), lay, "--rows-per-group", "512"])
+    assert r.returncode == 0, r.stderr[-800:]
+    back = pq.read_table(lay)
+    assert back.num_rows == n
+    assert sorted(back.column_names) == ["id", "lat", "lon"]
+
+
+def test_cli_curate_pii_flag(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = ["the good and clear study of data " * 3 + f" filler {i}"
+             for i in ("a", "b")]
+    texts.append("the good clear mail me at a.b@example.com today ok")
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": texts}), str(p))
+    out = str(tmp_path / "cur")
+    r = _run(["curate", str(p), out, "--redact-pii",
+              "--jaccard-threshold", "0.99"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "model=0" in r.stdout
+    shard = os.path.join(out, "docs")
+    kept = pa.concat_tables([
+        pq.read_table(os.path.join(shard, f))
+        for f in os.listdir(shard) if f.endswith(".parquet")])
+    joined = " ".join(kept["text"].to_pylist())
+    assert "[EMAIL]" in joined and "a.b@example.com" not in joined
