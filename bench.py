@@ -351,6 +351,22 @@ def _extra_cross_dedup(sf_dir: str):
     return image_cross_dup_filter(new, idx, mode="anti")
 
 
+def _extra_line_dedup(sf_dir: str):
+    """Corpus line dedup over documents: count pass (slim hash/df
+    partial counts -> groupby sum), broadcast hot set, map-side
+    rewrite. min_df=2 so the synthetic corpus's repeated lines
+    actually exercise the rewrite."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.line_dedup import dedup_lines
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    out, hot = dedup_lines(docs, min_df=2, min_line_chars=8)
+    return out
+
+
 def _extra_pii(sf_dir: str):
     """PII scrub (detect + redact 5 categories) over documents —
     pure map-side actor-pool stage, vectorized regex kernels."""
@@ -449,6 +465,7 @@ def _extra_spatial_layout(sf_dir: str):
 
 
 EXTRA_SET = {
+    "line_dedup_docs": _extra_line_dedup,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

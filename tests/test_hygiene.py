@@ -546,3 +546,79 @@ def test_curate_documents_pii_and_model_gates(ray_session, tmp_path):
         max_top_bigram_frac=1.0,
         redact_pii=True, quality_model=w2, min_model_score=0.5)
     assert report2["completed"] == ["shard_p"]  # not skipped
+
+
+# ------------------------------------------------ corpus line dedup
+
+def _line_corpus():
+    boiler1 = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    boiler2 = "cookie policy applies to this site"
+    shorty = "ok yes"                      # < min_line_chars: never dropped
+    rare = "this footer appears only twice in the corpus"
+    texts = []
+    for i in range(30):
+        lines = [f"unique content line {i} alpha",
+                 f"unique content line {i} beta {i * 7}"]
+        if i % 2 == 0:
+            lines.insert(0, boiler1)
+        if i % 3 == 0:
+            lines.append(boiler2)
+        if i < 2:
+            lines.append(rare)
+        lines.append(shorty)
+        if i == 5:
+            lines.append(boiler1)          # same doc twice: df counts once
+        texts.append("\n".join(lines))
+    texts.append(boiler1 + "\n" + boiler2)  # doc 30: all lines hot
+    return texts
+
+
+def test_line_dedup_matches_brute(ray_session):
+    from collections import Counter
+
+    from osm_cut_ray.stages.line_dedup import dedup_lines, hot_line_hashes
+
+    texts = _line_corpus()
+    min_df, min_chars = 3, 8
+    df = Counter()
+    for t in texts:
+        for ln in {l for l in t.split("\n") if len(l) >= min_chars}:
+            df[ln] += 1
+    hot_brute = {l for l, c in df.items() if c >= min_df}
+    expect = []
+    for t in texts:
+        kept = [l for l in t.split("\n")
+                if not (len(l) >= min_chars and l in hot_brute)]
+        expect.append("\n".join(kept))
+
+    ids = np.arange(len(texts), dtype=np.int64)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ids, "text": texts,
+        "n_chars": [len(t) for t in texts]})).repartition(7)
+    out, hot = dedup_lines(docs, min_df=min_df, min_line_chars=min_chars)
+    got = out.to_pandas().set_index("doc_id").sort_index()
+
+    assert len(hot) == len(hot_brute)
+    for i, t in enumerate(texts):
+        assert got.loc[i, "text"] == expect[i], f"doc {i}"
+        n_removed = len(t.split("\n")) - len(expect[i].split("\n")) \
+            if expect[i] else len(t.split("\n"))
+        assert got.loc[i, "n_lines_removed"] == n_removed, f"doc {i}"
+        assert got.loc[i, "n_chars"] == len(expect[i])
+    # doc 30 lost every line
+    assert got.loc[30, "text"] == "" and got.loc[30, "n_lines_removed"] == 2
+    # short repeated line survives everywhere
+    assert all("ok yes" in got.loc[i, "text"] for i in range(30))
+
+    # determinism under a different partitioning
+    docs1 = rd.from_arrow(pa.table({
+        "doc_id": ids, "text": texts,
+        "n_chars": [len(t) for t in texts]}))
+    out1, hot1 = dedup_lines(docs1, min_df=min_df, min_line_chars=min_chars)
+    got1 = out1.to_pandas().set_index("doc_id").sort_index()
+    assert (got1["text"] == got["text"]).all()
+    assert set(hot1.tolist()) == set(hot.tolist())
+
+    # cap raises, never truncates
+    with pytest.raises(ValueError):
+        hot_line_hashes(docs, min_df=1, min_line_chars=1, max_hot_lines=3)
