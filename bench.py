@@ -367,6 +367,21 @@ def _extra_line_dedup(sf_dir: str):
     return out
 
 
+def _extra_lm_score(sf_dir: str):
+    """Hashed bigram-LM fit over documents (one slim count pass +
+    exact groupby-sum reduce) then map-side cross-entropy scoring of
+    the same corpus — the CCNet-style perplexity filter."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.lm_score import fit_bigram_lm, lm_cross_entropy
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])).materialize()
+    lm = fit_bigram_lm(docs, dim=1 << 18)
+    return lm_cross_entropy(docs, lm)
+
+
 def _extra_pii(sf_dir: str):
     """PII scrub (detect + redact 5 categories) over documents —
     pure map-side actor-pool stage, vectorized regex kernels."""
@@ -466,6 +481,7 @@ def _extra_spatial_layout(sf_dir: str):
 
 EXTRA_SET = {
     "line_dedup_docs": _extra_line_dedup,
+    "lm_score_docs": _extra_lm_score,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

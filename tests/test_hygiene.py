@@ -622,3 +622,93 @@ def test_line_dedup_matches_brute(ray_session):
     # cap raises, never truncates
     with pytest.raises(ValueError):
         hot_line_hashes(docs, min_df=1, min_line_chars=1, max_hot_lines=3)
+
+
+# --------------------------------------------- bigram LM perplexity
+
+def _brute_lm_counts(texts, dim):
+    """Pure-Python reference: blake2b token hashes, add-alpha hashed
+    bigram LM — mirrors the documented model exactly."""
+    import hashlib
+    from collections import Counter
+
+    def toks(t):
+        return [int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(),
+            "little") for w in t.lower().split()]
+
+    M0, M1 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    uni, big = Counter(), Counter()
+    for t in texts:
+        hs = toks(t)
+        for h in hs:
+            uni[h % dim] += 1
+        for a, b in zip(hs, hs[1:]):
+            big[((a * M0) ^ (b * M1)) % (1 << 64) % dim] += 1
+    return uni, big, toks
+
+
+def test_bigram_lm_matches_brute_and_separates(ray_session):
+    import math
+
+    from osm_cut_ray.stages.lm_score import (fit_bigram_lm, lm_filter,
+                                             lm_cross_entropy)
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(60)]
+    # in-domain corpus: Markov-ish chains w_i -> w_{i+1}
+    ref_texts = []
+    for _ in range(80):
+        start = int(rng.integers(0, 50))
+        ref_texts.append(" ".join(words[start:start + 10]))
+    # score set: 3 in-domain docs, 3 scrambled, 1 tiny (NaN)
+    good = [" ".join(words[i:i + 10]) for i in (3, 17, 31)]
+    perm = [" ".join(rng.permutation(words).tolist()) for _ in range(3)]
+    score_texts = good + perm + ["solo"]
+
+    dim, alpha = 4096, 0.1
+    ref_ds = rd.from_arrow(pa.table({
+        "doc_id": np.arange(len(ref_texts), dtype=np.int64),
+        "text": ref_texts})).repartition(5)
+    lm = fit_bigram_lm(ref_ds, dim=dim, alpha=alpha)
+
+    uni_b, big_b, toks = _brute_lm_counts(ref_texts, dim)
+    assert lm.uni.sum() == sum(uni_b.values())
+    assert lm.big.sum() == sum(big_b.values())
+    for k, v in list(uni_b.items())[:50]:
+        assert lm.uni[k] == v
+    for k, v in list(big_b.items())[:50]:
+        assert lm.big[k] == v
+
+    ids = np.arange(len(score_texts), dtype=np.int64)
+    sds = rd.from_arrow(pa.table({"doc_id": ids, "text": score_texts}))
+    got = lm_cross_entropy(sds, lm).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    M0, M1 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    for i, t in enumerate(score_texts):
+        hs = toks(t)
+        if len(hs) < 2:
+            assert np.isnan(got.loc[i, "lm_xent"])
+            continue
+        lp = 0.0
+        for a, b in zip(hs, hs[1:]):
+            bb = ((a * M0) ^ (b * M1)) % (1 << 64) % dim
+            lp += math.log((big_b[bb] + alpha)
+                           / (uni_b[a % dim] + alpha * dim))
+        assert abs(got.loc[i, "lm_xent"] - (-lp / (len(hs) - 1))) < 1e-9
+        assert got.loc[i, "n_bigrams"] == len(hs) - 1
+
+    # semantic pin: in-domain clearly beats scrambled
+    assert got.loc[[0, 1, 2], "lm_xent"].max() \
+        < got.loc[[3, 4, 5], "lm_xent"].min()
+
+    # deterministic refit under different partitioning
+    lm2 = fit_bigram_lm(ref_ds.repartition(11), dim=dim, alpha=alpha)
+    assert (lm2.uni == lm.uni).all() and (lm2.big == lm.big).all()
+
+    # gate: threshold between the groups keeps good + NaN, drops junk
+    thr = float(got.loc[[0, 1, 2], "lm_xent"].max()
+                + got.loc[[3, 4, 5], "lm_xent"].min()) / 2
+    kept = lm_filter(sds, lm, max_xent=thr).to_pandas()
+    assert set(kept["doc_id"]) == {0, 1, 2, 6}
