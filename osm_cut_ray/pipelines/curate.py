@@ -162,6 +162,27 @@ def _model_low_ids(docs_ds, weights, min_score: float) -> np.ndarray:
         else np.array([], np.int64)
 
 
+def _lm_high_ids(docs_ds, lm, max_xent: float) -> np.ndarray:
+    """doc_ids whose bigram-LM cross-entropy exceeds `max_xent`
+    (stages/lm_score.py) — slim (id, xent) stream, only the rejected
+    tail's ids reach the driver. NaN scores (< 2 tokens) pass."""
+    import pyarrow.compute as pc
+
+    from ..stages.lm_score import lm_cross_entropy
+    scores = lm_cross_entropy(docs_ds, lm)
+    high = scores.map_batches(
+        lambda t: t.filter(pc.greater(t["lm_xent"], max_xent))
+        .select(["doc_id"]) if len(t)
+        else pa.table({"doc_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    ids = [b["doc_id"].to_numpy(zero_copy_only=False)
+           for b in high.iter_batches(batch_size=None,
+                                      batch_format="pyarrow")
+           if b.num_rows]
+    return np.concatenate(ids).astype(np.int64) if ids \
+        else np.array([], np.int64)
+
+
 def curate_documents(input_paths, out_dir: str, *,
                      bench_texts=(), shingle_k: int = 8,
                      max_overlap: float = 0.1,
@@ -172,7 +193,12 @@ def curate_documents(input_paths, out_dir: str, *,
                      min_tokens: int = 3,
                      redact_pii: bool = False,
                      quality_model: np.ndarray | None = None,
-                     min_model_score: float = 0.5) -> dict:
+                     min_model_score: float = 0.5,
+                     drop_boilerplate: bool = False,
+                     boilerplate_min_df: int = 4,
+                     boilerplate_min_chars: int = 8,
+                     lm_model=None,
+                     lm_max_xent: float = float("inf")) -> dict:
     """Curate a documents corpus into `out_dir` (one parquet directory
     per input shard, manifest-last checkpoints). Returns the resume
     report extended with per-cause drop counters.
@@ -188,13 +214,31 @@ def curate_documents(input_paths, out_dir: str, *,
                                max_overlap)
     modeled = _model_low_ids(docs, quality_model, min_model_score) \
         if quality_model is not None else np.array([], np.int64)
-    drop = np.unique(np.concatenate([exact, near, contam, modeled])) \
+    lm_high = _lm_high_ids(docs, lm_model, lm_max_xent) \
+        if lm_model is not None else np.array([], np.int64)
+    drop = np.unique(np.concatenate([exact, near, contam, modeled,
+                                     lm_high])) \
         if len(exact) + len(near) + len(contam) + len(modeled) \
-        else np.array([], np.int64)
+        + len(lm_high) else np.array([], np.int64)
+
+    import ray as _ray
+
+    from ..stages.line_dedup import drop_hot_lines, hot_line_hashes
+    hot_ref = None
+    n_hot = 0
+    if drop_boilerplate:
+        hot = hot_line_hashes(docs, min_df=boilerplate_min_df,
+                              min_line_chars=boilerplate_min_chars)
+        n_hot = int(len(hot))
+        hot_ref = _ray.put(np.ascontiguousarray(hot))
 
     model_fp = hashlib.md5(
         np.ascontiguousarray(quality_model, np.float64).tobytes()
     ).hexdigest() if quality_model is not None else None
+    lm_fp = hashlib.md5(
+        lm_model.uni.tobytes() + lm_model.big.tobytes()
+        + np.float64([lm_model.alpha, lm_model.dim]).tobytes()
+    ).hexdigest() if lm_model is not None else None
     params = {"shingle_k": shingle_k, "max_overlap": max_overlap,
               "jaccard_threshold": jaccard_threshold,
               "langs": list(langs),
@@ -204,12 +248,26 @@ def curate_documents(input_paths, out_dir: str, *,
               "n_bench": len(bench_texts),
               "redact_pii": redact_pii,
               "model_fp": model_fp,
-              "min_model_score": min_model_score if model_fp else None}
+              "min_model_score": min_model_score if model_fp else None,
+              "drop_boilerplate": drop_boilerplate,
+              "boilerplate_min_df": boilerplate_min_df
+              if drop_boilerplate else None,
+              "boilerplate_min_chars": boilerplate_min_chars
+              if drop_boilerplate else None,
+              "lm_fp": lm_fp,
+              "lm_max_xent": lm_max_xent if lm_fp else None}
 
     def process(path: str):
         from ..stages.pii import PiiScrub
         shard = strip_schema_metadata(
             rd.read_parquet(path, columns=["doc_id", "text"]))
+        if hot_ref is not None:
+            # boilerplate strip FIRST (C4 order): quality stats and
+            # PII run on the cleaned text; schema back to (id, text)
+            shard = drop_hot_lines(
+                shard, hot_ref,
+                min_line_chars=boilerplate_min_chars) \
+                .select_columns(["doc_id", "text"])
         gated = shard.map_batches(
             lambda t: _quality_filter_batch(
                 t, langs=langs, max_dup_line_frac=max_dup_line_frac,
@@ -232,6 +290,8 @@ def curate_documents(input_paths, out_dir: str, *,
     report["n_drop_near_dup"] = int(len(near))
     report["n_drop_contaminated"] = int(len(contam))
     report["n_drop_model"] = int(len(modeled))
+    report["n_drop_lm"] = int(len(lm_high))
+    report["n_hot_lines"] = n_hot
     return report
 
 

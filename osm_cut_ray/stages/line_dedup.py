@@ -120,14 +120,16 @@ def hot_line_hashes(docs_ds, *, min_df: int = 4, min_line_chars: int = 8,
     return arr
 
 
-def drop_hot_lines(docs_ds, hot_sorted: np.ndarray, *,
-                   min_line_chars: int = 8):
+def drop_hot_lines(docs_ds, hot_sorted, *, min_line_chars: int = 8):
     """Rewrite documents with corpus-hot lines removed (map-side).
 
     Lines shorter than `min_line_chars` are never dropped (they were
     never counted). Adds `n_lines_removed`; recomputes `n_chars` when
-    the input carries it. Output keeps the input column set."""
-    ref = ray.put(np.ascontiguousarray(hot_sorted.view(np.uint64)))
+    the input carries it. Output keeps the input column set.
+    `hot_sorted` may be the sorted uint64 array or an ObjectRef to it
+    (so a multi-shard caller broadcasts once)."""
+    ref = hot_sorted if isinstance(hot_sorted, ray.ObjectRef) \
+        else ray.put(np.ascontiguousarray(hot_sorted.view(np.uint64)))
 
     def _rewrite(t: pa.Table) -> pa.Table:
         if len(t) == 0:

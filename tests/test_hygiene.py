@@ -712,3 +712,57 @@ def test_bigram_lm_matches_brute_and_separates(ray_session):
                 + got.loc[[3, 4, 5], "lm_xent"].min()) / 2
     kept = lm_filter(sds, lm, max_xent=thr).to_pandas()
     assert set(kept["doc_id"]) == {0, 1, 2, 6}
+
+
+def test_curate_documents_boilerplate_and_lm_gates(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.pipelines.curate import curate_documents
+    from osm_cut_ray.stages.lm_score import fit_bigram_lm
+
+    rng = np.random.default_rng(9)
+    words = [f"tok{i:02d}" for i in range(40)]
+    boiler = "ALL RIGHTS RESERVED CONTACT US AT FOOTER"
+    good = []
+    for i in range(12):
+        st = int(rng.integers(0, 30))
+        body = " ".join(words[st:st + 8])
+        good.append(f"{body}\n{boiler}\nextra line {i} for doc")
+    junk = [" ".join(rng.permutation(words)[:8].tolist()
+                     + ["zzqx", "qqzz", f"jx{i}"]) for i in range(3)]
+    texts = good + junk
+    ids = np.arange(len(texts), dtype=np.int64)
+
+    p = str(tmp_path / "shard_a.parquet")
+    pq.write_table(pa.table({"doc_id": ids, "text": texts}), p)
+
+    lm = fit_bigram_lm(
+        rd.from_arrow(pa.table({"doc_id": ids[:12], "text": good})),
+        dim=4096)
+    # pick a threshold between the in-domain max and junk min
+    from osm_cut_ray.stages.lm_score import lm_cross_entropy
+    x = lm_cross_entropy(
+        rd.from_arrow(pa.table({"doc_id": ids, "text": texts})),
+        lm).to_pandas().set_index("doc_id")["lm_xent"]
+    thr = float((x.iloc[:12].max() + x.iloc[12:].min()) / 2)
+    assert x.iloc[:12].max() < x.iloc[12:].min()
+
+    out = str(tmp_path / "out")
+    report = curate_documents(
+        [p], out, langs=("en", "zh", "de", "fr", "es"), min_tokens=1,
+        jaccard_threshold=0.99, max_dup_line_frac=1.0,
+        max_top_bigram_frac=1.0,
+        drop_boilerplate=True, boilerplate_min_df=4,
+        lm_model=lm, lm_max_xent=thr)
+    assert report["n_hot_lines"] == 1
+    assert report["n_drop_lm"] == 3
+
+    kept = pa.concat_tables([
+        pq.read_table(os.path.join(out, "shard_a", f))
+        for f in os.listdir(os.path.join(out, "shard_a"))
+        if f.endswith(".parquet")])
+    kept_ids = sorted(kept["doc_id"].to_pylist())
+    assert kept_ids == list(range(12))            # junk gone
+    for t in kept["text"].to_pylist():
+        assert boiler not in t                    # boilerplate stripped
+        assert "extra line" in t                  # content kept
