@@ -367,6 +367,36 @@ def _extra_line_dedup(sf_dir: str):
     return out
 
 
+def _extra_text_cross_dedup(sf_dir: str):
+    """Incremental-ingest text dedup: build the broadcast MinHash
+    index over documents as the 'existing corpus', then anti-filter a
+    synthetic new shard (half near-copies, half fresh) — zero
+    shuffles on the probe side."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.cross_dedup import (build_ref_minhash_index,
+                                                text_cross_dup_filter)
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])).materialize()
+    idx = build_ref_minhash_index(docs)
+
+    def shift(t):
+        import pyarrow as pa
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # even rows: near-copies (one token appended) -> dropped;
+        # odd rows: reversed word order = disjoint shingles -> kept
+        txt = [s + " extra-token" if i % 2 == 0
+               else " ".join(reversed(s.split()))
+               for i, s in enumerate(t["text"].to_pylist())]
+        return pa.table({"doc_id": pa.array(ids + 10 ** 9),
+                         "text": pa.array(txt, pa.string())})
+
+    new = docs.map_batches(shift, batch_format="pyarrow")
+    return text_cross_dup_filter(new, idx, mode="anti")
+
+
 def _extra_lm_score(sf_dir: str):
     """Hashed bigram-LM fit over documents (one slim count pass +
     exact groupby-sum reduce) then map-side cross-entropy scoring of
@@ -482,6 +512,7 @@ def _extra_spatial_layout(sf_dir: str):
 EXTRA_SET = {
     "line_dedup_docs": _extra_line_dedup,
     "lm_score_docs": _extra_lm_score,
+    "text_cross_dedup": _extra_text_cross_dedup,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

@@ -766,3 +766,83 @@ def test_curate_documents_boilerplate_and_lm_gates(ray_session, tmp_path):
     for t in kept["text"].to_pylist():
         assert boiler not in t                    # boilerplate stripped
         assert "extra line" in t                  # content kept
+
+
+# ------------------------------------------ cross-corpus text dedup
+
+def test_text_cross_dup_filter(ray_session):
+    from osm_cut_ray.stages.cross_dedup import (RefMinhashIndex,
+                                                _band_hashes,
+                                                build_ref_minhash_index,
+                                                text_cross_dup_filter)
+    from osm_cut_ray.stages.dedup import MinHasher, shingle_hashes
+
+    rng = np.random.default_rng(3)
+    words = [f"v{i:03d}" for i in range(200)]
+    ref_texts = [" ".join(rng.choice(words, 40).tolist())
+                 for _ in range(50)]
+    ref_ids = np.arange(1000, 1000 + len(ref_texts), dtype=np.int64)
+
+    # new shard: 5 near-copies of ref docs (one word changed),
+    # 10 fresh docs
+    near = []
+    for i in range(5):
+        ws = ref_texts[i * 7].split()
+        ws[3] = "CHANGED"
+        near.append(" ".join(ws))
+    fresh = [" ".join(rng.choice(words, 40).tolist())
+             for _ in range(10)]
+    new_texts = near + fresh
+    new_ids = np.arange(len(new_texts), dtype=np.int64)
+
+    ref_ds = rd.from_arrow(pa.table(
+        {"doc_id": ref_ids, "text": ref_texts})).repartition(4)
+    idx = build_ref_minhash_index(ref_ds)
+
+    # brute reference: same signatures, full pairwise agreement
+    mh = MinHasher(64, 42, 3)
+    rsig = np.stack([mh.signature(shingle_hashes(t, 3))
+                     for t in ref_texts])
+    nsig = np.stack([mh.signature(shingle_hashes(t, 3))
+                     for t in new_texts])
+    agree = (nsig[:, None, :] == rsig[None, :, :]).mean(axis=2)
+    # candidates limited to shared bands (LSH semantics)
+    rb = _band_hashes(rsig, 16)
+    nb = _band_hashes(nsig, 16)
+    shares_band = (nb[:, None, :] == rb[None, :, :]).any(axis=2)
+    cand_agree = np.where(shares_band, agree, 0.0)
+    brute_hit = cand_agree.max(axis=1) >= 0.7
+
+    new_ds = rd.from_arrow(pa.table(
+        {"doc_id": new_ids, "text": new_texts})).repartition(3)
+    flagged = text_cross_dup_filter(new_ds, idx, mode="flag",
+                                est_threshold=0.7) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert (flagged["is_ref_dup"].to_numpy() == brute_hit).all()
+    # planted near-copies caught, fresh docs clean
+    assert flagged["is_ref_dup"].iloc[:5].all()
+    assert not flagged["is_ref_dup"].iloc[5:].any()
+    # matched ref id: a band-sharing candidate with >= brute agreement
+    for i in range(5):
+        rid = flagged.loc[i, "ref_id"]
+        j = int(np.where(ref_ids == rid)[0][0])
+        assert shares_band[i, j]
+        assert flagged.loc[i, "ref_agree"] >= 0.7
+
+    kept = text_cross_dup_filter(new_ds, idx, mode="anti",
+                             est_threshold=0.7).to_pandas()
+    assert sorted(kept["doc_id"]) == list(range(5, 15))
+    dups = text_cross_dup_filter(new_ds, idx, mode="semi",
+                             est_threshold=0.7).to_pandas()
+    assert sorted(dups["doc_id"]) == list(range(5))
+
+    # empty reference: everything passes anti
+    empty_idx = RefMinhashIndex(np.array([], np.int64),
+                                np.empty((0, 64), np.uint64))
+    allkept = text_cross_dup_filter(new_ds, empty_idx,
+                                    mode="anti").to_pandas()
+    assert len(allkept) == len(new_texts)
+
+    # cap raises, never truncates
+    with pytest.raises(ValueError):
+        build_ref_minhash_index(ref_ds, max_ref_docs=10)
