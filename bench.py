@@ -367,6 +367,19 @@ def _extra_line_dedup(sf_dir: str):
     return out
 
 
+def _extra_seq_pack(sf_dir: str):
+    """GPT-style token-sequence packing over documents: two slim
+    passes + one bucketed shuffle; text never transits."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.seq_pack import pack_token_sequences
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    return pack_token_sequences(docs, seq_len=2048)
+
+
 def _extra_text_cross_dedup(sf_dir: str):
     """Incremental-ingest text dedup: build the broadcast MinHash
     index over documents as the 'existing corpus', then anti-filter a
@@ -513,6 +526,7 @@ EXTRA_SET = {
     "line_dedup_docs": _extra_line_dedup,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
+    "seq_pack_docs": _extra_seq_pack,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

@@ -846,3 +846,68 @@ def test_text_cross_dup_filter(ray_session):
     # cap raises, never truncates
     with pytest.raises(ValueError):
         build_ref_minhash_index(ref_ds, max_ref_docs=10)
+
+
+# --------------------------------------------- LM sequence packing
+
+def test_pack_token_sequences_matches_brute(ray_session):
+    from osm_cut_ray.stages.geo_sample import sample_hash
+    from osm_cut_ray.stages.seq_pack import pack_token_sequences
+
+    rng = np.random.default_rng(21)
+    texts = [" ".join(f"t{j}" for j in range(int(rng.integers(0, 40))))
+             for _ in range(120)]          # includes 0-token docs
+    ids = np.arange(500, 500 + len(texts), dtype=np.int64)
+    L = 64
+
+    # brute: deterministic (hash, id) order, concat with EOS, chunk
+    hv = sample_hash(ids)
+    order = np.lexsort((ids, hv))
+    n_tok = np.array([len(t.split()) + 1 for t in texts], np.int64)
+    expected = set()
+    pos = 0
+    total = int(n_tok.sum())
+    n_seq = total // L
+    for i in order:
+        o, n = pos, int(n_tok[i])
+        pos += n
+        while n > 0:
+            seq = o // L
+            take = min((seq + 1) * L - o, n)
+            if seq < n_seq:
+                expected.add((int(ids[i]), seq, o - seq * L,
+                              o - (pos - n_tok[i]), take))
+            o += take
+            n -= take
+
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})) \
+        .repartition(6)
+    got = pack_token_sequences(docs, seq_len=L).to_pandas()
+    got_set = set(map(tuple, got[["doc_id", "seq_id", "seq_start",
+                                  "doc_start", "n_span"]].to_numpy()))
+    assert got_set == expected
+
+    # every kept sequence fully covered, no overlaps
+    for s, grp in got.groupby("seq_id"):
+        assert grp["n_span"].sum() == L
+        covered = np.zeros(L, bool)
+        for _, r in grp.iterrows():
+            sl = slice(int(r["seq_start"]),
+                       int(r["seq_start"]) + int(r["n_span"]))
+            assert not covered[sl].any()
+            covered[sl] = True
+        assert covered.all()
+    assert got["seq_id"].nunique() == n_seq
+
+    # partitioning invariance
+    got1 = pack_token_sequences(
+        rd.from_arrow(pa.table({"doc_id": ids, "text": texts})),
+        seq_len=L).to_pandas()
+    got1_set = set(map(tuple, got1[["doc_id", "seq_id", "seq_start",
+                                    "doc_start", "n_span"]].to_numpy()))
+    assert got1_set == expected
+
+    # drop_last=False keeps the tail
+    got2 = pack_token_sequences(docs, seq_len=L,
+                                drop_last=False).to_pandas()
+    assert got2["n_span"].sum() == total
