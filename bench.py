@@ -367,6 +367,26 @@ def _extra_line_dedup(sf_dir: str):
     return out
 
 
+def _extra_heavy_hitters(sf_dir: str):
+    """Per-key Misra-Gries heavy hitters over lineitem (part keys per
+    line number): sketch blobs are the only shuffle payload."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.heavy import heavy_hitters_by_key
+    li = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_linenumber", "l_partkey"]))
+    ints = li.map_batches(
+        lambda t: pa.table({
+            "key": t["l_linenumber"].cast(pa.int64()),
+            "item": t["l_partkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return heavy_hitters_by_key(ints, "key", "item",
+                                k=256, min_frac=0.0005)
+
+
 def _extra_seq_pack(sf_dir: str):
     """GPT-style token-sequence packing over documents: two slim
     passes + one bucketed shuffle; text never transits."""
@@ -527,6 +547,7 @@ EXTRA_SET = {
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
+    "heavy_hitters_lineitem": _extra_heavy_hitters,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

@@ -911,3 +911,50 @@ def test_pack_token_sequences_matches_brute(ray_session):
     got2 = pack_token_sequences(docs, seq_len=L,
                                 drop_last=False).to_pandas()
     assert got2["n_span"].sum() == total
+
+
+# ------------------------------------------- per-key heavy hitters
+
+def test_heavy_hitters_by_key(ray_session):
+    from collections import Counter
+
+    from osm_cut_ray.stages.heavy import heavy_hitters_by_key
+
+    rng = np.random.default_rng(7)
+    keys_l, items_l = [], []
+    truth = {}
+    for key in range(5):
+        n = 4000 + key * 500
+        heavy = 10_000 + key          # ~30% of the key's rows
+        items = np.where(rng.random(n) < 0.3, heavy,
+                         rng.integers(0, 2000, n))
+        keys_l.append(np.full(n, key, np.int64))
+        items_l.append(items.astype(np.int64))
+        truth[key] = Counter(items.tolist())
+    keys = np.concatenate(keys_l)
+    items = np.concatenate(items_l)
+
+    ds = rd.from_arrow(pa.table({"cell": keys, "part": items})) \
+        .repartition(9)
+    k = 64
+    got = heavy_hitters_by_key(ds, "cell", "part",
+                               k=k, min_frac=0.1).to_pandas()
+
+    for key in range(5):
+        sub = got[got["key"] == key]
+        n_key = sum(truth[key].values())
+        assert (sub["n_key"] == n_key).all()      # exact row totals
+        heavy = 10_000 + key
+        true_heavy = truth[key][heavy]
+        # MG guarantee: the planted heavy item survives with a lower-
+        # bound estimate within n/(k+1) of truth
+        row = sub[sub["item"] == heavy]
+        assert len(row) == 1
+        est = int(row["est_count"].iloc[0])
+        assert est <= true_heavy
+        assert est >= true_heavy - n_key // (k + 1) - 1
+        # every reported estimate is a lower bound on truth
+        for _, r in sub.iterrows():
+            assert r["est_count"] <= truth[key][int(r["item"])]
+        # nothing from the uniform tail clears the 10% threshold
+        assert set(sub["item"]) == {heavy}
