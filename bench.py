@@ -378,13 +378,16 @@ def _extra_heavy_hitters(sf_dir: str):
     li = strip_schema_metadata(
         rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                         columns=["l_linenumber", "l_partkey"]))
-    ints = li.map_batches(
-        lambda t: pa.table({
-            "key": t["l_linenumber"].cast(pa.int64()),
-            "item": t["l_partkey"].cast(pa.int64())}),
-        batch_format="pyarrow")
+    def proj(t):
+        import numpy as np
+        item = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) % 128   # bounded item domain: MG exact
+        return pa.table({"key": t["l_linenumber"].cast(pa.int64()),
+                         "item": pa.array(item)})
+
+    ints = li.map_batches(proj, batch_format="pyarrow")
     return heavy_hitters_by_key(ints, "key", "item",
-                                k=256, min_frac=0.0005)
+                                k=256, min_frac=0.001)
 
 
 def _extra_seq_pack(sf_dir: str):
