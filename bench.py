@@ -367,6 +367,51 @@ def _extra_line_dedup(sf_dir: str):
     return out
 
 
+def _extra_clip_ways(sf_dir: str):
+    """Boundary clipping of 20k synthesized ways (the simplify corpus)
+    against a 64-edge star polygon covering ~half the coordinate
+    range — vertex PIP is batched, crossings vectorized per way."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.clip import clip_ways
+
+    n_nodes = 200_000
+
+    def synth_nodes(t: pa.Table) -> pa.Table:
+        # spatially LOCAL walks: consecutive ids are neighbors, so a
+        # way (50 consecutive refs) is a short smooth polyline that
+        # crosses the boundary a realistic handful of times
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "lon": pa.array(((ids * 0.021) % 120.0) - 60.0
+                            + np.sin(ids * 0.11) * 0.5),
+            "lat": pa.array(np.sin(ids * 0.0019) * 35.0
+                            + np.cos(ids * 0.13) * 0.3)})
+
+    def synth_ways(t: pa.Table) -> pa.Table:
+        wids = t["id"].to_numpy(zero_copy_only=False)
+        refs = [(np.arange(50, dtype=np.int64) + w * 10) % n_nodes
+                for w in wids.tolist()]
+        return pa.table({
+            "id": pa.array(wids, pa.int64()),
+            "refs": pa.array([r.tolist() for r in refs],
+                             pa.list_(pa.int64()))})
+
+    ang = np.linspace(0, 2 * np.pi, 65)[:-1]
+    r = np.where(np.arange(64) % 2 == 0, 40.0, 22.0)
+    ring = list(zip((np.cos(ang) * r).tolist(),
+                    (np.sin(ang) * r * 0.6).tolist()))
+    nodes = rd.range(n_nodes).map_batches(synth_nodes,
+                                          batch_format="pyarrow")
+    ways = rd.range(20_000).map_batches(synth_ways,
+                                        batch_format="pyarrow",
+                                        batch_size=2048)
+    return clip_ways(ways, nodes, [("include", ring)])
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -551,6 +596,7 @@ EXTRA_SET = {
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
     "heavy_hitters_lineitem": _extra_heavy_hitters,
+    "clip_ways_20k": _extra_clip_ways,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

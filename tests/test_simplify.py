@@ -181,3 +181,98 @@ def test_way_geometry_stats_match_brute(ray_session):
     d = haversine_m(np.array([0.0]), np.array([0.0]),
                     np.array([0.0]), np.array([1.0]))[0]
     assert abs(d - 111_195) < 100
+
+
+# -------------------------------------------------- boundary clipping
+
+SQUARE = [("include", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                       (0.0, 10.0)])]
+SQ_HOLE = SQUARE + [("exclude", [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0),
+                                 (4.0, 6.0)])]
+
+
+def _clip_one(coords, rings):
+    import numpy as np
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.stages.clip import _EdgeTable, clip_polyline
+    a = np.asarray(coords, np.float64)
+    return clip_polyline(a[:, 0], a[:, 1], PolygonIndex.compile(rings),
+                         _EdgeTable(rings))
+
+
+def test_clip_polyline_cases():
+    import numpy as np
+
+    # fully inside: unchanged single piece
+    p = _clip_one([(1, 1), (5, 5), (9, 2)], SQUARE)
+    assert len(p) == 1
+    assert np.allclose(p[0][0], [1, 5, 9]) and np.allclose(p[0][1],
+                                                           [1, 5, 2])
+    # fully outside: nothing
+    assert _clip_one([(-5, 1), (-1, 9)], SQUARE) == []
+    # straight crossing: clipped to the border
+    p = _clip_one([(-5, 5), (15, 5)], SQUARE)
+    assert len(p) == 1
+    assert np.allclose(p[0][0], [0, 10]) and np.allclose(p[0][1], [5, 5])
+    # in -> out -> in around a vertex outside: two pieces
+    p = _clip_one([(5, 5), (15, 5), (5, 2)], SQUARE)
+    assert len(p) == 2
+    assert np.allclose(p[0][0], [5, 10]) and np.allclose(p[0][1], [5, 5])
+    assert np.allclose(p[1][0], [10, 5]) and np.allclose(p[1][1],
+                                                         [3.5, 2])
+    # both endpoints outside, dips inside: one interior piece
+    p = _clip_one([(-5, 5), (5, 5), (15, 5)], SQUARE)
+    assert len(p) == 1
+    assert np.allclose(p[0][0], [0, 5, 10]) and np.allclose(p[0][1],
+                                                            [5, 5, 5])
+    # hole splits a through-way into two pieces
+    p = _clip_one([(1, 5), (9, 5)], SQ_HOLE)
+    assert len(p) == 2
+    assert np.allclose(p[0][0], [1, 4]) and np.allclose(p[1][0], [6, 9])
+    # piece endpoints land ON the boundary; midpoints stay inside
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    poly = PolygonIndex.compile(SQ_HOLE)
+    for xs, ys in p:
+        mx, my = (xs[:-1] + xs[1:]) / 2, (ys[:-1] + ys[1:]) / 2
+        assert poly.contains(mx, my).all()
+
+
+def test_clip_ways_matches_driver(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.clip import clip_ways
+
+    rng = np.random.default_rng(13)
+    node_ids = np.arange(1, 401, dtype=np.int64)
+    lon = rng.uniform(-5, 15, len(node_ids))
+    lat = rng.uniform(-5, 15, len(node_ids))
+    nodes = rd.from_arrow(pa.table({
+        "id": node_ids, "lon": lon, "lat": lat}))
+    ways = []
+    for w in range(60):
+        k = int(rng.integers(2, 8))
+        ways.append({"id": 1000 + w,
+                     "refs": rng.choice(node_ids, k,
+                                        replace=False).tolist()})
+    ways_ds = rd.from_items(ways).repartition(4)
+
+    got = clip_ways(ways_ds, nodes, SQ_HOLE).to_pandas()
+
+    # driver reference: same kernel applied way by way
+    lon_of = dict(zip(node_ids.tolist(), lon))
+    lat_of = dict(zip(node_ids.tolist(), lat))
+    n_pieces = 0
+    for w in ways:
+        coords = [(lon_of[r], lat_of[r]) for r in w["refs"]]
+        pieces = _clip_one(coords, SQ_HOLE)
+        sub = got[got["way_id"] == w["id"]].sort_values("piece")
+        assert len(sub) == len(pieces)
+        for (xs, ys), (_, row) in zip(pieces, sub.iterrows()):
+            assert np.allclose(row["lons"], xs)
+            assert np.allclose(row["lats"], ys)
+        n_pieces += len(pieces)
+    assert n_pieces > 10          # the corpus really exercises clipping
+    assert (got["n_pts"] >= 2).all()
