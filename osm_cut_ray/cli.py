@@ -237,6 +237,37 @@ def _cmd_layout(args) -> int:
     return 0
 
 
+def _cmd_clip(args) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    from .geometry.polygon import parse_poly_file
+    from .stages.clip import clip_ways
+
+    rings = parse_poly_file(args.polygon)
+    if os.path.isdir(args.input):
+        nodes = rd.read_parquet(os.path.join(args.input, "nodes"),
+                                columns=["id", "lon", "lat"])
+        ways = rd.read_parquet(os.path.join(args.input, "ways"))
+    else:
+        work = tempfile.mkdtemp(prefix="osmclip_", dir="/tmp")
+        from .sources.osm_xml import load_osm_xml
+        nodes, ways, _rels = load_osm_xml(args.input, work)
+    pieces = clip_ways(ways, nodes, rings, refs_col="node_ids")
+    os.makedirs(args.output, exist_ok=True)
+    pieces = pieces.materialize()
+    pieces.write_parquet(args.output)
+    print(f"clipped pieces written to {args.output} "
+          f"(pieces={pieces.count()})")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_cut_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -254,6 +285,12 @@ def main(argv=None) -> int:
                         "inputs and broadcasts only when the id sets "
                         "fit (cut_auto)")
     c.set_defaults(fn=_cmd_cut)
+    cl = sub.add_parser("clip", help="clip way geometries at the "
+                                     "polygon boundary (pieces parquet)")
+    cl.add_argument("input", help="OSM XML file or parquet directory")
+    cl.add_argument("polygon", help="Osmosis .poly file")
+    cl.add_argument("output", help="output parquet directory")
+    cl.set_defaults(fn=_cmd_clip)
     f = sub.add_parser("flagship",
                        help="checkpointed flagship image-cut run "
                             "(the `ray job submit` entry point)")

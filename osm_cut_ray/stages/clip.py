@@ -220,8 +220,11 @@ def clip_ways(ways_ds, nodes_ds, rings, *, refs_col: str = "refs",
             "lons": pa.array([], pa.list_(pa.float64())),
             "lats": pa.array([], pa.list_(pa.float64())),
             "n_pts": pa.array([], pa.int64())})
-        if len(t) == 0 or refs_col not in t.column_names:
+        if len(t) == 0:
             return empty
+        if refs_col not in t.column_names:
+            raise KeyError(f"clip_ways: no {refs_col!r} column in "
+                           f"{t.column_names}")
         lookup, poly, et = ray.get(ref)
         wid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         out_id, out_piece, out_lon, out_lat = [], [], [], []

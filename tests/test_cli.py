@@ -213,3 +213,37 @@ def test_cli_curate_pii_flag(tmp_path):
         for f in os.listdir(shard) if f.endswith(".parquet")])
     joined = " ".join(kept["text"].to_pylist())
     assert "[EMAIL]" in joined and "a.b@example.com" not in joined
+
+
+CLIP_POLY = "clipbox\n1\n-1 -1\n6 -1\n6 11\n-1 11\nEND\nEND\n"
+
+
+def test_cli_clip(tmp_path):
+    import pyarrow.parquet as pq
+
+    xml = tmp_path / "1.osm"
+    xml.write_text(FIXTURE_XML)
+    poly = tmp_path / "clip.poly"
+    poly.write_text(CLIP_POLY)
+    out = str(tmp_path / "pieces")
+    r = _run(["clip", str(xml), str(poly), out])
+    assert r.returncode == 0, r.stderr[-800:]
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    t = pq.read_table(out)
+    assert sorted(t.column_names) == ["lats", "lons", "n_pts",
+                                      "piece", "way_id"]
+    # way 1 (the 1-2-3-4-1 ring polyline) crosses the triangle's
+    # boundary: at least one piece, every piece >= 2 points, and all
+    # piece midpoints are inside the polygon
+    import numpy as np
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex, parse_poly_text
+    pol = PolygonIndex.compile(parse_poly_text(CLIP_POLY))
+    assert t.num_rows >= 2          # way 1 leaves and re-enters the box
+    for i in range(t.num_rows):
+        xs = np.asarray(t["lons"][i].as_py())
+        ys = np.asarray(t["lats"][i].as_py())
+        assert len(xs) >= 2
+        mx, my = (xs[:-1] + xs[1:]) / 2, (ys[:-1] + ys[1:]) / 2
+        assert pol.contains(mx, my).all()
