@@ -149,3 +149,107 @@ def pack_token_sequences(docs_ds, *, seq_len: int, add_eos: bool = True,
             "n_span": (e_tok - s_tok)[keep]})
 
     return bucketed_group_apply(slim_ds, "hb", assign)
+
+
+EOS_TOKEN = np.int64(-1)   # sentinel; a real pipeline maps its own id
+
+
+def tokenize_docs(docs_ds, *, add_eos: bool = True,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, tokens list<int64>): hashed whitespace tokens (the
+    shared dedup tokenizer — tokenizer-agnostic: any int64 id scheme
+    with the same counts works) plus the EOS sentinel per doc."""
+    from .dedup import _token_hashes_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "tokens": pa.array([], pa.list_(pa.int64()))})
+        if len(t) == 0 or id_col not in t.column_names:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [str(x) for x in t[text_col].to_pylist()]
+        th, offs = _token_hashes_batch(texts)
+        th = th.view(np.int64)
+        n = len(texts)
+        lens = np.diff(offs)
+        if add_eos:
+            # splice one EOS after each doc's run (vectorized: token
+            # at flat position p of doc i lands at p + i)
+            total = int(lens.sum()) + n
+            vals = np.empty(total, np.int64)
+            new_offs = offs + np.arange(n + 1, dtype=np.int64)
+            didx_tok = np.repeat(np.arange(n, dtype=np.int64), lens)
+            vals[np.arange(len(th), dtype=np.int64) + didx_tok] = th
+            vals[new_offs[1:] - 1] = EOS_TOKEN
+            th, offs = vals, new_offs
+        arr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       pa.array(th, pa.int64()))
+        return pa.table({id_col: ids, "tokens": arr})
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def materialize_packed_sequences(docs_ds, spans_ds, *, seq_len: int,
+                                 add_eos: bool = True,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id"):
+    """Assemble the actual packed training sequences:
+    (seq_id, tokens list<int64> of exactly seq_len) from a span
+    assignment (`pack_token_sequences` output) plus the documents.
+
+    Two bucketed shuffles: attach each span's doc token list by
+    doc_id, slice map-side (only span-sized token runs survive), then
+    group by seq_id and concatenate in seq_start order."""
+    from .join import bucketed_attach_column, bucketed_group_apply
+
+    toks = tokenize_docs(docs_ds, add_eos=add_eos, text_col=text_col,
+                         id_col=id_col)
+    # pack_token_sequences ends in a pandas map_groups; re-block to
+    # Arrow so the attach join sees an Arrow schema
+    spans_arrow = spans_ds.map_batches(lambda t: t,
+                                       batch_format="pyarrow")
+    spans = bucketed_attach_column(spans_arrow, "doc_id", toks, id_col,
+                                   "tokens")
+
+    def slice_spans(t: pa.Table) -> pa.Table:
+        empty = pa.table({"seq_id": pa.array([], pa.int64()),
+                          "seq_start": pa.array([], pa.int64()),
+                          "piece": pa.array([], pa.list_(pa.int64()))})
+        if len(t) == 0:
+            return empty
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_ = t["doc_start"].to_numpy(zero_copy_only=False)
+        ns = t["n_span"].to_numpy(zero_copy_only=False)
+        starts = offs[:-1] + ds_
+        # vectorized ragged gather: one index run per span
+        cum = np.concatenate(([0], np.cumsum(ns)))
+        idx = np.repeat(starts - cum[:-1], ns) \
+            + np.arange(int(cum[-1]), dtype=np.int64)
+        out = pa.ListArray.from_arrays(
+            pa.array(cum, pa.int32()), pa.array(vals[idx], pa.int64()))
+        return pa.table({"seq_id": t["seq_id"],
+                         "seq_start": t["seq_start"],
+                         "piece": out})
+
+    sliced = spans.map_batches(slice_spans, batch_format="pyarrow")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"seq_id": pd.Series(dtype=np.int64),
+                              "tokens": pd.Series(dtype=object)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["seq_id", "seq_start"], kind="mergesort")
+        seqs, toks_out = [], []
+        for sid, grp in g.groupby("seq_id", sort=False):
+            cat = np.concatenate([np.asarray(p, np.int64)
+                                  for p in grp["piece"]])
+            seqs.append(int(sid))
+            toks_out.append(cat)
+        return pd.DataFrame({"seq_id": np.array(seqs, np.int64),
+                             "tokens": pd.Series(toks_out, dtype=object)})
+
+    return bucketed_group_apply(sliced, "seq_id", assemble)

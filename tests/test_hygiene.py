@@ -958,3 +958,39 @@ def test_heavy_hitters_by_key(ray_session):
             assert r["est_count"] <= truth[key][int(r["item"])]
         # nothing from the uniform tail clears the 10% threshold
         assert set(sub["item"]) == {heavy}
+
+
+def test_materialize_packed_sequences(ray_session):
+    from osm_cut_ray.stages.dedup import _token_hashes_batch
+    from osm_cut_ray.stages.geo_sample import sample_hash
+    from osm_cut_ray.stages.seq_pack import (EOS_TOKEN,
+                                             materialize_packed_sequences,
+                                             pack_token_sequences)
+
+    rng = np.random.default_rng(22)
+    texts = [" ".join(f"w{int(rng.integers(0, 99))}"
+                      for _ in range(int(rng.integers(1, 30))))
+             for _ in range(80)]
+    ids = np.arange(80, dtype=np.int64)
+    L = 48
+
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})) \
+        .repartition(5)
+    spans = pack_token_sequences(docs, seq_len=L).materialize()
+    got = materialize_packed_sequences(docs, spans, seq_len=L) \
+        .to_pandas().set_index("seq_id").sort_index()
+
+    # brute: same hashed tokens + EOS in (hash, id) order, chunked
+    hv = sample_hash(ids)
+    order = np.lexsort((ids, hv))
+    stream = []
+    for i in order:
+        th, _ = _token_hashes_batch([texts[i]])
+        stream.extend(th.view(np.int64).tolist())
+        stream.append(int(EOS_TOKEN))
+    n_seq = len(stream) // L
+    assert len(got) == n_seq
+    for s in range(n_seq):
+        toks = np.asarray(got.loc[s, "tokens"], np.int64)
+        assert len(toks) == L
+        assert toks.tolist() == stream[s * L:(s + 1) * L]
