@@ -412,6 +412,54 @@ def _extra_clip_ways(sf_dir: str):
     return clip_ways(ways, nodes, [("include", ring)])
 
 
+def _extra_snap_points(sf_dir: str):
+    """Snap lineitem-derived points to the 20k-way synthetic road grid
+    (SegmentGrid broadcast once, pure map-side probe)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.snap import build_segment_grid, snap_points
+
+    n_nodes = 200_000
+
+    def synth_nodes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "lon": pa.array(((ids * 0.021) % 120.0) - 60.0
+                            + np.sin(ids * 0.11) * 0.5),
+            "lat": pa.array(np.sin(ids * 0.0019) * 35.0
+                            + np.cos(ids * 0.13) * 0.3)})
+
+    def synth_ways(t: pa.Table) -> pa.Table:
+        wids = t["id"].to_numpy(zero_copy_only=False)
+        refs = [(np.arange(50, dtype=np.int64) + w * 10) % n_nodes
+                for w in wids.tolist()]
+        return pa.table({
+            "id": pa.array(wids, pa.int64()),
+            "refs": pa.array([r.tolist() for r in refs],
+                             pa.list_(pa.int64()))})
+
+    nodes = rd.range(n_nodes).map_batches(synth_nodes,
+                                          batch_format="pyarrow")
+    ways = rd.range(20_000).map_batches(synth_ways,
+                                        batch_format="pyarrow",
+                                        batch_size=2048)
+    grid = build_segment_grid(ways, nodes, cell_deg=0.25)
+
+    def pts(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "lon": pa.array((np.sin(ids * 1.7) * 60.0)),
+            "lat": pa.array((np.cos(ids * 2.3) * 38.0))})
+
+    points = rd.range(1_000_000).map_batches(pts, batch_format="pyarrow")
+    return snap_points(points, grid, radius=0.25)
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -446,6 +494,21 @@ def _extra_seq_pack(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id", "text"]))
     return pack_token_sequences(docs, seq_len=2048)
+
+
+def _extra_seq_materialize(sf_dir: str):
+    """Span assignment + actual packed-sequence assembly (attach by
+    doc, ragged slice, seq group concat) over documents."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.seq_pack import (materialize_packed_sequences,
+                                             pack_token_sequences)
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])).materialize()
+    spans = pack_token_sequences(docs, seq_len=2048).materialize()
+    return materialize_packed_sequences(docs, spans, seq_len=2048)
 
 
 def _extra_text_cross_dedup(sf_dir: str):
@@ -595,8 +658,10 @@ EXTRA_SET = {
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
+    "seq_materialize_docs": _extra_seq_materialize,
     "heavy_hitters_lineitem": _extra_heavy_hitters,
     "clip_ways_20k": _extra_clip_ways,
+    "snap_points_1m": _extra_snap_points,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

@@ -1,0 +1,252 @@
+"""Snap points to the nearest way segment — the map-matching
+primitive (GPS trace cleanup, address geocoding, POI conflation) that
+sits one step past PIP in every production OSM stack.
+
+Ray-Data shape: the way geometry is compiled ONCE into a uniform-grid
+segment index (`SegmentGrid`: flat segment endpoint arrays + a
+cell -> segment CSR over bbox-overlapped cells), `ray.put` once, and
+probed map-side — zero shuffles, the point corpus streams. Candidate
+gathering is per UNIQUE cell in the batch (points sharing a cell share
+one vectorized (n_pts x n_cand) distance matrix), never per point.
+
+Geometry is planar in degree space (the engine's equirectangular
+convention, geometry/cells.py); distances returned are euclidean
+degrees. Ties break deterministically on (dist, way_id, seg ordinal).
+
+At 100 TB of points: the broadcast side is 40 B/segment + the CSR;
+`max_broadcast_segments` RAISES past the cap (tile the way corpus and
+snap per tile past that). Points never leave their mappers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .list_ops import _flatten
+from .simplify import _CoordLookup
+
+_GRID_MUL = np.int64(1 << 32)
+
+
+def _cell_key(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    return ix.astype(np.int64) * _GRID_MUL + iy.astype(np.int64)
+
+
+class SegmentGrid:
+    """Uniform-grid index over way segments (broadcastable)."""
+
+    def __init__(self, way_ids: np.ndarray, seg_ord: np.ndarray,
+                 x1: np.ndarray, y1: np.ndarray,
+                 x2: np.ndarray, y2: np.ndarray, cell_deg: float):
+        self.way_ids = way_ids.astype(np.int64)
+        self.seg_ord = seg_ord.astype(np.int64)
+        self.x1, self.y1 = x1, y1
+        self.x2, self.y2 = x2, y2
+        self.cell_deg = float(cell_deg)
+        # assign each segment to every cell its bbox touches
+        ix0 = np.floor(np.minimum(x1, x2) / cell_deg).astype(np.int64)
+        ix1 = np.floor(np.maximum(x1, x2) / cell_deg).astype(np.int64)
+        iy0 = np.floor(np.minimum(y1, y2) / cell_deg).astype(np.int64)
+        iy1 = np.floor(np.maximum(y1, y2) / cell_deg).astype(np.int64)
+        nx = (ix1 - ix0 + 1)
+        ny = (iy1 - iy0 + 1)
+        reps = (nx * ny).astype(np.int64)
+        seg_idx = np.repeat(np.arange(len(x1), dtype=np.int64), reps)
+        # per-seg local cell enumeration (vectorized ragged grid walk)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        local = np.arange(int(cum[-1]), dtype=np.int64) - cum[:-1][seg_idx]
+        lx = local // ny[seg_idx]
+        ly = local % ny[seg_idx]
+        keys = _cell_key(ix0[seg_idx] + lx, iy0[seg_idx] + ly)
+        order = np.argsort(keys, kind="stable")
+        keys, seg_idx = keys[order], seg_idx[order]
+        uk, starts = np.unique(keys, return_index=True)
+        self.cell_keys = uk
+        self.cell_start = np.concatenate((starts, [len(keys)]))
+        self.cell_segs = seg_idx
+
+    def _cands(self, ix: int, iy: int) -> np.ndarray:
+        """Segment ids in the 3x3 cell neighborhood."""
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = _cell_key(np.array([ix + dx]), np.array([iy + dy]))[0]
+                p = np.searchsorted(self.cell_keys, k)
+                if p < len(self.cell_keys) and self.cell_keys[p] == k:
+                    out.append(
+                        self.cell_segs[self.cell_start[p]:
+                                       self.cell_start[p + 1]])
+        return np.unique(np.concatenate(out)) if out \
+            else np.array([], np.int64)
+
+    def query(self, px: np.ndarray, py: np.ndarray, radius: float
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (way_id or -1, seg ordinal or -1, dist or inf) per point.
+
+        Correct for radius <= cell_deg (the 3x3 neighborhood then
+        covers every segment within range)."""
+        if radius > self.cell_deg:
+            raise ValueError("radius must be <= cell_deg for the 3x3 "
+                             "neighborhood to be exhaustive")
+        n = len(px)
+        out_w = np.full(n, -1, np.int64)
+        out_s = np.full(n, -1, np.int64)
+        out_d = np.full(n, np.inf, np.float64)
+        if n == 0 or len(self.x1) == 0:
+            return out_w, out_s, out_d
+        ix = np.floor(px / self.cell_deg).astype(np.int64)
+        iy = np.floor(py / self.cell_deg).astype(np.int64)
+        keys = _cell_key(ix, iy)
+        order = np.argsort(keys, kind="stable")
+        starts = np.concatenate(
+            ([0], np.flatnonzero(keys[order][1:] != keys[order][:-1]) + 1,
+             [n]))
+        for j in range(len(starts) - 1):
+            pts = order[starts[j]:starts[j + 1]]
+            cand = self._cands(int(ix[pts[0]]), int(iy[pts[0]]))
+            if len(cand) == 0:
+                continue
+            ax, ay = self.x1[cand], self.y1[cand]
+            dx, dy = self.x2[cand] - ax, self.y2[cand] - ay
+            L2 = dx * dx + dy * dy
+            wx = px[pts][:, None] - ax[None, :]
+            wy = py[pts][:, None] - ay[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.clip(np.where(L2 > 0,
+                                     (wx * dx + wy * dy) / L2, 0.0),
+                            0.0, 1.0)
+            ddx = wx - t * dx[None, :]
+            ddy = wy - t * dy[None, :]
+            d = np.hypot(ddx, ddy)
+            # deterministic per-row min under (dist, way_id, seg):
+            # lexsort with row as the primary key, take each row's
+            # first entry
+            m = len(cand)
+            flat_rows = np.repeat(np.arange(len(pts), dtype=np.int64), m)
+            flat_cand = np.tile(np.arange(m, dtype=np.int64), len(pts))
+            ordk = np.lexsort((self.seg_ord[cand][flat_cand],
+                               self.way_ids[cand][flat_cand],
+                               d.ravel(), flat_rows))
+            srows = flat_rows[ordk]
+            firstpos = np.concatenate(
+                ([0], np.flatnonzero(srows[1:] != srows[:-1]) + 1))
+            best = flat_cand[ordk[firstpos]]
+            bd = d[np.arange(len(pts)), best]
+            ok = bd <= radius
+            out_w[pts[ok]] = self.way_ids[cand][best[ok]]
+            out_s[pts[ok]] = self.seg_ord[cand][best[ok]]
+            out_d[pts[ok]] = bd[ok]
+        return out_w, out_s, out_d
+
+
+def build_segment_grid(ways_ds, nodes_ds, *, cell_deg: float = 0.5,
+                       refs_col: str = "refs", id_col: str = "id",
+                       max_broadcast_nodes: int = 50_000_000,
+                       max_broadcast_segments: int = 100_000_000
+                       ) -> SegmentGrid:
+    """Compile way geometry into a broadcastable SegmentGrid.
+
+    Segments are extracted distributed (one slim pass over ways with
+    the broadcast coordinate lookup) and pulled as flat arrays —
+    40 B/segment; `max_broadcast_segments` RAISES past the cap."""
+    n_nodes = nodes_ds.count()
+    if n_nodes > max_broadcast_nodes:
+        raise ValueError(f"{n_nodes} nodes exceed broadcast cap")
+    cols = [[], [], []]
+    for b in nodes_ds.select_columns(["id", "lon", "lat"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            cols[0].append(b["id"].to_numpy(zero_copy_only=False))
+            cols[1].append(b["lon"].to_numpy(zero_copy_only=False))
+            cols[2].append(b["lat"].to_numpy(zero_copy_only=False))
+    ids = np.concatenate(cols[0]).astype(np.int64) if cols[0] \
+        else np.array([], np.int64)
+    lon = np.concatenate(cols[1]).astype(np.float64) if cols[0] \
+        else np.array([], np.float64)
+    lat = np.concatenate(cols[2]).astype(np.float64) if cols[0] \
+        else np.array([], np.float64)
+    lk_ref = ray.put(_CoordLookup(ids, lon, lat))
+
+    def segs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"way_id": pa.array([], pa.int64()),
+                          "seg": pa.array([], pa.int64()),
+                          "x1": pa.array([], pa.float64()),
+                          "y1": pa.array([], pa.float64()),
+                          "x2": pa.array([], pa.float64()),
+                          "y2": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        lookup = ray.get(lk_ref)
+        lens, values = _flatten(t, refs_col)
+        refs = values.to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = lookup(refs)
+        wid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop NaN-coord refs, then pair flat-consecutive points that
+        # share a way — fully vectorized, no per-way Python
+        didx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        good = ~(np.isnan(x) | np.isnan(y))
+        xs, ys, didx = x[good], y[good], didx[good]
+        if len(xs) < 2:
+            return empty
+        # per-way ordinal of each point: index minus the way's start
+        idx = np.arange(len(xs), dtype=np.int64)
+        start = np.concatenate(([True], didx[1:] != didx[:-1]))
+        base = np.zeros(len(xs), np.int64)
+        base[start] = idx[start]
+        base = np.maximum.accumulate(base)
+        ordinal = idx - base
+        pair = didx[1:] == didx[:-1]
+        if not pair.any():
+            return empty
+        return pa.table({
+            "way_id": wid[didx[:-1][pair]],
+            "seg": ordinal[:-1][pair],
+            "x1": xs[:-1][pair], "y1": ys[:-1][pair],
+            "x2": xs[1:][pair], "y2": ys[1:][pair]})
+
+    parts = [[], [], [], [], [], []]
+    names = ("way_id", "seg", "x1", "y1", "x2", "y2")
+    total = 0
+    for b in ways_ds.map_batches(segs, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            total += b.num_rows
+            if total > max_broadcast_segments:
+                raise ValueError(
+                    f"segment count exceeds max_broadcast_segments="
+                    f"{max_broadcast_segments}; tile the way corpus")
+            for i, nm in enumerate(names):
+                parts[i].append(b[nm].to_numpy(zero_copy_only=False))
+    if not parts[0]:
+        z = np.array([], np.float64)
+        return SegmentGrid(np.array([], np.int64), np.array([], np.int64),
+                           z, z, z, z, cell_deg)
+    arrs = [np.concatenate(p) for p in parts]
+    return SegmentGrid(arrs[0], arrs[1], arrs[2], arrs[3], arrs[4],
+                       arrs[5], cell_deg)
+
+
+def snap_points(points_ds, grid: SegmentGrid, *, radius: float,
+                x_col: str = "lon", y_col: str = "lat",
+                id_col: str = "id"):
+    """-> points with (way_id, seg, snap_dist) attached (way_id=-1
+    where nothing lies within `radius`). Pure map-side."""
+    ref = ray.put(grid)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(
+                "way_id", pa.array([], pa.int64())).append_column(
+                "seg", pa.array([], pa.int64())).append_column(
+                "snap_dist", pa.array([], pa.float64()))
+        g = ray.get(ref)  # zero-copy plasma rehydrate
+        px = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w, s, d = g.query(px, py, radius)
+        return t.append_column("way_id", pa.array(w)) \
+            .append_column("seg", pa.array(s)) \
+            .append_column("snap_dist", pa.array(d))
+
+    return points_ds.map_batches(fn, batch_format="pyarrow")

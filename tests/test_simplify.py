@@ -276,3 +276,78 @@ def test_clip_ways_matches_driver(ray_session):
         n_pieces += len(pieces)
     assert n_pieces > 10          # the corpus really exercises clipping
     assert (got["n_pts"] >= 2).all()
+
+
+# -------------------------------------------------- snap to nearest way
+
+def test_snap_points_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.snap import build_segment_grid, snap_points
+
+    rng = np.random.default_rng(17)
+    node_ids = np.arange(1, 301, dtype=np.int64)
+    lon = rng.uniform(0, 10, len(node_ids))
+    lat = rng.uniform(0, 10, len(node_ids))
+    nodes = rd.from_arrow(pa.table({
+        "id": node_ids, "lon": lon, "lat": lat}))
+    ways = []
+    for w in range(40):
+        k = int(rng.integers(2, 6))
+        ways.append({"id": 100 + w,
+                     "refs": rng.choice(node_ids, k,
+                                        replace=False).tolist()})
+    ways_ds = rd.from_items(ways).repartition(3)
+
+    grid = build_segment_grid(ways_ds, nodes, cell_deg=2.0)
+
+    # brute segment table straight from the way definitions
+    lon_of = dict(zip(node_ids.tolist(), lon))
+    lat_of = dict(zip(node_ids.tolist(), lat))
+    segs = []
+    for w in ways:
+        pts = [(lon_of[r], lat_of[r]) for r in w["refs"]]
+        for s in range(len(pts) - 1):
+            segs.append((w["id"], s, *pts[s], *pts[s + 1]))
+
+    def brute_one(px, py, radius):
+        best = (np.inf, -1, -1)
+        for wid, s, x1, y1, x2, y2 in segs:
+            dx, dy = x2 - x1, y2 - y1
+            L2 = dx * dx + dy * dy
+            t = 0.0 if L2 == 0 else max(0.0, min(
+                1.0, ((px - x1) * dx + (py - y1) * dy) / L2))
+            d = np.hypot(px - x1 - t * dx, py - y1 - t * dy)
+            if (d, wid, s) < best:
+                best = (d, wid, s)
+        if best[0] > radius:
+            return (-1, -1, np.inf)
+        return (best[1], best[2], best[0])
+
+    n_pts = 300
+    px = rng.uniform(-1, 11, n_pts)
+    py = rng.uniform(-1, 11, n_pts)
+    pts_ds = rd.from_arrow(pa.table({
+        "id": np.arange(n_pts, dtype=np.int64),
+        "lon": px, "lat": py})).repartition(4)
+    got = snap_points(pts_ds, grid, radius=1.5).to_pandas() \
+        .set_index("id").sort_index()
+
+    n_hit = 0
+    for i in range(n_pts):
+        wid, s, d = brute_one(px[i], py[i], 1.5)
+        assert got.loc[i, "way_id"] == wid, i
+        assert got.loc[i, "seg"] == s, i
+        if wid != -1:
+            assert abs(got.loc[i, "snap_dist"] - d) < 1e-12
+            n_hit += 1
+        else:
+            assert np.isinf(got.loc[i, "snap_dist"])
+    assert 0 < n_hit < n_pts        # both outcomes exercised
+
+    # radius > cell_deg is rejected (3x3 neighborhood would miss)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        grid.query(px[:1], py[:1], radius=5.0)
