@@ -113,6 +113,17 @@ def _cmd_curate(args) -> int:
     if args.quality_model:
         import numpy as np
         model = np.load(args.quality_model)
+    lm = None
+    if args.lm_max_xent is not None:
+        # self-fit: train the bigram LM on the input corpus itself and
+        # drop its own high-perplexity tail (the CCNet bootstrap)
+        import ray.data as rd
+
+        from .sources.tables import strip_schema_metadata
+        from .stages.lm_score import fit_bigram_lm
+        docs = strip_schema_metadata(
+            rd.read_parquet(paths, columns=["doc_id", "text"]))
+        lm = fit_bigram_lm(docs, dim=1 << 18)
     report = curate_documents(
         paths, args.output, bench_texts=bench_texts,
         max_overlap=args.max_overlap,
@@ -123,13 +134,20 @@ def _cmd_curate(args) -> int:
         min_tokens=args.min_tokens,
         redact_pii=args.redact_pii,
         quality_model=model,
-        min_model_score=args.min_model_score)
+        min_model_score=args.min_model_score,
+        drop_boilerplate=args.drop_boilerplate,
+        boilerplate_min_df=args.boilerplate_min_df,
+        lm_model=lm,
+        lm_max_xent=args.lm_max_xent
+        if args.lm_max_xent is not None else float("inf"))
     print(f"completed={report['completed']} skipped={report['skipped']} "
           f"rows_out={report['rows_out']} "
           f"drops: exact={report['n_drop_exact_dup']} "
           f"near={report['n_drop_near_dup']} "
           f"contaminated={report['n_drop_contaminated']} "
           f"model={report['n_drop_model']} "
+          f"lm={report['n_drop_lm']} "
+          f"hot_lines={report['n_hot_lines']} "
           f"wall={report['wall_sec']}s")
     ray.shutdown()
     return 0
@@ -320,6 +338,14 @@ def main(argv=None) -> int:
                          "stages.classify.fit_linear_classifier; "
                          "drops docs scoring below --min-model-score")
     cu.add_argument("--min-model-score", type=float, default=0.5)
+    cu.add_argument("--drop-boilerplate", action="store_true",
+                    help="strip lines repeated across >= "
+                         "--boilerplate-min-df documents (C4-style)")
+    cu.add_argument("--boilerplate-min-df", type=int, default=4)
+    cu.add_argument("--lm-max-xent", type=float, default=None,
+                    help="fit a bigram LM on the input corpus and drop "
+                         "docs with cross-entropy above this threshold "
+                         "(nats/bigram)")
     cu.set_defaults(fn=_cmd_curate)
     ci = sub.add_parser(
         "curate-images",

@@ -247,3 +247,31 @@ def test_cli_clip(tmp_path):
         assert len(xs) >= 2
         mx, my = (xs[:-1] + xs[1:]) / 2, (ys[:-1] + ys[1:]) / 2
         assert pol.contains(mx, my).all()
+
+
+def test_cli_curate_boilerplate_and_lm(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = "COPYRIGHT FOOTER APPLIES TO EVERYTHING HERE"
+    texts = [f"some sensible document body number {i}\n{boiler}"
+             for i in range(10)]
+    ids = np.arange(10, dtype=np.int64)
+    p = str(tmp_path / "shard_x.parquet")
+    pq.write_table(pa.table({"doc_id": ids, "text": texts}), p)
+    out = str(tmp_path / "out")
+    r = _run(["curate", p, out, "--langs", "en,de,fr,es,zh",
+              "--min-tokens", "1", "--max-dup-line-frac", "1.0",
+              "--max-top-bigram-frac", "1.0",
+              "--jaccard-threshold", "0.99",
+              "--drop-boilerplate", "--boilerplate-min-df", "4",
+              "--lm-max-xent", "99.0"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "hot_lines=1" in r.stdout and "lm=0" in r.stdout
+    kept = pa.concat_tables([
+        pq.read_table(os.path.join(out, "shard_x", f))
+        for f in os.listdir(os.path.join(out, "shard_x"))
+        if f.endswith(".parquet")])
+    assert kept.num_rows == 10
+    assert all(boiler not in t for t in kept["text"].to_pylist())
