@@ -412,6 +412,40 @@ def _extra_clip_ways(sf_dir: str):
     return clip_ways(ways, nodes, [("include", ring)])
 
 
+def _extra_zonal(sf_dir: str):
+    """Zonal stats of l_quantity over 16 grid zones on lineitem-derived
+    points (broadcast multi-polygon PIP + partial combine)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.zonal import zonal_stats
+
+    li = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_partkey",
+                                 "l_quantity"]))
+
+    def pts(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lon": pa.array((ok % 36000) / 100.0 - 180.0),
+            "lat": pa.array((pk % 17000) / 100.0 - 85.0),
+            "val": t["l_quantity"].cast(pa.float64())})
+
+    points = li.map_batches(pts, batch_format="pyarrow")
+    zones = []
+    for gx in range(4):
+        for gy in range(4):
+            x0, y0 = -180 + gx * 90.0, -85 + gy * 42.5
+            zones.append([("include", [(x0, y0), (x0 + 88, y0),
+                                       (x0 + 88, y0 + 40),
+                                       (x0, y0 + 40)])])
+    return zonal_stats(points, zones, "val")
+
+
 def _extra_snap_points(sf_dir: str):
     """Snap lineitem-derived points to the 20k-way synthetic road grid
     (SegmentGrid broadcast once, pure map-side probe)."""
@@ -662,6 +696,7 @@ EXTRA_SET = {
     "heavy_hitters_lineitem": _extra_heavy_hitters,
     "clip_ways_20k": _extra_clip_ways,
     "snap_points_1m": _extra_snap_points,
+    "zonal_stats_points": _extra_zonal,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

@@ -351,3 +351,65 @@ def test_snap_points_matches_brute(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         grid.query(px[:1], py[:1], radius=5.0)
+
+
+# ------------------------------------------------------ zonal stats
+
+def test_zonal_stats_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.zonal import tag_zones, zonal_stats
+
+    zones = [
+        [("include", [(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0)])],
+        # overlaps zone 0 on [4,5]x[4,5]: lowest index wins there
+        [("include", [(4.0, 4.0), (9.0, 4.0), (9.0, 9.0), (4.0, 9.0)])],
+        [("include", [(6.0, 0.0), (9.0, 0.0), (9.0, 3.0), (6.0, 3.0)]),
+         ("exclude", [(7.0, 1.0), (8.0, 1.0), (8.0, 2.0), (7.0, 2.0)])],
+    ]
+    rng = np.random.default_rng(31)
+    n = 4000
+    x = rng.uniform(-1, 10, n)
+    y = rng.uniform(-1, 10, n)
+    v = rng.uniform(0, 100, n).round(3)
+    pts = rd.from_arrow(pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "lon": x, "lat": y, "val": v})).repartition(6)
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    polys = [PolygonIndex.compile(z) for z in zones]
+
+    def brute_zone(px, py):
+        for zi, p in enumerate(polys):
+            if p.contains(np.array([px]), np.array([py]))[0]:
+                return zi
+        return -1
+
+    bz = np.array([brute_zone(x[i], y[i]) for i in range(n)], np.int64)
+
+    tagged = tag_zones(pts, zones).to_pandas().set_index("id").sort_index()
+    assert (tagged["zone"].to_numpy() == bz).all()
+    # overlap region resolves to the lower zone
+    ov = (x > 4) & (x < 5) & (y > 4) & (y < 5)
+    assert (tagged["zone"].to_numpy()[ov] == 0).all()
+    # hole in zone 2 excluded
+    hole = (x > 7) & (x < 8) & (y > 1) & (y < 2)
+    assert (tagged["zone"].to_numpy()[hole] == -1).all()
+
+    stats = zonal_stats(pts, zones, "val").to_pandas() \
+        .set_index("zone").sort_index()
+    for zi in range(3):
+        sel = v[bz == zi]
+        assert stats.loc[zi, "n"] == len(sel)
+        assert abs(stats.loc[zi, "sum"] - sel.sum()) < 1e-4
+        assert abs(stats.loc[zi, "mean"] - sel.mean()) < 1e-6
+        assert stats.loc[zi, "min"] == sel.min()
+        assert stats.loc[zi, "max"] == sel.max()
+    assert -1 not in stats.index
+
+    # bit-determinism under different partitioning
+    s2 = zonal_stats(pts.repartition(1), zones, "val").to_pandas() \
+        .set_index("zone").sort_index()
+    assert (s2["sum"].to_numpy() == stats["sum"].to_numpy()).all()
