@@ -432,7 +432,7 @@ def _extra_zonal(sf_dir: str):
         pk = t["l_partkey"].to_numpy(zero_copy_only=False)
         return pa.table({
             "lon": pa.array((ok % 36000) / 100.0 - 180.0),
-            "lat": pa.array((pk % 17000) / 100.0 - 85.0),
+            "lat": pa.array(((pk * 97) % 17000) / 100.0 - 85.0),
             "val": t["l_quantity"].cast(pa.float64())})
 
     points = li.map_batches(pts, batch_format="pyarrow")
