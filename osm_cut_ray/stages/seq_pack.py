@@ -148,7 +148,18 @@ def pack_token_sequences(docs_ds, *, seq_len: int, add_eos: bool = True,
             "doc_start": (s_tok - o[didx])[keep],
             "n_span": (e_tok - s_tok)[keep]})
 
-    return bucketed_group_apply(slim_ds, "hb", assign)
+    # data-sized bucket count: the hb key space is only 64 values, and
+    # small corpora shouldn't pay a 128-bucket sort shuffle
+    nb = _size_buckets(slim_ds.count())
+    return bucketed_group_apply(slim_ds, "hb", assign, num_buckets=nb)
+
+
+def _size_buckets(n_rows: int, rows_per_bucket: int = 100_000) -> int:
+    """Bucket count proportional to data volume, capped at the
+    cluster-adaptive default (join.default_bucket_count)."""
+    from .join import default_bucket_count
+    return int(min(default_bucket_count(),
+                   max(4, n_rows // rows_per_bucket + 1)))
 
 
 EOS_TOKEN = np.int64(-1)   # sentinel; a real pipeline maps its own id
@@ -202,14 +213,18 @@ def materialize_packed_sequences(docs_ds, spans_ds, *, seq_len: int,
     group by seq_id and concatenate in seq_start order."""
     from .join import bucketed_attach_column, bucketed_group_apply
 
+    # materialize: bucketed_attach_column peeks schema() (an execution
+    # of a lazy upstream) and then executes again for the join
     toks = tokenize_docs(docs_ds, add_eos=add_eos, text_col=text_col,
-                         id_col=id_col)
+                         id_col=id_col).materialize()
     # pack_token_sequences ends in a pandas map_groups; re-block to
     # Arrow so the attach join sees an Arrow schema
     spans_arrow = spans_ds.map_batches(lambda t: t,
-                                       batch_format="pyarrow")
+                                       batch_format="pyarrow") \
+        .materialize()
+    nb = _size_buckets(spans_arrow.count())
     spans = bucketed_attach_column(spans_arrow, "doc_id", toks, id_col,
-                                   "tokens")
+                                   "tokens", num_buckets=nb)
 
     def slice_spans(t: pa.Table) -> pa.Table:
         empty = pa.table({"seq_id": pa.array([], pa.int64()),
@@ -252,4 +267,5 @@ def materialize_packed_sequences(docs_ds, spans_ds, *, seq_len: int,
         return pd.DataFrame({"seq_id": np.array(seqs, np.int64),
                              "tokens": pd.Series(toks_out, dtype=object)})
 
-    return bucketed_group_apply(sliced, "seq_id", assemble)
+    return bucketed_group_apply(sliced, "seq_id", assemble,
+                                num_buckets=nb)
