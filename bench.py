@@ -412,6 +412,29 @@ def _extra_clip_ways(sf_dir: str):
     return clip_ways(ways, nodes, [("include", ring)])
 
 
+def _extra_pq(sf_dir: str):
+    """PQ fit + encode over the embeddings table, then refined
+    (ADC shortlist + exact rerank) search for 8 probes."""
+    import numpy as np
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.pq import encode_pq, fit_pq, knn_pq_refined
+    emb = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])).materialize()
+    dim = len(emb.take(1)[0]["embedding"])
+    m = 8 if dim % 8 == 0 else (4 if dim % 4 == 0 else 2)
+    cb = fit_pq(emb, m=m, k=256, sample_size=4096)
+    codes = encode_pq(emb, cb).materialize()
+    rows = emb.take(8)
+    ids = np.array([r["vec_id"] + 10 ** 9 for r in rows], np.int64)
+    mat = np.stack([np.asarray(r["embedding"], np.float64)
+                    for r in rows])
+    return _as_ds(knn_pq_refined(emb, codes, cb, ids, mat,
+                                 k=10, shortlist=64))
+
+
 def _extra_zonal(sf_dir: str):
     """Zonal stats of l_quantity over 16 grid zones on lineitem-derived
     points (broadcast multi-polygon PIP + partial combine)."""
@@ -697,6 +720,7 @@ EXTRA_SET = {
     "clip_ways_20k": _extra_clip_ways,
     "snap_points_1m": _extra_snap_points,
     "zonal_stats_points": _extra_zonal,
+    "pq_encode_search": _extra_pq,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,
