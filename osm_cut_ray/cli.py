@@ -286,6 +286,41 @@ def _cmd_clip(args) -> int:
     return 0
 
 
+def _cmd_pack_seqs(args) -> int:
+    import glob
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    from .sources.tables import strip_schema_metadata
+    from .stages.seq_pack import (materialize_packed_sequences,
+                                  pack_token_sequences)
+
+    paths = sorted(p for pat in args.inputs for p in glob.glob(pat))
+    if not paths:
+        print(f"no inputs matched {args.inputs}", file=sys.stderr)
+        return 2
+    docs = strip_schema_metadata(
+        rd.read_parquet(paths, columns=["doc_id", "text"])).materialize()
+    spans = pack_token_sequences(docs, seq_len=args.seq_len).materialize()
+    os.makedirs(args.output, exist_ok=True)
+    if args.spans_only:
+        out = spans
+    else:
+        out = materialize_packed_sequences(
+            docs, spans, seq_len=args.seq_len).materialize()
+    out.write_parquet(args.output)
+    print(f"packed output written to {args.output} "
+          f"(rows={out.count()}, seq_len={args.seq_len})")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_cut_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -309,6 +344,17 @@ def main(argv=None) -> int:
     cl.add_argument("polygon", help="Osmosis .poly file")
     cl.add_argument("output", help="output parquet directory")
     cl.set_defaults(fn=_cmd_clip)
+    ps = sub.add_parser("pack-seqs", help="pack documents into "
+                                          "fixed-length LM training "
+                                          "sequences (parquet)")
+    ps.add_argument("inputs", nargs="+",
+                    help="input parquet paths/globs with (doc_id, text)")
+    ps.add_argument("output", help="output parquet directory")
+    ps.add_argument("--seq-len", type=int, default=2048)
+    ps.add_argument("--spans-only", action="store_true",
+                    help="write the span assignment table instead of "
+                         "materialized token sequences")
+    ps.set_defaults(fn=_cmd_pack_seqs)
     f = sub.add_parser("flagship",
                        help="checkpointed flagship image-cut run "
                             "(the `ray job submit` entry point)")

@@ -275,3 +275,22 @@ def test_cli_curate_boilerplate_and_lm(tmp_path):
         if f.endswith(".parquet")])
     assert kept.num_rows == 10
     assert all(boiler not in t for t in kept["text"].to_pylist())
+
+
+def test_cli_pack_seqs(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [" ".join(f"tok{j}" for j in range(20)) for _ in range(40)]
+    ids = np.arange(40, dtype=np.int64)
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": ids, "text": texts}), p)
+    out = str(tmp_path / "packed")
+    r = _run(["pack-seqs", p, out, "--seq-len", "64"])
+    assert r.returncode == 0, r.stderr[-800:]
+    t = pq.read_table(out)
+    # 40 docs x 21 tokens (incl EOS) = 840 tokens -> 13 full sequences
+    assert t.num_rows == 13
+    assert sorted(t.column_names) == ["seq_id", "tokens"]
+    assert all(len(x) == 64 for x in t["tokens"].to_pylist())
