@@ -164,3 +164,27 @@ def repetition_stats(t):
     return pa.table({"doc_id": doc_ids,
                      "dup_line_frac": dup_line_frac,
                      "top_bigram_frac": top_bigram_frac})
+
+
+# GPT-2-style pre-tokenizer pattern (the public BPE split regex,
+# minus the \p{L}/\p{N} unicode classes the re module lacks —
+# ASCII letter/digit runs + punctuation runs + contractions). Token
+# COUNTS under this pattern track real BPE pre-tokenization far more
+# closely than whitespace splitting (punctuation and contractions
+# count separately), which is what sizing a training mix needs.
+BPE_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+
+def bpe_token_count(t):
+    """(doc_id, text) pyarrow batch -> (doc_id, n_bpe_tokens): counts
+    under the BPE-ish split — one vectorized pandas str.count pass."""
+    import pyarrow as pa
+    if len(t) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_bpe_tokens": pa.array([], pa.int64())})
+    s = pd.Series(t["text"].to_pylist()).astype(str)
+    n = s.str.count(BPE_RE).to_numpy(np.int64)
+    return pa.table({"doc_id": t["doc_id"],
+                     "n_bpe_tokens": pa.array(n)})

@@ -994,3 +994,23 @@ def test_materialize_packed_sequences(ray_session):
         toks = np.asarray(got.loc[s, "tokens"], np.int64)
         assert len(toks) == L
         assert toks.tolist() == stream[s * L:(s + 1) * L]
+
+
+def test_bpe_token_count(ray_session):
+    import re
+
+    from osm_cut_ray.stages.text import BPE_RE, bpe_token_count
+
+    texts = ["Hello, world! It's 2026...",
+             "don't stop; can't won't I'll we're you've I'm he'd",
+             "plain words only here",
+             "", "   ", "a1b2c3 x-y_z 3.14159"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = docs.map_batches(bpe_token_count, batch_format="pyarrow") \
+        .to_pandas().set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        assert got.loc[i, "n_bpe_tokens"] == len(BPE_RE.findall(t)), i
+    # semantic pins: punctuation and contractions count separately
+    assert got.loc[0, "n_bpe_tokens"] > len(texts[0].split())
+    assert got.loc[3, "n_bpe_tokens"] == 0
