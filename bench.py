@@ -435,6 +435,35 @@ def _extra_pq(sf_dir: str):
                                  k=10, shortlist=64))
 
 
+def _extra_cut_multi(sf_dir: str):
+    """3 regions extracted in ONE shared corpus scan (cut_multi) over
+    the derived OSM tables — shared PIP + one OR-reduced way pass."""
+    import pyarrow as pa
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.pipelines import osm_derive as OD
+    from osm_cut_ray.pipelines.cut_multi import cut_multi
+    from osm_cut_ray.pipelines.queries import pentagon_index
+
+    west = PolygonIndex.compile(
+        [("include", [(-180.0, -90.0), (0.0, -90.0), (0.0, 90.0),
+                      (-180.0, 90.0)])])
+    north = PolygonIndex.compile(
+        [("include", [(-180.0, 20.0), (180.0, 20.0), (180.0, 90.0),
+                      (-180.0, 90.0)])])
+    results = cut_multi(OD.derive_nodes(sf_dir), OD.derive_ways(sf_dir),
+                        OD.derive_relations(sf_dir),
+                        [pentagon_index(), west, north], complete=True)
+    return _as_ds(pa.table({
+        "zone": pa.array(range(len(results)), pa.int64()),
+        "n_nodes": pa.array([len(r.node_ids) for r in results],
+                            pa.int64()),
+        "n_ways": pa.array([len(r.way_ids) for r in results],
+                           pa.int64()),
+        "n_rels": pa.array([len(r.rel_ids) for r in results],
+                           pa.int64())}))
+
+
 def _extra_zonal(sf_dir: str):
     """Zonal stats of l_quantity over 16 grid zones on lineitem-derived
     points (broadcast multi-polygon PIP + partial combine)."""
@@ -721,6 +750,7 @@ EXTRA_SET = {
     "snap_points_1m": _extra_snap_points,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
+    "cut_multi_3x": _extra_cut_multi,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

@@ -286,6 +286,44 @@ def _cmd_clip(args) -> int:
     return 0
 
 
+def _cmd_cut_multi(args) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    from .geometry.polygon import PolygonIndex, parse_poly_file
+    from .pipelines.cut_multi import cut_multi
+    from .sources.sink import SINK_REGISTRY, write_cut_result
+
+    polys = [PolygonIndex.compile(parse_poly_file(p))
+             for p in args.polygons]
+    if os.path.isdir(args.input):
+        nodes = rd.read_parquet(os.path.join(args.input, "nodes"))
+        ways = rd.read_parquet(os.path.join(args.input, "ways"))
+        rels = rd.read_parquet(os.path.join(args.input, "relations"))
+    else:
+        work = tempfile.mkdtemp(prefix="osmmulti_", dir="/tmp")
+        from .sources.osm_xml import load_osm_xml
+        nodes, ways, rels = load_osm_xml(args.input, work)
+    results = cut_multi(nodes, ways, rels, polys,
+                        complete=not args.non_complete)
+    os.makedirs(args.output, exist_ok=True)
+    for i, res in enumerate(results):
+        name = os.path.splitext(os.path.basename(args.polygons[i]))[0]
+        out = os.path.join(args.output,
+                           f"{name}.osm" if args.format == "xml"
+                           else name)
+        counts = write_cut_result(res, SINK_REGISTRY[args.format](out))
+        print(f"region {name}: nodes={counts['node']}, "
+              f"ways={counts['way']}, relations={counts['relation']}")
+    return 0
+
+
 def _cmd_pack_seqs(args) -> int:
     import glob
 
@@ -344,6 +382,17 @@ def main(argv=None) -> int:
     cl.add_argument("polygon", help="Osmosis .poly file")
     cl.add_argument("output", help="output parquet directory")
     cl.set_defaults(fn=_cmd_clip)
+    cm = sub.add_parser("cut-multi", help="extract K polygon regions "
+                                          "in ONE shared corpus scan")
+    cm.add_argument("input", help="OSM XML file or parquet directory")
+    cm.add_argument("output", help="output directory (one file/dir "
+                                   "per region, named after its .poly)")
+    cm.add_argument("--polygon", dest="polygons", action="append",
+                    required=True, help="Osmosis .poly file (repeat)")
+    cm.add_argument("--non-complete", action="store_true")
+    cm.add_argument("--format", choices=["xml", "parquet"],
+                    default="xml")
+    cm.set_defaults(fn=_cmd_cut_multi)
     ps = sub.add_parser("pack-seqs", help="pack documents into "
                                           "fixed-length LM training "
                                           "sequences (parquet)")

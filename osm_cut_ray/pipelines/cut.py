@@ -248,8 +248,17 @@ def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
     mref = mem_tbl["m_ref"].to_numpy(zero_copy_only=False).astype(np.int64)
     mrel = mem_tbl["rel_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-    node_set = set(node_ids.tolist())
-    way_set = set(way_ids.tolist())
+    return _finish_cut(nodes, ways, relations, mt, mref, mrel,
+                       node_ids, way_ids, complete=complete,
+                       id_col=id_col)
+
+
+def _close_relations_driver(mt: np.ndarray, mref: np.ndarray,
+                            mrel: np.ndarray, node_ids: np.ndarray,
+                            way_ids: np.ndarray, *,
+                            complete: bool) -> np.ndarray:
+    """J4 driver closure over the collected member table (see the
+    module docstring for the cardinality argument)."""
     direct = set(mrel[((mt == "node") & np.isin(mref, node_ids))
                       | ((mt == "way") & np.isin(mref, way_ids))].tolist())
     edges = list(zip(mref[mt == "relation"].tolist(),
@@ -275,7 +284,18 @@ def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
             if rid in direct or any(c in kept
                                     for c in by_parent.get(rid, ())):
                 kept.add(rid)
-    rel_ids = np.array(sorted(kept), dtype=np.int64)
+    return np.array(sorted(kept), dtype=np.int64)
+
+
+def _finish_cut(nodes: Dataset, ways: Dataset, relations: Dataset,
+                mt: np.ndarray, mref: np.ndarray, mrel: np.ndarray,
+                node_ids: np.ndarray, way_ids: np.ndarray, *,
+                complete: bool, id_col: str) -> CutResult:
+    """Phases 3b+4 (relation closure + payload emission) given the
+    membership id sets and the collected member table — shared by
+    `cut` and `pipelines.cut_multi.cut_multi`."""
+    rel_ids = _close_relations_driver(mt, mref, mrel, node_ids, way_ids,
+                                      complete=complete)
 
     # --- phase 4: emit (semi-join payloads + rewrites) ---
     out_nodes = J.broadcast_is_in(nodes, id_col, node_ids, mode="semi")

@@ -294,3 +294,26 @@ def test_cli_pack_seqs(tmp_path):
     assert t.num_rows == 13
     assert sorted(t.column_names) == ["seq_id", "tokens"]
     assert all(len(x) == 64 for x in t["tokens"].to_pylist())
+
+
+def test_cli_cut_multi(tmp_path):
+    xml = tmp_path / "1.osm"
+    xml.write_text(FIXTURE_XML)
+    p1 = tmp_path / "simple.poly"
+    p1.write_text(SIMPLE_POLY)
+    # a second region covering everything
+    p2 = tmp_path / "world.poly"
+    p2.write_text("world\n1\n-180 -90\n180 -90\n180 90\n-180 90\n"
+                  "END\nEND\n")
+    out = str(tmp_path / "regions")
+    r = _run(["cut-multi", str(xml), out,
+              "--polygon", str(p1), "--polygon", str(p2)])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "region simple: nodes=4, ways=1, relations=3" in r.stdout
+    assert "region world: nodes=6, ways=2, relations=4" in r.stdout
+    simple = (tmp_path / "regions" / "simple.osm").read_text()
+    # identical golden set to the single-cut CLI test
+    assert '<node id="4"' in simple and '<node id="5"' not in simple
+    assert simple.count("<relation") == 3
+    world = (tmp_path / "regions" / "world.osm").read_text()
+    assert world.count("<node") == 6 and world.count("<relation") == 4

@@ -220,3 +220,68 @@ def test_noncomplete_forward_pass_member_visibility(ray_session):
         assert mem_of(nc)[11] == [("node", 1), ("relation", 10)]
         assert mem_of(c)[11] == [("node", 1), ("relation", 10),
                                  ("relation", 12)]
+
+
+def test_cut_multi_matches_single_cuts(ray_session):
+    """cut_multi: one shared scan over K regions == K independent
+    cuts, both modes, per-region kept sets AND rewritten lists."""
+    from osm_cut_ray.pipelines.cut_multi import cut_multi
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    nodes = rd.from_arrow(pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-90, 90, n)}))
+    way_ids = np.arange(80, dtype=np.int64)
+    node_lists = [sorted(rng.choice(n, size=15, replace=False).tolist())
+                  for _ in way_ids]
+    ways = rd.from_arrow(pa.table({
+        "id": way_ids, "node_ids": node_lists}))
+    members = []
+    for u in range(30):
+        m = [{"type": "way", "ref": int(u), "role": f"r{u % 3}"}]
+        if u >= 4:
+            m.append({"type": "relation", "ref": u - 4, "role": "sub"})
+        members.append(m)
+    rels = rd.from_arrow(pa.table({
+        "id": np.arange(30, dtype=np.int64),
+        "members": pa.array(members, _MEM_T)}))
+
+    polys = [
+        PolygonIndex.compile([("include", [(-120.0, -40.0), (0.0, -40.0),
+                                           (0.0, 40.0), (-120.0, 40.0)])]),
+        # overlaps region 0
+        PolygonIndex.compile([("include", [(-30.0, -20.0), (100.0, -20.0),
+                                           (100.0, 60.0), (-30.0, 60.0)])]),
+        # with a hole
+        PolygonIndex.compile([("include", [(100.0, -80.0), (175.0, -80.0),
+                                           (175.0, -10.0), (100.0, -10.0)]),
+                              ("exclude", [(120.0, -60.0), (150.0, -60.0),
+                                           (150.0, -30.0),
+                                           (120.0, -30.0)])]),
+    ]
+
+    for complete in (True, False):
+        multi = cut_multi(nodes, ways, rels, polys, complete=complete)
+        assert len(multi) == len(polys)
+        for z, poly in enumerate(polys):
+            single = cut(nodes, ways, rels, poly, complete=complete)
+            assert sorted(multi[z].node_ids.tolist()) \
+                == sorted(single.node_ids.tolist()), (complete, z)
+            assert sorted(multi[z].way_ids.tolist()) \
+                == sorted(single.way_ids.tolist()), (complete, z)
+            assert sorted(multi[z].rel_ids.tolist()) \
+                == sorted(single.rel_ids.tolist()), (complete, z)
+            m_ways = {r["id"]: list(r["node_ids"])
+                      for r in multi[z].ways.take_all()}
+            s_ways = {r["id"]: list(r["node_ids"])
+                      for r in single.ways.take_all()}
+            assert m_ways == s_ways, (complete, z)
+            m_mem = {(r["id"], m["type"], m["ref"], m["role"])
+                     for r in multi[z].relations.take_all()
+                     for m in r["members"]}
+            s_mem = {(r["id"], m["type"], m["ref"], m["role"])
+                     for r in single.relations.take_all()
+                     for m in r["members"]}
+            assert m_mem == s_mem, (complete, z)
