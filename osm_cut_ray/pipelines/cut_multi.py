@@ -68,6 +68,16 @@ def cut_multi(nodes: Dataset, ways: Dataset, relations: Dataset,
     if k > 63:
         raise ValueError("cut_multi supports <= 63 regions per pass; "
                          "batch the polygon list")
+    # this is the BROADCAST strategy (id+mask LUTs on the driver, same
+    # contract as cut's broadcast path) — refuse silently huge sets;
+    # past the cap run cut_shuffle per region instead
+    n_nodes, n_ways = nodes.count(), ways.count()
+    if max(n_nodes, n_ways) > J.BROADCAST_MAX_KEYS:
+        raise ValueError(
+            f"cut_multi is broadcast-strategy only: corpus "
+            f"({n_nodes} nodes / {n_ways} ways) exceeds "
+            f"BROADCAST_MAX_KEYS={J.BROADCAST_MAX_KEYS}; run "
+            "pipelines.cut_shuffle per region past this size")
     poly_ref = ray.put(polygons)
 
     # --- phase 1 (shared): node zone masks ---
