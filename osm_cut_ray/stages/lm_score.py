@@ -67,6 +67,20 @@ class BigramLM:
     uni: np.ndarray   # int64[dim] unigram counts
     big: np.ndarray   # int64[dim] bigram counts
 
+    def save(self, path: str) -> None:
+        """Persist to .npz (fit once on the reference corpus, reuse
+        across curation runs)."""
+        np.savez_compressed(path, dim=np.int64(self.dim),
+                            alpha=np.float64(self.alpha),
+                            uni=self.uni, big=self.big)
+
+    @classmethod
+    def load(cls, path: str) -> "BigramLM":
+        z = np.load(path)
+        return cls(dim=int(z["dim"]), alpha=float(z["alpha"]),
+                   uni=z["uni"].astype(np.int64),
+                   big=z["big"].astype(np.int64))
+
 
 def fit_bigram_lm(docs_ds, *, dim: int = 1 << 20, alpha: float = 0.1,
                   text_col: str = "text") -> BigramLM:

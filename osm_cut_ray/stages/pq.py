@@ -47,6 +47,15 @@ class PQCodebook:
     def dim(self) -> int:
         return self.m * self.dsub
 
+    def save(self, path: str) -> None:
+        """Persist to .npz — the codebook is fit once per corpus and
+        reused by every later encode/search job."""
+        np.savez_compressed(path, centroids=self.centroids)
+
+    @classmethod
+    def load(cls, path: str) -> "PQCodebook":
+        return cls(np.load(path)["centroids"])
+
 
 def _hash_sample(emb_ds, sample_size: int) -> np.ndarray:
     """Deterministic corpus sample (vec_id hash filter + hash-ranked

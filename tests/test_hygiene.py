@@ -1014,3 +1014,35 @@ def test_bpe_token_count(ray_session):
     # semantic pins: punctuation and contractions count separately
     assert got.loc[0, "n_bpe_tokens"] > len(texts[0].split())
     assert got.loc[3, "n_bpe_tokens"] == 0
+
+
+def test_model_save_load_roundtrip(ray_session, tmp_path):
+    from osm_cut_ray.stages.lm_score import (BigramLM, fit_bigram_lm,
+                                             lm_cross_entropy)
+    from osm_cut_ray.stages.pq import PQCodebook, fit_pq
+
+    texts = [" ".join(f"w{j}" for j in range(i, i + 8))
+             for i in range(30)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": np.arange(30, dtype=np.int64), "text": texts}))
+    lm = fit_bigram_lm(docs, dim=1024, alpha=0.2)
+    p = str(tmp_path / "lm.npz")
+    lm.save(p)
+    lm2 = BigramLM.load(p)
+    assert lm2.dim == lm.dim and lm2.alpha == lm.alpha
+    assert (lm2.uni == lm.uni).all() and (lm2.big == lm.big).all()
+    a = lm_cross_entropy(docs, lm).to_pandas().sort_values("doc_id")
+    b = lm_cross_entropy(docs, lm2).to_pandas().sort_values("doc_id")
+    assert np.allclose(a["lm_xent"], b["lm_xent"], equal_nan=True)
+
+    rng = np.random.default_rng(2)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": list(rng.standard_normal((200, 16))
+                          .astype(np.float32))}))
+    cb = fit_pq(emb, m=4, k=32, sample_size=128)
+    q = str(tmp_path / "pq.npz")
+    cb.save(q)
+    cb2 = PQCodebook.load(q)
+    assert (cb2.centroids == cb.centroids).all()
+    assert (cb2.m, cb2.k, cb2.dsub) == (cb.m, cb.k, cb.dsub)
