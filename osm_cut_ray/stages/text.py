@@ -188,3 +188,37 @@ def bpe_token_count(t):
     n = s.str.count(BPE_RE).to_numpy(np.int64)
     return pa.table({"doc_id": t["doc_id"],
                      "n_bpe_tokens": pa.array(n)})
+
+
+# Unicode-lite canonicalization used before dedup/fingerprinting by
+# the public pipelines (C4/RefinedWeb normalize before hashing so
+# trivially-different bytes dedup together). All rules are vectorized
+# pandas .str kernels; NFC itself needs unicodedata per string, which
+# IS available in the stdlib and C-speed per call.
+_QUOTES = {"‘": "'", "’": "'", "“": '"', "”": '"',
+           "–": "-", "—": "-", " ": " "}
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+
+def normalize_text(t, *, lower: bool = False, text_col: str = "text"):
+    """(.., text) pyarrow batch -> same batch with text canonicalized:
+    NFC unicode form, smart quotes/dashes/nbsp -> ASCII, control chars
+    stripped, whitespace runs collapsed, edges trimmed (optionally
+    lowercased). Adds nothing; composes in front of any dedup or
+    fingerprint stage."""
+    import unicodedata
+
+    import pyarrow as pa
+    if len(t) == 0:
+        return t
+    s = pd.Series(t[text_col].to_pylist()).astype(str)
+    s = s.map(lambda x: unicodedata.normalize("NFC", x))
+    for k, v in _QUOTES.items():
+        s = s.str.replace(k, v, regex=False)
+    s = s.str.replace(_CTRL_RE, " ", regex=True)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    if lower:
+        s = s.str.lower()
+    cols = {name: t[name] for name in t.column_names}
+    cols[text_col] = pa.array(s.to_numpy(dtype=object), pa.string())
+    return pa.table(cols)

@@ -1046,3 +1046,29 @@ def test_model_save_load_roundtrip(ray_session, tmp_path):
     cb2 = PQCodebook.load(q)
     assert (cb2.centroids == cb.centroids).all()
     assert (cb2.m, cb2.k, cb2.dsub) == (cb.m, cb.k, cb.dsub)
+
+
+def test_normalize_text(ray_session):
+    from osm_cut_ray.stages.text import normalize_text
+
+    texts = ["“Smart”  quotes — and\tspace runs",
+             "café composed",        # e + combining acute
+             "ctrl\x00chars\x1fhere",
+             "  edge   trim  ", ""]
+    ids = np.arange(len(texts), dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = docs.map_batches(normalize_text, batch_format="pyarrow") \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "text"] == '"Smart" quotes - and space runs'
+    assert got.loc[1, "text"] == "caf\u00e9 composed"  # NFC composed
+    assert got.loc[2, "text"] == "ctrl chars here"
+    assert got.loc[3, "text"] == "edge trim"
+    assert got.loc[4, "text"] == ""
+    assert sorted(got.columns) == ["text"]
+
+    # normalized variants dedup together where raw bytes would not
+    import hashlib
+    a = got.loc[1, "text"]
+    b = "caf\u00e9 composed"
+    assert hashlib.md5(a.encode()).digest() \
+        == hashlib.md5(b.encode()).digest()
