@@ -198,7 +198,9 @@ def curate_documents(input_paths, out_dir: str, *,
                      boilerplate_min_df: int = 4,
                      boilerplate_min_chars: int = 8,
                      lm_model=None,
-                     lm_max_xent: float = float("inf")) -> dict:
+                     lm_max_xent: float = float("inf"),
+                     ref_dup_index=None,
+                     ref_dup_threshold: float = 0.8) -> dict:
     """Curate a documents corpus into `out_dir` (one parquet directory
     per input shard, manifest-last checkpoints). Returns the resume
     report extended with per-cause drop counters.
@@ -239,6 +241,9 @@ def curate_documents(input_paths, out_dir: str, *,
         lm_model.uni.tobytes() + lm_model.big.tobytes()
         + np.float64([lm_model.alpha, lm_model.dim]).tobytes()
     ).hexdigest() if lm_model is not None else None
+    ref_fp = hashlib.md5(
+        ref_dup_index.ids.tobytes() + ref_dup_index.sigs.tobytes()
+    ).hexdigest() if ref_dup_index is not None else None
     params = {"shingle_k": shingle_k, "max_overlap": max_overlap,
               "jaccard_threshold": jaccard_threshold,
               "langs": list(langs),
@@ -255,7 +260,10 @@ def curate_documents(input_paths, out_dir: str, *,
               "boilerplate_min_chars": boilerplate_min_chars
               if drop_boilerplate else None,
               "lm_fp": lm_fp,
-              "lm_max_xent": lm_max_xent if lm_fp else None}
+              "lm_max_xent": lm_max_xent if lm_fp else None,
+              "ref_fp": ref_fp,
+              "ref_dup_threshold": ref_dup_threshold if ref_fp
+              else None}
 
     def process(path: str):
         from ..stages.pii import PiiScrub
@@ -274,6 +282,13 @@ def curate_documents(input_paths, out_dir: str, *,
                 max_top_bigram_frac=max_top_bigram_frac,
                 min_tokens=min_tokens),
             batch_format="pyarrow")
+        if ref_dup_index is not None:
+            # incremental-ingest dedup vs the EXISTING corpus: pure
+            # map-side probe of the broadcast index (zero shuffles)
+            from ..stages.cross_dedup import text_cross_dup_filter
+            gated = text_cross_dup_filter(
+                gated, ref_dup_index, mode="anti",
+                est_threshold=ref_dup_threshold)
         if redact_pii:
             # rewrite text in the same per-shard pass (no extra
             # shuffle); output schema stays (doc_id, text)

@@ -1072,3 +1072,43 @@ def test_normalize_text(ray_session):
     b = "caf\u00e9 composed"
     assert hashlib.md5(a.encode()).digest() \
         == hashlib.md5(b.encode()).digest()
+
+
+def test_curate_documents_ref_dedup_gate(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from osm_cut_ray.pipelines.curate import curate_documents
+    from osm_cut_ray.stages.cross_dedup import build_ref_minhash_index
+
+    rng = np.random.default_rng(14)
+    words = [f"x{i:03d}" for i in range(150)]
+    ref_texts = [" ".join(rng.choice(words, 30).tolist())
+                 for _ in range(20)]
+    ref = rd.from_arrow(pa.table({
+        "doc_id": np.arange(5000, 5020, dtype=np.int64),
+        "text": ref_texts}))
+    idx = build_ref_minhash_index(ref)
+
+    # new shard: 4 near-copies of ref docs + 6 fresh docs
+    near = []
+    for i in range(4):
+        ws = ref_texts[i * 3].split()
+        ws[0] = "SWAP"
+        near.append(" ".join(ws))
+    fresh = [" ".join(rng.choice(words, 30).tolist()) for _ in range(6)]
+    texts = near + fresh
+    ids = np.arange(10, dtype=np.int64)
+    p = str(tmp_path / "shard_n.parquet")
+    pq.write_table(pa.table({"doc_id": ids, "text": texts}), p)
+
+    out = str(tmp_path / "out")
+    curate_documents(
+        [p], out, langs=("en", "zh", "de", "fr", "es"), min_tokens=1,
+        jaccard_threshold=0.99, max_dup_line_frac=1.0,
+        max_top_bigram_frac=1.0,
+        ref_dup_index=idx, ref_dup_threshold=0.7)
+    kept = pa.concat_tables([
+        pq.read_table(os.path.join(out, "shard_n", f))
+        for f in os.listdir(os.path.join(out, "shard_n"))
+        if f.endswith(".parquet")])
+    assert sorted(kept["doc_id"].to_pylist()) == list(range(4, 10))
