@@ -270,6 +270,7 @@ def curate_images(input_paths, out_dir: str, *,
                   max_brightness: float = 0.98,
                   min_clip_score: float | None = None,
                   resize_target: int | None = None,
+                  ref_index=None, ref_hamming: int = 3,
                   id_prefix_len: int = 3) -> dict:
     """Curate an input_hint-shaped image corpus into `out_dir` (one
     parquet directory per input shard, manifest-last checkpoints).
@@ -285,8 +286,39 @@ def curate_images(input_paths, out_dir: str, *,
     near = near_dup_image_drop_ids(images,
                                    hamming_threshold=hamming_threshold,
                                    id_prefix_len=id_prefix_len)
-    drop = np.unique(np.concatenate([exact, near])) \
-        if len(exact) + len(near) else np.array([], np.int64)
+    ref_dups = np.array([], np.int64)
+    if ref_index is not None:
+        # cross-corpus gate (stages/image_dedup.py:RefFpIndex): one
+        # more global SLIM pass — fingerprints probe the broadcast
+        # index map-side and only dup ids reach the driver, so the
+        # per-shard rewrite keeps its single decode pass
+        from ..stages.image_dedup import image_fingerprints
+        idx_ref = ray.put(ref_index)
+
+        def probe(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            idx = ray.get(idx_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            fps = t["fp"].to_numpy(zero_copy_only=False)
+            hit, _ref, trunc = idx.query(fps, ref_hamming)
+            if trunc:
+                print(f"curate_images ref gate: {trunc} candidates "
+                      f"truncated")
+            return pa.table({"doc_id": pa.array(
+                ids[hit].astype(np.int64))})
+
+        hits = image_fingerprints(images, id_prefix_len=id_prefix_len) \
+            .map_batches(probe, batch_format="pyarrow")
+        parts = [b["doc_id"].to_numpy(zero_copy_only=False)
+                 for b in hits.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
+                 if b.num_rows]
+        ref_dups = np.concatenate(parts).astype(np.int64) if parts \
+            else np.array([], np.int64)
+    drop = np.unique(np.concatenate([exact, near, ref_dups])) \
+        if len(exact) + len(near) + len(ref_dups) \
+        else np.array([], np.int64)
     drop_ref = ray.put(drop)
     index_ref = ray.put(polygon) if polygon is not None else None
 
@@ -299,7 +331,11 @@ def curate_images(input_paths, out_dir: str, *,
               "max_brightness": max_brightness,
               "min_clip_score": min_clip_score,
               "resize_target": resize_target,
-              "polygon_bbox": list(polygon.bbox) if polygon else None}
+              "polygon_bbox": list(polygon.bbox) if polygon else None,
+              "ref_hamming": ref_hamming if ref_index is not None
+              else None,
+              "n_ref": int(len(ref_index.ids))
+              if ref_index is not None else None}
 
     def process(path: str):
         shard = strip_schema_metadata(rd.read_parquet(path, columns=cols))
@@ -323,4 +359,5 @@ def curate_images(input_paths, out_dir: str, *,
     report = run_resumable(shards, process, out_dir, params=params)
     report["n_drop_exact_dup"] = int(len(exact))
     report["n_drop_near_dup"] = int(len(near))
+    report["n_drop_ref_dup"] = int(len(ref_dups))
     return report

@@ -788,3 +788,35 @@ def test_pack_training_batches(ray_session):
     sizes = got.groupby(["ab", "batch_seq"]).size()
     assert (sizes == B).all()
     assert got["doc_id"].is_unique
+
+
+def test_curate_images_ref_dedup_gate(ray_session, tmp_path):
+    """ref_index: images near-duplicating an EXISTING corpus are
+    dropped by the global slim pass (one extra fingerprint probe,
+    per-shard rewrite unchanged)."""
+    from osm_cut_ray.pipelines.curate_images import curate_images
+    from osm_cut_ray.stages.image_dedup import build_ref_fp_index
+
+    rng = np.random.default_rng(33)
+    a, _ = _curate_corpus(rng)
+    p1 = str(tmp_path / "shard_a.parquet")
+    pq.write_table(_hint(a), p1)
+
+    # reference corpus: copies of base images 2 and 3 under other ids
+    ref_rows = [(900, a[2][1], "fpng", EN_CAP, 5.0, 5.0),
+                (901, a[3][1], "fpng", EN_CAP, 5.0, 5.0)]
+    ref_p = str(tmp_path / "ref.parquet")
+    pq.write_table(_hint(ref_rows), ref_p)
+    ref = rd.read_parquet(ref_p)
+    idx = build_ref_fp_index(ref)
+
+    poly = PolygonIndex.compile(
+        [("include", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                      (0.0, 10.0)])])
+    out = str(tmp_path / "curated")
+    report = curate_images([p1], out, polygon=poly, langs=("en",),
+                           min_caption_tokens=2, ref_index=idx)
+    assert report["n_drop_ref_dup"] == 2
+    _, kept_ids = _kept_ids(out, ("shard_a",))
+    assert 2 not in kept_ids and 3 not in kept_ids
+    assert {0, 1} <= kept_ids
