@@ -435,6 +435,24 @@ def _extra_pq(sf_dir: str):
                                  k=10, shortlist=64))
 
 
+def _extra_corpus_report(sf_dir: str):
+    """One-pass corpus datasheet over documents (exact counts + HLL
+    dup-rate + KLL length quantiles; slim sketch rows only)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.pipelines.report import corpus_report
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    r = corpus_report(docs)
+    return _as_ds(pa.table({
+        "n_docs": pa.array([r["n_docs"]], pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"]], pa.int64()),
+        "dup_rate_est": pa.array([r["dup_rate_est"]], pa.float64())}))
+
+
 def _extra_cut_multi(sf_dir: str):
     """3 regions extracted in ONE shared corpus scan (cut_multi) over
     the derived OSM tables — shared PIP + one OR-reduced way pass."""
@@ -751,6 +769,7 @@ EXTRA_SET = {
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
+    "corpus_report_docs": _extra_corpus_report,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

@@ -48,6 +48,15 @@ class HyperLogLog:
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "HyperLogLog":
+        sk = cls(p=buf[0])
+        sk.registers = np.frombuffer(buf, np.uint8, sk.m, offset=1).copy()
+        return sk
+
     def estimate(self) -> float:
         inv = np.exp2(-self.registers.astype(np.float64)).sum()
         e = self.alpha * self.m * self.m / inv

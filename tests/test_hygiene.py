@@ -1112,3 +1112,35 @@ def test_curate_documents_ref_dedup_gate(ray_session, tmp_path):
         for f in os.listdir(os.path.join(out, "shard_n"))
         if f.endswith(".parquet")])
     assert sorted(kept["doc_id"].to_pylist()) == list(range(4, 10))
+
+
+# ------------------------------------------------- corpus datasheet
+
+def test_corpus_report(ray_session):
+    from osm_cut_ray.pipelines.report import corpus_report
+
+    texts = (["the and of to in is common english words here"] * 20
+             + ["der die und das ist nicht deutsch satz"] * 6
+             + ["一些中文内容在这里"] * 3
+             + ["", "   "])
+    # 5 exact duplicate groups inside the english block
+    ids = np.arange(len(texts), dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})) \
+        .repartition(7)
+    r = corpus_report(docs)
+    assert r["n_docs"] == len(texts)
+    assert r["n_tokens"] == sum(len(t.split()) for t in texts)
+    assert r["n_chars"] == sum(len(t) for t in texts)
+    assert r["n_empty_docs"] == 2
+    assert r["lang_counts"]["de"] == 6
+    assert r["lang_counts"]["zh"] == 3
+    # 31 docs, 5 distinct texts -> dup rate ~ 26/31 (HLL exact-ish at
+    # tiny cardinality)
+    assert abs(r["distinct_docs_est"] - 5) < 0.5
+    assert r["dup_rate_est"] > 0.8
+    assert r["token_quantiles"]["p50"] >= 8
+    # determinism across partitionings (sketch merges are max-based)
+    r2 = corpus_report(rd.from_arrow(
+        pa.table({"doc_id": ids, "text": texts})))
+    assert r2["n_tokens"] == r["n_tokens"]
+    assert r2["distinct_docs_est"] == r["distinct_docs_est"]
