@@ -324,6 +324,32 @@ def _cmd_cut_multi(args) -> int:
     return 0
 
 
+def _cmd_report(args) -> int:
+    import glob
+    import json
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    from .pipelines.report import corpus_report
+    from .sources.tables import strip_schema_metadata
+
+    paths = sorted(p for pat in args.inputs for p in glob.glob(pat))
+    if not paths:
+        print(f"no inputs matched {args.inputs}", file=sys.stderr)
+        return 2
+    docs = strip_schema_metadata(
+        rd.read_parquet(paths, columns=["doc_id", "text"]))
+    print(json.dumps(corpus_report(docs)))
+    return 0
+
+
 def _cmd_pack_seqs(args) -> int:
     import glob
 
@@ -393,6 +419,12 @@ def main(argv=None) -> int:
     cm.add_argument("--format", choices=["xml", "parquet"],
                     default="xml")
     cm.set_defaults(fn=_cmd_cut_multi)
+    rp = sub.add_parser("report", help="one-pass corpus datasheet "
+                                       "(counts, dup rate, quantiles) "
+                                       "as one JSON line")
+    rp.add_argument("inputs", nargs="+",
+                    help="input parquet paths/globs with (doc_id, text)")
+    rp.set_defaults(fn=_cmd_report)
     ps = sub.add_parser("pack-seqs", help="pack documents into "
                                           "fixed-length LM training "
                                           "sequences (parquet)")

@@ -317,3 +317,21 @@ def test_cli_cut_multi(tmp_path):
     assert simple.count("<relation") == 3
     world = (tmp_path / "regions" / "world.osm").read_text()
     assert world.count("<node") == 6 and world.count("<relation") == 4
+
+
+def test_cli_report(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["the and of to in is words here"] * 8 + ["einzig der satz"]
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}), p)
+    r = _run(["report", p])
+    assert r.returncode == 0, r.stderr[-800:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 9
+    assert rep["n_tokens"] == 8 * 8 + 3
+    assert rep["dup_rate_est"] > 0.5
