@@ -148,3 +148,39 @@ def test_geotag_roundtrip():
     lon2, lat2 = decode_geotag(ph)
     np.testing.assert_allclose(lon2, lon, atol=1e-7)
     np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+
+def test_geohash_published_vectors():
+    """Pin against the public geohash test vectors (Wikipedia /
+    geohash.org examples) — the one cell family we can cross-check
+    against the real algorithm's published outputs."""
+    import numpy as np
+
+    from osm_cut_ray.geometry.geohash import (geohash_decode,
+                                              geohash_encode)
+
+    # (lat, lon, geohash) published examples
+    vectors = [
+        (42.605, -5.603, "ezs42"),                 # the canonical one
+        (57.64911, 10.40744, "u4pruydqqvj"),       # Wikipedia example
+    ]
+    for lat, lon, gh in vectors:
+        got = geohash_encode(np.array([lon]), np.array([lat]),
+                             precision=len(gh))[0]
+        assert got == gh, (lat, lon, got, gh)
+
+    # decode: the encoded point falls inside the decoded cell bbox
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    for prec in (5, 7, 9):
+        gh = geohash_encode(lon, lat, precision=prec)
+        x0, y0, x1, y1 = geohash_decode(gh)
+        assert ((lon >= x0) & (lon <= x1)).all()
+        assert ((lat >= y0) & (lat <= y1)).all()
+        # cell size shrinks with precision
+        assert (x1 - x0).max() <= 360.0 / (1 << ((prec * 5 + 1) // 2))
+    # prefix property: truncating the hash gives the parent cell
+    gh9 = geohash_encode(lon, lat, precision=9)
+    gh5 = geohash_encode(lon, lat, precision=5)
+    assert all(a.startswith(b) for a, b in zip(gh9, gh5))
