@@ -184,3 +184,23 @@ def test_geohash_published_vectors():
     gh9 = geohash_encode(lon, lat, precision=9)
     gh5 = geohash_encode(lon, lat, precision=5)
     assert all(a.startswith(b) for a, b in zip(gh9, gh5))
+
+
+def test_geohash_int_matches_string():
+    import numpy as np
+
+    from osm_cut_ray.geometry.geohash import (_B32, geohash_encode,
+                                              geohash_encode_int)
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    for prec in (4, 7, 12):
+        s = geohash_encode(lon, lat, precision=prec)
+        v = geohash_encode_int(lon, lat, precision=prec)
+        for j in range(len(lon)):
+            digits = [(int(v[j]) >> (5 * (prec - 1 - i))) & 31
+                      for i in range(prec)]
+            assert "".join(_B32[d] for d in digits) == s[j]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        geohash_encode_int(lon, lat, precision=13)
