@@ -435,6 +435,20 @@ def _extra_pq(sf_dir: str):
                                  k=10, shortlist=64))
 
 
+def _extra_funnel(sf_dir: str):
+    """3-step funnel over the events table (order-sensitive per-user
+    chains via one bucketed shuffle of slim rows)."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.funnel import funnel_counts
+    ev = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "ts", "event_type"]))
+    types = sorted({r["event_type"] for r in ev.take(500)})[:3]
+    return _as_ds(funnel_counts(ev, types))
+
+
 def _extra_corpus_report(sf_dir: str):
     """One-pass corpus datasheet over documents (exact counts + HLL
     dup-rate + KLL length quantiles; slim sketch rows only)."""
@@ -770,6 +784,7 @@ EXTRA_SET = {
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
     "corpus_report_docs": _extra_corpus_report,
+    "funnel_events": _extra_funnel,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,

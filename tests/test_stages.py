@@ -780,3 +780,68 @@ def test_pq_refined_recall(ray_session):
         recall += len(b & r) / max(1, len(b))
     recall /= len(probe_ids)
     assert recall >= 0.9          # exact rerank recovers brute order
+
+
+def test_funnel_counts_matches_brute(ray_session):
+    from osm_cut_ray.stages.funnel import funnel_counts
+
+    rng = np.random.default_rng(12)
+    types = np.array(["view", "cart", "buy", "other"])
+    rows = []
+    for u in range(120):
+        n = int(rng.integers(1, 15))
+        ts = np.sort(rng.uniform(0, 1000, n))
+        evs = rng.choice(types, n, p=[0.4, 0.25, 0.1, 0.25])
+        for t, e in zip(ts, evs):
+            rows.append((u, float(t), str(e)))
+    ev = rd.from_arrow(pa.table({
+        "user_id": np.array([r[0] for r in rows], np.int64),
+        "ts": np.array([r[1] for r in rows], np.float64),
+        "event_type": [r[2] for r in rows]})).repartition(6)
+
+    steps = ["view", "cart", "buy"]
+
+    def brute(within=None):
+        from collections import defaultdict
+        by_u = defaultdict(list)
+        for u, t, e in rows:
+            if e in steps:
+                by_u[u].append((t, steps.index(e)))
+        reached = np.zeros(len(steps), np.int64)
+        for u, evs in by_u.items():
+            evs.sort()
+            best = 0
+            if within is None:
+                t, d = -np.inf, 0
+                for tt, s in evs:
+                    if s == d and tt > t:
+                        t, d = tt, d + 1
+                        if d == len(steps):
+                            break
+                best = d
+            else:
+                for i, (t0, s0) in enumerate(evs):
+                    if s0 != 0:
+                        continue
+                    t, d = t0, 1
+                    for tt, s in evs[i + 1:]:
+                        if s == d and tt > t and tt - t0 <= within:
+                            t, d = tt, d + 1
+                            if d == len(steps):
+                                break
+                    best = max(best, d)
+            for s in range(best):
+                reached[s] += 1
+        return reached
+
+    got = funnel_counts(ev, steps).to_pandas()
+    np.testing.assert_array_equal(got["n_users"].to_numpy(), brute())
+    assert got["event_type"].tolist() == steps
+    # monotone non-increasing funnel
+    assert (np.diff(got["n_users"].to_numpy()) <= 0).all()
+
+    got_w = funnel_counts(ev, steps, within=100.0).to_pandas()
+    np.testing.assert_array_equal(got_w["n_users"].to_numpy(),
+                                  brute(within=100.0))
+    assert (got_w["n_users"].to_numpy()
+            <= got["n_users"].to_numpy()).all()
