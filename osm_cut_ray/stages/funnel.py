@@ -131,3 +131,72 @@ def funnel_counts(events_ds, steps: list[str], *,
         "step": pa.array(range(k), pa.int64()),
         "event_type": pa.array(list(steps), pa.string()),
         "n_users": pa.array(reached[1:].astype(np.int64))})
+
+
+def retention_cohorts(events_ds, *, period_s: float = 86_400.0,
+                      max_periods: int = 30,
+                      user_col: str = "user_id", ts_col: str = "ts"
+                      ) -> pa.Table:
+    """Cohort retention: users bucketed by FIRST-activity period;
+    cell (cohort, age) counts cohort users active `age` periods later.
+
+    Engine shape: a slim (user, period) projection with per-batch
+    dedup, ONE bucketed shuffle groups each user's periods (min =
+    cohort, offsets = ages, all vectorized), partial (cohort, age)
+    counts reduce exactly on the driver (bounded by max_periods^2).
+    Output: (cohort, age, n_users)."""
+
+    def slim(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "period": pa.array([], pa.int64())})
+        if len(t) == 0 or user_col not in t.column_names:
+            return empty
+        ts = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) / 1e6 \
+            if pa.types.is_timestamp(t.schema.field(ts_col).type) \
+            else t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        uid = t[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        per = np.floor(ts / period_s).astype(np.int64)
+        packed = np.unique((uid << np.int64(20)) | (per & 0xFFFFF))
+        return pa.table({"user_id": packed >> np.int64(20),
+                         "period": packed & np.int64(0xFFFFF)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"cohort": pd.Series(dtype=np.int64),
+                              "age": pd.Series(dtype=np.int64),
+                              "c": pd.Series(dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        # batch-level dedup is per batch only — a (user, period) seen
+        # in two batches must still count once, so dedup the bucket
+        packed = np.unique(
+            (g["user_id"].to_numpy(np.int64) << np.int64(20))
+            | (g["period"].to_numpy(np.int64) & np.int64(0xFFFFF)))
+        uid = packed >> np.int64(20)
+        per = packed & np.int64(0xFFFFF)
+        start = np.concatenate(([True], uid[1:] != uid[:-1]))
+        # cohort of each row = first period of its user
+        coh = per[np.maximum.accumulate(
+            np.where(start, np.arange(len(per)), 0))]
+        age = per - coh
+        keep = age < max_periods
+        key = (coh[keep] << np.int64(20)) | age[keep]
+        uk, c = np.unique(key, return_counts=True)
+        return pd.DataFrame({"cohort": uk >> np.int64(20),
+                             "age": uk & np.int64(0xFFFFF),
+                             "c": c.astype(np.int64)})
+
+    slim_ds = events_ds.map_batches(slim, batch_format="pyarrow")
+    parts = bucketed_group_apply(slim_ds, "user_id", per_bucket)
+    agg: dict[tuple[int, int], int] = {}
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            k = (int(b["cohort"][i].as_py()), int(b["age"][i].as_py()))
+            agg[k] = agg.get(k, 0) + int(b["c"][i].as_py())
+    keys = sorted(agg)
+    return pa.table({
+        "cohort": pa.array([k[0] for k in keys], pa.int64()),
+        "age": pa.array([k[1] for k in keys], pa.int64()),
+        "n_users": pa.array([agg[k] for k in keys], pa.int64())})

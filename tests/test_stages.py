@@ -845,3 +845,43 @@ def test_funnel_counts_matches_brute(ray_session):
                                   brute(within=100.0))
     assert (got_w["n_users"].to_numpy()
             <= got["n_users"].to_numpy()).all()
+
+
+def test_retention_cohorts_matches_brute(ray_session):
+    from collections import defaultdict
+
+    from osm_cut_ray.stages.funnel import retention_cohorts
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for u in range(150):
+        first = int(rng.integers(0, 5))
+        actives = {first} | {int(x) for x in
+                             rng.integers(first, 12,
+                                          int(rng.integers(0, 6)))}
+        for p in actives:
+            # two events inside the period: per-user-period dedup
+            rows.append((u, p * 100.0 + 5.0))
+            rows.append((u, p * 100.0 + 50.0))
+    ev = rd.from_arrow(pa.table({
+        "user_id": np.array([r[0] for r in rows], np.int64),
+        "ts": np.array([r[1] for r in rows], np.float64),
+        "event_type": ["e"] * len(rows)})).repartition(5)
+
+    got = retention_cohorts(ev, period_s=100.0).to_pandas()
+
+    brute = defaultdict(int)
+    per_user = defaultdict(set)
+    for u, t in rows:
+        per_user[u].add(int(t // 100))
+    for u, ps in per_user.items():
+        c = min(ps)
+        for p in ps:
+            brute[(c, p - c)] += 1
+    got_map = {(int(r["cohort"]), int(r["age"])): int(r["n_users"])
+               for _, r in got.iterrows()}
+    assert got_map == dict(brute)
+    # age-0 cell counts the whole cohort
+    for c in {k[0] for k in brute}:
+        assert got_map[(c, 0)] == len(
+            [u for u, ps in per_user.items() if min(ps) == c])
