@@ -251,3 +251,30 @@ def test_xml_sink_streams_bounded(tmp_path, ray_session):
           "uid": None, "user": None, "timestamp": None, "tags": []}]))
     with pytest.raises(ValueError):
         sink2.write("node", pa.Table.from_pylist(node_rows(0, 1)))
+
+
+def test_tag_filter(xml_path, tmp_path, ray_session):
+    from osm_cut_ray.sources.osm_xml import load_osm_xml
+    from osm_cut_ray.stages.tag_filter import filter_by_tag, tag_value
+
+    nodes, ways, rels = load_osm_xml(xml_path, str(tmp_path / "pq"))
+
+    cafes = filter_by_tag(nodes, "amenity", ["cafe"]).take_all()
+    assert [r["id"] for r in cafes] == [3]
+    tagged = filter_by_tag(nodes, "barrier").take_all()
+    assert [r["id"] for r in tagged] == [4]
+    drop = filter_by_tag(nodes, "amenity", mode="drop").take_all()
+    assert sorted(r["id"] for r in drop) == [1, 2, 4, 5, 6]
+    # value mismatch -> empty
+    assert filter_by_tag(nodes, "amenity", ["bank"]).count() == 0
+    # ways: highway=service kept, others dropped
+    hw = filter_by_tag(ways, "highway", ["service"]).take_all()
+    assert [r["id"] for r in hw] == [1]
+    # tag_value returns null for absent keys
+    import pyarrow as pa
+    t = pa.concat_tables(list(
+        nodes.iter_batches(batch_size=None, batch_format="pyarrow")))
+    v = tag_value(t, "amenity")
+    ids = t["id"].to_pylist()
+    got = {i: x for i, x in zip(ids, v.to_pylist())}
+    assert got[3] == "cafe" and got[1] is None
