@@ -48,6 +48,14 @@ def _cmd_cut(args) -> int:
         work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
         nodes, ways, rels = load_osm_xml(args.input, work)
 
+    if args.way_tag:
+        # osmium --tag-filter analog: select ways by tag BEFORE the
+        # membership joins (map-side, stages/tag_filter.py)
+        from .stages.tag_filter import filter_by_tag
+        key, _, vals = args.way_tag.partition("=")
+        ways = filter_by_tag(ways, key,
+                             vals.split(",") if vals else None)
+
     if args.strategy == "broadcast":
         res = cut(nodes, ways, rels, poly,
                   complete=not args.non_complete, pip_nodes=pip_nodes)
@@ -401,6 +409,9 @@ def main(argv=None) -> int:
                    help="membership-join strategy; auto sizes the "
                         "inputs and broadcasts only when the id sets "
                         "fit (cut_auto)")
+    c.add_argument("--way-tag", default=None,
+                   help="keep only ways with this tag before the cut: "
+                        "'key' (presence) or 'key=v1,v2' (values)")
     c.set_defaults(fn=_cmd_cut)
     cl = sub.add_parser("clip", help="clip way geometries at the "
                                      "polygon boundary (pieces parquet)")

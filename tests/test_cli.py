@@ -335,3 +335,25 @@ def test_cli_report(tmp_path):
     assert rep["n_docs"] == 9
     assert rep["n_tokens"] == 8 * 8 + 3
     assert rep["dup_rate_est"] > 0.5
+
+
+def test_cli_cut_way_tag_filter(tmp_path):
+    xml = tmp_path / "1.osm"
+    xml.write_text(FIXTURE_XML)
+    poly = tmp_path / "world.poly"
+    poly.write_text("world\n1\n-180 -90\n180 -90\n180 90\n-180 90\n"
+                    "END\nEND\n")
+    out = tmp_path / "out.osm"
+    # way 1 has highway=service; way 2 has no tags -> dropped pre-cut
+    r = _run(["cut", str(xml), str(poly), str(out),
+              "--way-tag", "highway=service"])
+    assert r.returncode == 0, r.stderr[-800:]
+    text = out.read_text()
+    assert '<way id="1"' in text and '<way id="2"' not in text
+    # presence-only form keeps the same single tagged way
+    out2 = tmp_path / "out2.osm"
+    r2 = _run(["cut", str(xml), str(poly), str(out2),
+               "--way-tag", "highway"])
+    assert r2.returncode == 0, r2.stderr[-800:]
+    t2 = out2.read_text()
+    assert '<way id="1"' in t2 and '<way id="2"' not in t2
