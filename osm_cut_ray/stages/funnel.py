@@ -83,7 +83,9 @@ def funnel_counts(events_ds, steps: list[str], *,
         if len(t) == 0 or type_col not in t.column_names:
             return empty
         types = np.asarray(t[type_col].to_pylist(), dtype=object)
-        sidx = np.array([step_of.get(x, -1) for x in types], np.int64)
+        codes, uniq = pd.factorize(types)
+        lut = np.array([step_of.get(u, -1) for u in uniq], np.int64)
+        sidx = lut[codes]
         keep = sidx >= 0
         if not keep.any():
             return empty
