@@ -413,3 +413,60 @@ def test_zonal_stats_matches_brute(ray_session):
     s2 = zonal_stats(pts.repartition(1), zones, "val").to_pandas() \
         .set_index("zone").sort_index()
     assert (s2["sum"].to_numpy() == stats["sum"].to_numpy()).all()
+
+
+def test_clip_polyline_coverage_property():
+    """Randomized completeness: sampled points along each polyline are
+    covered by a piece IFF they are inside the polygon (away from
+    crossing breakpoints)."""
+    import numpy as np
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.stages.clip import _EdgeTable, clip_polyline
+
+    poly = PolygonIndex.compile(SQ_HOLE)
+    et = _EdgeTable(SQ_HOLE)
+    rng = np.random.default_rng(41)
+    for trial in range(40):
+        n = int(rng.integers(2, 8))
+        x = rng.uniform(-3, 13, n)
+        y = rng.uniform(-3, 13, n)
+        pieces = clip_polyline(x, y, poly, et)
+        # piece invariants: >= 2 points, midpoints inside
+        for xs, ys in pieces:
+            assert len(xs) >= 2
+            mx, my = (xs[:-1] + xs[1:]) / 2, (ys[:-1] + ys[1:]) / 2
+            assert poly.contains(mx, my).all(), trial
+
+        # sample along the original polyline
+        def covered(px, py):
+            for xs, ys in pieces:
+                dx, dy = np.diff(xs), np.diff(ys)
+                L2 = dx * dx + dy * dy
+                wx, wy = px - xs[:-1], py - ys[:-1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tt = np.where(L2 > 0, (wx * dx + wy * dy) / L2, 0.0)
+                tt = np.clip(tt, 0, 1)
+                d = np.hypot(wx - tt * dx, wy - tt * dy)
+                if (d < 1e-9).any():
+                    return True
+            return False
+
+        for s in range(n - 1):
+            for tt in rng.uniform(0.02, 0.98, 6):
+                px = x[s] + (x[s + 1] - x[s]) * tt
+                py = y[s] + (y[s + 1] - y[s]) * tt
+                inside = bool(poly.contains(np.array([px]),
+                                            np.array([py]))[0])
+                # skip samples hugging the boundary (float ties)
+                near_edge = False
+                d2 = np.hypot(px - (et.x1 + et.x2) / 2,
+                              py - (et.y1 + et.y2) / 2)
+                if (np.abs((px - et.x1) * et.fy
+                           - (py - et.y1) * et.fx)
+                        / np.maximum(np.hypot(et.fx, et.fy), 1e-12)
+                        < 1e-6).any():
+                    near_edge = True
+                if near_edge:
+                    continue
+                assert covered(px, py) == inside, (trial, s, tt)
