@@ -45,6 +45,19 @@ class SegmentGrid:
         self.x1, self.y1 = x1, y1
         self.x2, self.y2 = x2, y2
         self.cell_deg = float(cell_deg)
+        # linear referencing: each segment's start offset along its
+        # way (planar degrees) — vectorized per-way prefix sums
+        seg_len = np.hypot(x2 - x1, y2 - y1)
+        order = np.lexsort((self.seg_ord, self.way_ids))
+        cs = np.cumsum(seg_len[order]) - seg_len[order]
+        wid_s = self.way_ids[order]
+        start = np.concatenate(([True], wid_s[1:] != wid_s[:-1]))
+        base = np.zeros(len(order), np.float64)
+        base[start] = cs[start]
+        base = np.maximum.accumulate(base)
+        self.along0 = np.empty(len(order), np.float64)
+        self.along0[order] = cs - base
+        self.seg_len = seg_len
         # assign each segment to every cell its bbox touches
         ix0 = np.floor(np.minimum(x1, x2) / cell_deg).astype(np.int64)
         ix1 = np.floor(np.maximum(x1, x2) / cell_deg).astype(np.int64)
@@ -82,8 +95,10 @@ class SegmentGrid:
             else np.array([], np.int64)
 
     def query(self, px: np.ndarray, py: np.ndarray, radius: float
-              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """-> (way_id or -1, seg ordinal or -1, dist or inf) per point.
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                         np.ndarray]:
+        """-> (way_id or -1, seg ordinal or -1, dist or inf,
+        along-way offset in planar degrees or nan) per point.
 
         Correct for radius <= cell_deg (the 3x3 neighborhood then
         covers every segment within range)."""
@@ -94,8 +109,9 @@ class SegmentGrid:
         out_w = np.full(n, -1, np.int64)
         out_s = np.full(n, -1, np.int64)
         out_d = np.full(n, np.inf, np.float64)
+        out_a = np.full(n, np.nan, np.float64)
         if n == 0 or len(self.x1) == 0:
-            return out_w, out_s, out_d
+            return out_w, out_s, out_d, out_a
         ix = np.floor(px / self.cell_deg).astype(np.int64)
         iy = np.floor(py / self.cell_deg).astype(np.int64)
         keys = _cell_key(ix, iy)
@@ -135,10 +151,14 @@ class SegmentGrid:
             best = flat_cand[ordk[firstpos]]
             bd = d[np.arange(len(pts)), best]
             ok = bd <= radius
-            out_w[pts[ok]] = self.way_ids[cand][best[ok]]
-            out_s[pts[ok]] = self.seg_ord[cand][best[ok]]
+            bi = cand[best[ok]]
+            out_w[pts[ok]] = self.way_ids[bi]
+            out_s[pts[ok]] = self.seg_ord[bi]
             out_d[pts[ok]] = bd[ok]
-        return out_w, out_s, out_d
+            # linear reference: along = segment start offset + t*len
+            tb = t[np.arange(len(pts)), best][ok]
+            out_a[pts[ok]] = self.along0[bi] + tb * self.seg_len[bi]
+        return out_w, out_s, out_d, out_a
 
 
 def build_segment_grid(ways_ds, nodes_ds, *, cell_deg: float = 0.5,
@@ -231,8 +251,9 @@ def build_segment_grid(ways_ds, nodes_ds, *, cell_deg: float = 0.5,
 def snap_points(points_ds, grid: SegmentGrid, *, radius: float,
                 x_col: str = "lon", y_col: str = "lat",
                 id_col: str = "id"):
-    """-> points with (way_id, seg, snap_dist) attached (way_id=-1
-    where nothing lies within `radius`). Pure map-side."""
+    """-> points with (way_id, seg, snap_dist, along_deg) attached
+    (way_id=-1 / nan where nothing lies within `radius`). along_deg is
+    the linear-referencing offset along the matched way. Map-side."""
     ref = ray.put(grid)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -240,13 +261,15 @@ def snap_points(points_ds, grid: SegmentGrid, *, radius: float,
             return t.append_column(
                 "way_id", pa.array([], pa.int64())).append_column(
                 "seg", pa.array([], pa.int64())).append_column(
-                "snap_dist", pa.array([], pa.float64()))
+                "snap_dist", pa.array([], pa.float64())).append_column(
+                "along_deg", pa.array([], pa.float64()))
         g = ray.get(ref)  # zero-copy plasma rehydrate
         px = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         py = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        w, s, d = g.query(px, py, radius)
+        w, s, d, a = g.query(px, py, radius)
         return t.append_column("way_id", pa.array(w)) \
             .append_column("seg", pa.array(s)) \
-            .append_column("snap_dist", pa.array(d))
+            .append_column("snap_dist", pa.array(d)) \
+            .append_column("along_deg", pa.array(a))
 
     return points_ds.map_batches(fn, batch_format="pyarrow")

@@ -313,18 +313,21 @@ def test_snap_points_matches_brute(ray_session):
             segs.append((w["id"], s, *pts[s], *pts[s + 1]))
 
     def brute_one(px, py, radius):
-        best = (np.inf, -1, -1)
+        best = (np.inf, -1, -1, np.nan)
         for wid, s, x1, y1, x2, y2 in segs:
             dx, dy = x2 - x1, y2 - y1
             L2 = dx * dx + dy * dy
             t = 0.0 if L2 == 0 else max(0.0, min(
                 1.0, ((px - x1) * dx + (py - y1) * dy) / L2))
             d = np.hypot(px - x1 - t * dx, py - y1 - t * dy)
-            if (d, wid, s) < best:
-                best = (d, wid, s)
+            # along-way prefix for this way up to segment s
+            pre = sum(np.hypot(b[4] - b[2], b[5] - b[3])
+                      for b in segs if b[0] == wid and b[1] < s)
+            if (d, wid, s) < best[:3]:
+                best = (d, wid, s, pre + t * np.hypot(dx, dy))
         if best[0] > radius:
-            return (-1, -1, np.inf)
-        return (best[1], best[2], best[0])
+            return (-1, -1, np.inf, np.nan)
+        return (best[1], best[2], best[0], best[3])
 
     n_pts = 300
     px = rng.uniform(-1, 11, n_pts)
@@ -337,14 +340,16 @@ def test_snap_points_matches_brute(ray_session):
 
     n_hit = 0
     for i in range(n_pts):
-        wid, s, d = brute_one(px[i], py[i], 1.5)
+        wid, s, d, along = brute_one(px[i], py[i], 1.5)
         assert got.loc[i, "way_id"] == wid, i
         assert got.loc[i, "seg"] == s, i
         if wid != -1:
             assert abs(got.loc[i, "snap_dist"] - d) < 1e-12
+            assert abs(got.loc[i, "along_deg"] - along) < 1e-9
             n_hit += 1
         else:
             assert np.isinf(got.loc[i, "snap_dist"])
+            assert np.isnan(got.loc[i, "along_deg"])
     assert 0 < n_hit < n_pts        # both outcomes exercised
 
     # radius > cell_deg is rejected (3x3 neighborhood would miss)
