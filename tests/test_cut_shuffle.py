@@ -285,3 +285,40 @@ def test_cut_multi_matches_single_cuts(ray_session):
                      for r in single.relations.take_all()
                      for m in r["members"]}
             assert m_mem == s_mem, (complete, z)
+
+
+def test_cut_multi_degenerate_zone(ray_session):
+    """A zone with nothing inside must yield an EMPTY CutResult while
+    its siblings are unaffected (the zero-row block class)."""
+    from osm_cut_ray.pipelines.cut_multi import cut_multi
+
+    rng = np.random.default_rng(29)
+    n = 400
+    nodes = rd.from_arrow(pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-50, 50, n),
+        "lat": rng.uniform(-50, 50, n)}))
+    ways = rd.from_arrow(pa.table({
+        "id": np.arange(20, dtype=np.int64),
+        "node_ids": [sorted(rng.choice(n, 8, replace=False).tolist())
+                     for _ in range(20)]}))
+    rels = rd.from_arrow(pa.table({
+        "id": np.array([0], np.int64),
+        "members": pa.array([[{"type": "way", "ref": 0,
+                               "role": "r"}]], _MEM_T)}))
+    empty_zone = PolygonIndex.compile(
+        [("include", [(160.0, 80.0), (170.0, 80.0), (170.0, 85.0),
+                      (160.0, 85.0)])])
+    full_zone = PolygonIndex.compile(
+        [("include", [(-60.0, -60.0), (60.0, -60.0), (60.0, 60.0),
+                      (-60.0, 60.0)])])
+    for complete in (True, False):
+        res = cut_multi(nodes, ways, rels, [empty_zone, full_zone],
+                        complete=complete)
+        assert len(res[0].node_ids) == 0
+        assert len(res[0].way_ids) == 0
+        assert len(res[0].rel_ids) == 0
+        assert res[0].nodes.count() == 0
+        assert len(res[1].node_ids) == n
+        assert len(res[1].way_ids) == 20
+        assert res[1].rel_ids.tolist() == [0]
