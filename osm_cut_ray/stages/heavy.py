@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.sketch import MisraGries
+from ..functions.sketch import KLL, MisraGries
 from .join import bucketed_group_apply
 
 
@@ -85,4 +85,61 @@ def heavy_hitters_by_key(ds, key_col: str, item_col: str, *,
     slim = ds.map_batches(
         lambda t: _partial_sketches(t, key_col, item_col, k),
         batch_format="pyarrow")
+    return bucketed_group_apply(slim, "key", merge)
+
+
+def quantiles_by_key(ds, key_col: str, value_col: str, *,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     k: int = 200):
+    """Per-key approximate quantiles with bounded memory: one KLL
+    sketch per key per batch (slim blobs), ONE bucketed merge — the
+    quantile sibling of `heavy_hitters_by_key` (per-cell latency
+    percentiles, per-zone size distributions). Returns
+    (key, n_key, q_<pct>...) rows; KLL rank error ~1.65/sqrt(k)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "blob": pa.array([], pa.binary()),
+                          "n": pa.array([], pa.int64())})
+        if len(t) == 0 or key_col not in t.column_names:
+            return empty
+        keys = t[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        uk, starts = np.unique(keys, return_index=True)
+        bounds = np.concatenate((starts, [len(keys)]))
+        blobs = [KLL(k).add(vals[bounds[i]:bounds[i + 1]]).to_bytes()
+                 for i in range(len(uk))]
+        return pa.table({"key": uk,
+                         "blob": pa.array(blobs, pa.binary()),
+                         "n": np.diff(bounds).astype(np.int64)})
+
+    qcols = [f"q_{int(q * 100)}" for q in qs]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "key": pd.Series(dtype=np.int64),
+            "n_key": pd.Series(dtype=np.int64),
+            **{c: pd.Series(dtype=np.float64) for c in qcols}})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["key", "n", "blob"], kind="mergesort")
+        out = {c: [] for c in ("key", "n_key", *qcols)}
+        for key, grp in g.groupby("key", sort=False):
+            sk = KLL(k)
+            for b in grp["blob"]:
+                sk.merge(KLL.from_bytes(bytes(b)))
+            out["key"].append(key)
+            out["n_key"].append(int(grp["n"].sum()))
+            for q, c in zip(qs, qcols):
+                out[c].append(float(sk.quantile(q)))
+        return pd.DataFrame({
+            "key": np.array(out["key"], np.int64),
+            "n_key": np.array(out["n_key"], np.int64),
+            **{c: np.array(out[c], np.float64) for c in qcols}})
+
+    slim = ds.map_batches(partial, batch_format="pyarrow")
     return bucketed_group_apply(slim, "key", merge)

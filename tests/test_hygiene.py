@@ -1144,3 +1144,34 @@ def test_corpus_report(ray_session):
         pa.table({"doc_id": ids, "text": texts})))
     assert r2["n_tokens"] == r["n_tokens"]
     assert r2["distinct_docs_est"] == r["distinct_docs_est"]
+
+
+def test_quantiles_by_key(ray_session):
+    from osm_cut_ray.stages.heavy import quantiles_by_key
+
+    rng = np.random.default_rng(27)
+    keys_l, vals_l = [], []
+    truth = {}
+    for key in range(4):
+        n = 3000 + 500 * key
+        v = rng.gamma(2.0 + key, 10.0, n)
+        keys_l.append(np.full(n, key, np.int64))
+        vals_l.append(v)
+        truth[key] = np.sort(v)
+    ds = rd.from_arrow(pa.table({
+        "cell": np.concatenate(keys_l),
+        "val": np.concatenate(vals_l)})).repartition(8)
+
+    got = quantiles_by_key(ds, "cell", "val",
+                           qs=(0.1, 0.5, 0.9)).to_pandas() \
+        .set_index("key").sort_index()
+    for key in range(4):
+        sv = truth[key]
+        n = len(sv)
+        assert got.loc[key, "n_key"] == n
+        for q, col in ((0.1, "q_10"), (0.5, "q_50"), (0.9, "q_90")):
+            est = got.loc[key, col]
+            # KLL rank-error bound (~1.65/sqrt(200) ~ 0.12; allow 0.1
+            # with margin): estimated value's true rank near q
+            rank = np.searchsorted(sv, est) / n
+            assert abs(rank - q) < 0.1, (key, q, rank)
