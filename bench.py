@@ -435,6 +435,25 @@ def _extra_pq(sf_dir: str):
                                  k=10, shortlist=64))
 
 
+def _extra_quantiles_by_key(sf_dir: str):
+    """Per-key KLL quantiles over lineitem (quantity percentiles per
+    line number) — sketch blobs only in the shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.heavy import quantiles_by_key
+    li = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_linenumber", "l_quantity"]))
+    ints = li.map_batches(
+        lambda t: pa.table({
+            "key": t["l_linenumber"].cast(pa.int64()),
+            "val": t["l_quantity"].cast(pa.float64())}),
+        batch_format="pyarrow")
+    return quantiles_by_key(ints, "key", "val")
+
+
 def _extra_funnel(sf_dir: str):
     """3-step funnel over the events table (order-sensitive per-user
     chains via one bucketed shuffle of slim rows)."""
@@ -785,6 +804,7 @@ EXTRA_SET = {
     "cut_multi_3x": _extra_cut_multi,
     "corpus_report_docs": _extra_corpus_report,
     "funnel_events": _extra_funnel,
+    "quantiles_by_key_lineitem": _extra_quantiles_by_key,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
     "pack_batches_200k": _extra_pack_batches,
