@@ -161,6 +161,101 @@ class SegmentGrid:
         return out_w, out_s, out_d, out_a
 
 
+    def query_topk(self, px: np.ndarray, py: np.ndarray,
+                   radius: float, k: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray, np.ndarray]:
+        """Up to `k` candidate WAYS per point (each way represented by
+        its nearest segment), ordered by (dist, way_id, seg) — the
+        candidate generator for HMM map matching (stages/match.py).
+
+        -> (offsets, way_id, seg, dist, along): CSR over points —
+        point i's candidates are slice(offsets[i], offsets[i+1]) of
+        the flat arrays. Points with nothing in `radius` get an empty
+        slice. Same 3x3-exhaustiveness bound as `query`
+        (radius <= cell_deg)."""
+        if radius > self.cell_deg:
+            raise ValueError("radius must be <= cell_deg for the 3x3 "
+                             "neighborhood to be exhaustive")
+        n = len(px)
+        counts = np.zeros(n, np.int64)
+        acc: list[tuple[np.ndarray, ...]] = []
+        if n == 0 or len(self.x1) == 0:
+            return (np.zeros(n + 1, np.int64), np.array([], np.int64),
+                    np.array([], np.int64), np.array([], np.float64),
+                    np.array([], np.float64))
+        ix = np.floor(px / self.cell_deg).astype(np.int64)
+        iy = np.floor(py / self.cell_deg).astype(np.int64)
+        keys = _cell_key(ix, iy)
+        order = np.argsort(keys, kind="stable")
+        starts = np.concatenate(
+            ([0], np.flatnonzero(keys[order][1:] != keys[order][:-1]) + 1,
+             [n]))
+        for j in range(len(starts) - 1):
+            pts = order[starts[j]:starts[j + 1]]
+            cand = self._cands(int(ix[pts[0]]), int(iy[pts[0]]))
+            if len(cand) == 0:
+                continue
+            ax, ay = self.x1[cand], self.y1[cand]
+            dx, dy = self.x2[cand] - ax, self.y2[cand] - ay
+            L2 = dx * dx + dy * dy
+            wx = px[pts][:, None] - ax[None, :]
+            wy = py[pts][:, None] - ay[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.clip(np.where(L2 > 0,
+                                     (wx * dx + wy * dy) / L2, 0.0),
+                            0.0, 1.0)
+            d = np.hypot(wx - t * dx[None, :], wy - t * dy[None, :])
+            m = len(cand)
+            rows = np.repeat(np.arange(len(pts), dtype=np.int64), m)
+            cols = np.tile(np.arange(m, dtype=np.int64), len(pts))
+            df, tf = d.ravel(), t.ravel()
+            ok = df <= radius
+            if not ok.any():
+                continue
+            rows, cols, df, tf = rows[ok], cols[ok], df[ok], tf[ok]
+            gi = cand[cols]
+            wf = self.way_ids[gi]
+            sf = self.seg_ord[gi]
+            # best segment per (point, way): first after lexsort by
+            # (row, way, dist, seg)
+            o1 = np.lexsort((sf, df, wf, rows))
+            rows, df, tf, gi, wf, sf = (rows[o1], df[o1], tf[o1],
+                                        gi[o1], wf[o1], sf[o1])
+            rep = np.concatenate(
+                ([True], (rows[1:] != rows[:-1]) | (wf[1:] != wf[:-1])))
+            rows, df, tf, gi, wf, sf = (rows[rep], df[rep], tf[rep],
+                                        gi[rep], wf[rep], sf[rep])
+            # rank ways per point by (dist, way, seg), keep < k
+            o2 = np.lexsort((sf, wf, df, rows))
+            rows, df, tf, gi, wf, sf = (rows[o2], df[o2], tf[o2],
+                                        gi[o2], wf[o2], sf[o2])
+            first = np.concatenate(([True], rows[1:] != rows[:-1]))
+            idx = np.arange(len(rows), dtype=np.int64)
+            base = np.zeros(len(rows), np.int64)
+            base[first] = idx[first]
+            rank = idx - np.maximum.accumulate(base)
+            keep = rank < k
+            rows, df, tf, gi, wf, sf = (rows[keep], df[keep], tf[keep],
+                                        gi[keep], wf[keep], sf[keep])
+            np.add.at(counts, pts[rows], 1)
+            along = self.along0[gi] + tf * self.seg_len[gi]
+            acc.append((pts[rows], rank[keep], wf, sf, df, along))
+        if not acc:
+            return (np.zeros(n + 1, np.int64), np.array([], np.int64),
+                    np.array([], np.int64), np.array([], np.float64),
+                    np.array([], np.float64))
+        g_pt = np.concatenate([a[0] for a in acc])
+        g_rk = np.concatenate([a[1] for a in acc])
+        o = np.lexsort((g_rk, g_pt))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        return (offsets,
+                np.concatenate([a[2] for a in acc])[o],
+                np.concatenate([a[3] for a in acc])[o],
+                np.concatenate([a[4] for a in acc])[o],
+                np.concatenate([a[5] for a in acc])[o])
+
+
 def build_segment_grid(ways_ds, nodes_ds, *, cell_deg: float = 0.5,
                        refs_col: str = "refs", id_col: str = "id",
                        max_broadcast_nodes: int = 50_000_000,
