@@ -549,6 +549,50 @@ def _extra_zonal(sf_dir: str):
     return zonal_stats(points, zones, "val")
 
 
+_GRID_N_NODES = 200_000
+
+
+def _node_coords(ids):
+    """Deterministic node positions for the synthetic road grid
+    (shared by the snap and map-matching extras)."""
+    import numpy as np
+    lon = ((ids * 0.021) % 120.0) - 60.0 + np.sin(ids * 0.11) * 0.5
+    lat = np.sin(ids * 0.0019) * 35.0 + np.cos(ids * 0.13) * 0.3
+    return lon, lat
+
+
+def _synth_road_grid(cell_deg: float = 0.25):
+    """20k 50-segment ways over 200k deterministic nodes -> broadcast
+    SegmentGrid."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.snap import build_segment_grid
+
+    def synth_nodes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon, lat = _node_coords(ids)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def synth_ways(t: pa.Table) -> pa.Table:
+        wids = t["id"].to_numpy(zero_copy_only=False)
+        refs = [(np.arange(50, dtype=np.int64) + w * 10) % _GRID_N_NODES
+                for w in wids.tolist()]
+        return pa.table({
+            "id": pa.array(wids, pa.int64()),
+            "refs": pa.array([r.tolist() for r in refs],
+                             pa.list_(pa.int64()))})
+
+    nodes = rd.range(_GRID_N_NODES).map_batches(synth_nodes,
+                                                batch_format="pyarrow")
+    ways = rd.range(20_000).map_batches(synth_ways,
+                                        batch_format="pyarrow",
+                                        batch_size=2048)
+    return build_segment_grid(ways, nodes, cell_deg=cell_deg)
+
+
 def _extra_snap_points(sf_dir: str):
     """Snap lineitem-derived points to the 20k-way synthetic road grid
     (SegmentGrid broadcast once, pure map-side probe)."""
@@ -556,35 +600,9 @@ def _extra_snap_points(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
-    from osm_cut_ray.sources.tables import strip_schema_metadata
-    from osm_cut_ray.stages.snap import build_segment_grid, snap_points
+    from osm_cut_ray.stages.snap import snap_points
 
-    n_nodes = 200_000
-
-    def synth_nodes(t: pa.Table) -> pa.Table:
-        ids = t["id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "id": pa.array(ids, pa.int64()),
-            "lon": pa.array(((ids * 0.021) % 120.0) - 60.0
-                            + np.sin(ids * 0.11) * 0.5),
-            "lat": pa.array(np.sin(ids * 0.0019) * 35.0
-                            + np.cos(ids * 0.13) * 0.3)})
-
-    def synth_ways(t: pa.Table) -> pa.Table:
-        wids = t["id"].to_numpy(zero_copy_only=False)
-        refs = [(np.arange(50, dtype=np.int64) + w * 10) % n_nodes
-                for w in wids.tolist()]
-        return pa.table({
-            "id": pa.array(wids, pa.int64()),
-            "refs": pa.array([r.tolist() for r in refs],
-                             pa.list_(pa.int64()))})
-
-    nodes = rd.range(n_nodes).map_batches(synth_nodes,
-                                          batch_format="pyarrow")
-    ways = rd.range(20_000).map_batches(synth_ways,
-                                        batch_format="pyarrow",
-                                        batch_size=2048)
-    grid = build_segment_grid(ways, nodes, cell_deg=0.25)
+    grid = _synth_road_grid(cell_deg=0.25)
 
     def pts(t: pa.Table) -> pa.Table:
         ids = t["id"].to_numpy(zero_copy_only=False)
@@ -595,6 +613,35 @@ def _extra_snap_points(sf_dir: str):
 
     points = rd.range(1_000_000).map_batches(pts, batch_format="pyarrow")
     return snap_points(points, grid, radius=0.25)
+
+
+def _extra_match_traj(sf_dir: str):
+    """HMM map-match 200k GPS fixes (20k traces x 10 points) against
+    the 20k-way grid: one broadcast candidate pass (top-4 ways/point)
+    + one trajectory-bucket shuffle, Viterbi per trace."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.match import match_trajectories
+
+    grid = _synth_road_grid(cell_deg=0.25)
+
+    def traj_pts(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        tid = ids // 10
+        step = (ids % 10).astype(np.float64)
+        anchor = (tid * 37) % _GRID_N_NODES  # traces start on-network
+        lon0, lat0 = _node_coords(anchor)
+        return pa.table({
+            "traj_id": pa.array(tid, pa.int64()),
+            "ts": pa.array(step),
+            "lon": pa.array(lon0 + np.sin(ids * 0.7) * 0.08
+                            + step * 0.01),
+            "lat": pa.array(lat0 + np.cos(ids * 1.3) * 0.08)})
+
+    pts = rd.range(200_000).map_batches(traj_pts, batch_format="pyarrow")
+    return match_trajectories(pts, grid, radius=0.25, k_cands=4)
 
 
 def _extra_heavy_hitters(sf_dir: str):
@@ -799,6 +846,7 @@ EXTRA_SET = {
     "heavy_hitters_lineitem": _extra_heavy_hitters,
     "clip_ways_20k": _extra_clip_ways,
     "snap_points_1m": _extra_snap_points,
+    "match_traj_200k": _extra_match_traj,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
