@@ -644,6 +644,38 @@ def _extra_match_traj(sf_dir: str):
     return match_trajectories(pts, grid, radius=0.25, k_cands=4)
 
 
+def _extra_traj_analytics(sf_dir: str):
+    """Stay points + gap-split OD matrix over 1M synthetic GPS fixes
+    (50k traces x 20, planted dwells + one time gap per trace): two
+    trajectory-bucket shuffles + one tiny (o, d) cell aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj import detect_stay_points, od_matrix
+
+    def fixes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        tid = ids // 20
+        step = (ids % 20).astype(np.float64)
+        lon0, lat0 = _node_coords((tid * 53) % _GRID_N_NODES)
+        dwell = (step >= 8) & (step < 14)  # frozen drift = a dwell
+        drift = (np.minimum(step, 8.0)
+                 + np.maximum(step - 14.0, 0.0)) * 0.05
+        jit = np.where(dwell, 0.002, 0.03)
+        return pa.table({
+            "traj_id": pa.array(tid, pa.int64()),
+            "ts": pa.array(step * 60.0 + (step > 16) * 900.0),
+            "lon": pa.array(lon0 + drift + np.sin(ids * 0.9) * jit),
+            "lat": pa.array(lat0 + np.cos(ids * 1.7) * jit)})
+
+    pts = rd.range(1_000_000).map_batches(fixes, batch_format="pyarrow")
+    n_stays = detect_stay_points(
+        pts, dist_thresh=0.01, time_thresh=250.0).count()
+    assert n_stays > 0
+    return od_matrix(pts, res=6, gap_thresh=600.0)
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -847,6 +879,7 @@ EXTRA_SET = {
     "clip_ways_20k": _extra_clip_ways,
     "snap_points_1m": _extra_snap_points,
     "match_traj_200k": _extra_match_traj,
+    "traj_staypoints_od_1m": _extra_traj_analytics,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,

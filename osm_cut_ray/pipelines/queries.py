@@ -462,7 +462,8 @@ def _partial_sum(ds, keys: list[str], quant_cols: dict[str, tuple[str, int]],
             aggs[count_alias] = ("__one", "sum")
         out = tmp.groupby(keys, as_index=False).agg(**aggs)
         # Arrow out: pandas blocks poison the sort-shuffle (~20x/task)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     partial = ds.map_batches(combine, batch_format="pandas")
     aggs = [Sum(out, alias_name=out) for out in quant_cols]
@@ -717,7 +718,8 @@ def orders_by_month(sf_dir: str):
         return out.groupby("month", as_index=False).agg(n=("n", "sum"))
 
     partial = orders.map_batches(
-        lambda df: pa.Table.from_pandas(bucket(df), preserve_index=False),
+        lambda df: pa.Table.from_pandas(bucket(df), preserve_index=False)
+        .replace_schema_metadata(None),
         batch_format="pandas")
     return collect(partial.groupby("month").aggregate(
         Sum("n", alias_name="n")))
@@ -756,7 +758,8 @@ def dedup_exact_docs(sf_dir: str):
     # spread the 2-fat-block union before the (CPU) hash pass
     hashed = _spread(docs).map_batches(
         lambda df: pa.Table.from_pandas(md5_fingerprint(df),
-                                        preserve_index=False),
+                                        preserve_index=False)
+        .replace_schema_metadata(None),
         batch_format="pandas")
     return collect(hashed.groupby("fp").aggregate(
         Min("doc_id", alias_name="doc_id")).select_columns(["doc_id"]))
@@ -1246,7 +1249,8 @@ def stratified_sample_orders(sf_dir: str):
                           "o_orderkey": df["o_orderkey"], "h": h})
         d = d.sort_values(["o_orderpriority", "h", "o_orderkey"])
         top = d.groupby("o_orderpriority", sort=False).head(20)
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return pa.Table.from_pandas(top, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     part = orders.map_batches(partial, batch_format="pandas")
 
@@ -1400,7 +1404,8 @@ def window_sliding_events(sf_dir: str):
         both["wstart"] = both["wstart"].dt.strftime("%Y-%m-%d %H:00")
         out = both.groupby(["event_type", "wstart"], as_index=False)\
             .agg(sum_v_q=("vq", "sum"), n=("vq", "size"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     partial = ev.map_batches(expand, batch_format="pandas")
     return collect(partial.groupby(["event_type", "wstart"]).aggregate(

@@ -69,7 +69,8 @@ def geo_debias_sample(images_ds, *, hex_res: int = 7,
                           "h": sample_hash(ids)})
         d = d.sort_values(["cell", "h", "doc_id"])
         top = d.groupby("cell", sort=False).head(per_cell_k)
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return pa.Table.from_pandas(top, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     part = _spread(images_ds).map_batches(partial,
                                           batch_format="pyarrow")

@@ -28,4 +28,5 @@ def tumbling_batch(df: pd.DataFrame, *, ts_col="ts", key_col="event_type",
     # emit ARROW: pandas-format blocks make the downstream sort-shuffle
     # ~20x slower per task (measured; see BASELINE.md)
     import pyarrow as pa
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(g, preserve_index=False) \
+        .replace_schema_metadata(None)

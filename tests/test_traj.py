@@ -1,0 +1,158 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _synth_traces(rng, n_traj=14, pts_per=40):
+    """Wandering traces with planted dwells (tight clusters over long
+    spans) and time gaps."""
+    rows = []
+    for t in range(n_traj):
+        cx, cy = rng.uniform(0, 10, 2)
+        ts = 0.0
+        for i in range(pts_per):
+            if i and i % 13 == 0:
+                ts += 500.0  # planted trip gap
+            if 10 <= i < 20:  # planted dwell: jitter within ~0.005
+                px = cx + rng.uniform(-0.004, 0.004)
+                py = cy + rng.uniform(-0.004, 0.004)
+                ts += 40.0
+            else:
+                cx += rng.uniform(-0.2, 0.2)
+                cy += rng.uniform(-0.2, 0.2)
+                px, py = cx, cy
+                ts += rng.uniform(5, 30)
+            rows.append((t, ts, px, py))
+    return rows
+
+
+def _brute_stays(traj, dist, tmin):
+    ts = [r[1] for r in traj]
+    x = [r[2] for r in traj]
+    y = [r[3] for r in traj]
+    n, i, out = len(ts), 0, []
+    while i < n:
+        j = i + 1
+        while j < n and np.hypot(x[j] - x[i], y[j] - y[i]) <= dist:
+            j += 1
+        if ts[j - 1] - ts[i] >= tmin:
+            out.append((np.mean(x[i:j]), np.mean(y[i:j]),
+                        ts[i], ts[j - 1], j - i))
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def test_stay_points_match_brute(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj import detect_stay_points
+
+    rng = np.random.default_rng(7)
+    rows = _synth_traces(rng)
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "traj_id": arr[:, 0].astype(np.int64), "ts": arr[:, 1],
+        "lon": arr[:, 2], "lat": arr[:, 3]})).repartition(5)
+
+    dist, tmin = 0.02, 200.0
+    got = detect_stay_points(ds, dist_thresh=dist, time_thresh=tmin) \
+        .to_pandas().sort_values(["traj_id", "stay_ord"]) \
+        .reset_index(drop=True)
+    assert got["n_pts"].min() >= 2
+    n_exp = 0
+    for t in sorted({r[0] for r in rows}):
+        traj = sorted([r for r in rows if r[0] == t],
+                      key=lambda r: r[1])
+        exp = _brute_stays(traj, dist, tmin)
+        sub = got[got["traj_id"] == t].reset_index(drop=True)
+        assert len(sub) == len(exp), t
+        assert sub["stay_ord"].tolist() == list(range(len(exp)))
+        for i, (mx, my, t0, t1, npts) in enumerate(exp):
+            assert abs(sub["lon"][i] - mx) < 1e-9
+            assert abs(sub["lat"][i] - my) < 1e-9
+            assert sub["t_start"][i] == t0
+            assert sub["t_end"][i] == t1
+            assert sub["n_pts"][i] == npts
+        n_exp += len(exp)
+    assert n_exp >= 10  # the planted dwells are actually detected
+
+
+def test_segment_trips_and_od(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.geometry.cells import hex_cell
+    from osm_cut_ray.stages.traj import od_matrix, segment_trips
+
+    rng = np.random.default_rng(11)
+    rows = _synth_traces(rng)
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "traj_id": arr[:, 0].astype(np.int64), "ts": arr[:, 1],
+        "lon": arr[:, 2], "lat": arr[:, 3]})).repartition(4)
+
+    gap = 400.0
+    got = segment_trips(ds, gap_thresh=gap).to_pandas() \
+        .sort_values(["traj_id", "ts"]).reset_index(drop=True)
+    assert len(got) == len(rows)
+
+    # brute: split each sorted trace at dt > gap
+    exp_trips = {}
+    for t, ts, x, y in sorted(rows):
+        prev = exp_trips.get(t)
+        if prev is None:
+            exp_trips[t] = [[(ts, x, y)]]
+        else:
+            if ts - prev[-1][-1][0] > gap:
+                prev.append([])
+            prev[-1].append((ts, x, y))
+    flat_ord = []
+    for t in sorted(exp_trips):
+        for k, trip in enumerate(exp_trips[t]):
+            flat_ord.extend([k] * len(trip))
+    assert got["trip_ord"].tolist() == flat_ord
+    assert (got["trip_id"] ==
+            got["traj_id"] * (1 << 20) + got["trip_ord"]).all()
+    # planted gaps -> every trace has >= 3 trips
+    assert got.groupby("traj_id")["trip_ord"].max().min() >= 2
+
+    res = 6
+    od = od_matrix(ds, res=res, gap_thresh=gap).to_pandas()
+    exp_counts = {}
+    for t in sorted(exp_trips):
+        for trip in exp_trips[t]:
+            o = int(hex_cell(np.array([trip[0][1]]),
+                             np.array([trip[0][2]]), res)[0])
+            d = int(hex_cell(np.array([trip[-1][1]]),
+                             np.array([trip[-1][2]]), res)[0])
+            exp_counts[(o, d)] = exp_counts.get((o, d), 0) + 1
+    got_counts = {(int(r.o_cell), int(r.d_cell)): int(r.n_trips)
+                  for r in od.itertuples()}
+    assert got_counts == exp_counts
+    assert sum(got_counts.values()) == sum(
+        len(v) for v in exp_trips.values())
+
+    # gap_thresh=None -> one trip per trajectory (o=first, d=last fix)
+    od1 = od_matrix(ds, res=res, gap_thresh=None).to_pandas()
+    assert int(od1["n_trips"].sum()) == len(exp_trips)
+
+
+def test_traj_empty_and_single_fix(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj import (detect_stay_points, od_matrix,
+                                         segment_trips)
+
+    one = rd.from_arrow(pa.table({
+        "traj_id": pa.array([5], pa.int64()),
+        "ts": pa.array([1.0]), "lon": pa.array([2.0]),
+        "lat": pa.array([3.0])}))
+    trips = segment_trips(one, gap_thresh=10.0).to_pandas()
+    assert len(trips) == 1 and trips["trip_ord"][0] == 0
+    stays = detect_stay_points(one, dist_thresh=1.0,
+                               time_thresh=0.0).to_pandas()
+    assert len(stays) == 1 and stays["n_pts"][0] == 1
+    od = od_matrix(one, res=5).to_pandas()
+    assert len(od) == 1 and int(od["n_trips"][0]) == 1
+    assert int(od["o_cell"][0]) == int(od["d_cell"][0])
