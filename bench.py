@@ -676,6 +676,39 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_traj_dedup(sf_dir: str):
+    """Trajectory near-dup: 20k traces (10k routes each driven twice
+    with GPS jitter), cell-shingle MinHash LSH + exact Frechet verify."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj_dedup import trajectory_dup_pairs
+
+    def fixes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        tid = ids // 20
+        step = (ids % 20).astype(np.float64)
+        route = tid // 2
+        jit = (tid % 2).astype(np.float64) * 0.0004  # the re-drive
+        lon0, lat0 = _node_coords(route * 20)  # distinct anchors
+        ph = route * 20 + step
+        return pa.table({
+            "traj_id": pa.array(tid, pa.int64()),
+            "ts": pa.array(step),
+            "lon": pa.array(lon0 + step * 0.03
+                            + np.sin(ph * 0.9) * 0.01 + jit),
+            "lat": pa.array(lat0 + np.cos(ph * 1.7) * 0.01 + jit)})
+
+    pts = rd.range(400_000).map_batches(fixes, batch_format="pyarrow")
+    # 32 x 2-row bands: boundary-hugging routes drop to J ~ 0.6 under
+    # jitter; 2-row bands keep recall > 0.99 there (see test notes)
+    pairs = trajectory_dup_pairs(pts, frechet_threshold=0.002, res=7,
+                                 n_bands=32)
+    assert pairs.num_rows >= 9_900, pairs.num_rows
+    return pairs
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -880,6 +913,7 @@ EXTRA_SET = {
     "snap_points_1m": _extra_snap_points,
     "match_traj_200k": _extra_match_traj,
     "traj_staypoints_od_1m": _extra_traj_analytics,
+    "traj_dedup_20k": _extra_traj_dedup,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,

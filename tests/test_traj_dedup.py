@@ -1,0 +1,131 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _frechet_brute(pa_pts, pb_pts):
+    """Textbook recursive-free DP, independent of the stage's numpy
+    formulation."""
+    n, m = len(pa_pts), len(pb_pts)
+    ca = np.full((n, m), -1.0)
+    for i in range(n):
+        for j in range(m):
+            d = float(np.hypot(pa_pts[i][0] - pb_pts[j][0],
+                               pa_pts[i][1] - pb_pts[j][1]))
+            if i == 0 and j == 0:
+                ca[i, j] = d
+            elif i == 0:
+                ca[i, j] = max(ca[0, j - 1], d)
+            elif j == 0:
+                ca[i, j] = max(ca[i - 1, 0], d)
+            else:
+                ca[i, j] = max(min(ca[i - 1, j], ca[i - 1, j - 1],
+                                   ca[i, j - 1]), d)
+    return ca[n - 1, m - 1]
+
+
+def test_discrete_frechet_matches_brute():
+    from osm_cut_ray.stages.traj_dedup import discrete_frechet
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        n, m = rng.integers(1, 12, 2)
+        a = rng.uniform(0, 5, (n, 2))
+        b = rng.uniform(0, 5, (m, 2))
+        got = discrete_frechet(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+        exp = _frechet_brute(a.tolist(), b.tolist())
+        assert abs(got - exp) < 1e-12
+    # order sensitivity: a route vs its reverse is NOT distance 0
+    a = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    fwd = discrete_frechet(a[:, 0], a[:, 1], a[:, 0], a[:, 1])
+    rev = discrete_frechet(a[:, 0], a[:, 1], a[::-1, 0], a[::-1, 1])
+    assert fwd == 0.0 and rev == 3.0
+
+
+def _routes(rng, n_routes=30, pts_per=25, span=80.0):
+    """Well-separated base routes + jittered duplicates of some."""
+    rows, planted = [], []
+    tid = 0
+    for r in range(n_routes):
+        ax = (r % 6) * span / 6 + 2.0
+        ay = (r // 6) * span / 6 + 2.0
+        xs = ax + np.cumsum(rng.uniform(0.05, 0.3, pts_per))
+        ys = ay + np.cumsum(rng.uniform(-0.15, 0.15, pts_per))
+        base_id = tid
+        for i in range(pts_per):
+            rows.append((tid, float(i), xs[i], ys[i]))
+        tid += 1
+        if r % 3 == 0:  # planted near-dup: same route re-driven.
+            # jitter << the ~0.02 deg res-7 cell edge so few cells
+            # flip and MinHash recall is deterministic-high
+            for i in range(pts_per):
+                rows.append((tid, float(i),
+                             xs[i] + rng.uniform(-0.0005, 0.0005),
+                             ys[i] + rng.uniform(-0.0005, 0.0005)))
+            planted.append((base_id, tid))
+            tid += 1
+    return rows, planted
+
+
+def test_trajectory_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj_dedup import (discrete_frechet,
+                                               trajectory_dup_pairs)
+
+    rng = np.random.default_rng(17)
+    rows, planted = _routes(rng)
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "traj_id": arr[:, 0].astype(np.int64), "ts": arr[:, 1],
+        "lon": arr[:, 2], "lat": arr[:, 3]})).repartition(6)
+
+    thr = 0.05
+    # 32 bands x 2 rows: a route hugging a hex-cell boundary can drop
+    # to J ~ 0.6 vs its re-drive even under tiny jitter (seed 17 pair
+    # (16, 17) does); 2-row bands make recall deterministic there
+    got = trajectory_dup_pairs(ds, frechet_threshold=thr, res=7,
+                               n_bands=32)
+    got_pairs = list(zip(got["a_id"].to_pylist(),
+                         got["b_id"].to_pylist()))
+
+    # brute truth: all-pairs Frechet on the driver
+    by_tid = {}
+    for t, ts, x, y in rows:
+        by_tid.setdefault(int(t), []).append((ts, x, y))
+    polys = {t: np.array(sorted(v))[:, 1:] for t, v in by_tid.items()}
+    tids = sorted(polys)
+    brute = {}
+    for i, a in enumerate(tids):
+        for b in tids[i + 1:]:
+            f = discrete_frechet(polys[a][:, 0], polys[a][:, 1],
+                                 polys[b][:, 0], polys[b][:, 1])
+            if f <= thr:
+                brute[(a, b)] = f
+    # planted dups are the truth set and all were recalled
+    assert set(planted) == set(brute)
+    assert got_pairs == sorted(brute)
+    for a, b, f in zip(got["a_id"].to_pylist(), got["b_id"].to_pylist(),
+                       got["frechet"].to_pylist()):
+        assert abs(f - brute[(a, b)]) < 1e-12
+    # output ordering + schema contract
+    assert got.schema.names == ["a_id", "b_id", "frechet"]
+
+
+def test_trajectory_dup_pairs_empty_and_no_dups(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj_dedup import trajectory_dup_pairs
+
+    # distinct far-apart routes -> no pairs
+    rows = []
+    for t in range(4):
+        for i in range(6):
+            rows.append((t, float(i), t * 50.0 + i, t * 30.0))
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "traj_id": arr[:, 0].astype(np.int64), "ts": arr[:, 1],
+        "lon": arr[:, 2], "lat": arr[:, 3]}))
+    got = trajectory_dup_pairs(ds, frechet_threshold=0.01, res=7)
+    assert got.num_rows == 0
+    assert got.schema.names == ["a_id", "b_id", "frechet"]
