@@ -709,6 +709,37 @@ def _extra_traj_dedup(sf_dir: str):
     return pairs
 
 
+def _extra_dbscan(sf_dir: str):
+    """Grid DBSCAN over 500k points: 20k planted density blobs (~25
+    pts each) + 4% uniform noise; two replicate+shuffle passes + a
+    cell-level union-find."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.cluster import dbscan_points
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        blob = ids // 25
+        lon0, lat0 = _node_coords((blob * 11) % _GRID_N_NODES)
+        ang = ids * 2.39996323
+        r = 0.01 * (((ids * 2654435761) % 1000) / 1000.0)
+        lon = lon0 + np.cos(ang) * r
+        lat = lat0 + np.sin(ang) * r
+        noise = ids % 25 == 0  # 4% scattered background
+        lon = np.where(noise, ((ids * 40503) % 120000) / 1000.0 - 60.0,
+                       lon)
+        lat = np.where(noise, ((ids * 69069) % 70000) / 1000.0 - 35.0,
+                       lat)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = rd.range(500_000).map_batches(synth, batch_format="pyarrow")
+    out = dbscan_points(pts, eps=0.005, min_pts=4)
+    return out
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -914,6 +945,7 @@ EXTRA_SET = {
     "match_traj_200k": _extra_match_traj,
     "traj_staypoints_od_1m": _extra_traj_analytics,
     "traj_dedup_20k": _extra_traj_dedup,
+    "dbscan_points_500k": _extra_dbscan,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
