@@ -740,6 +740,30 @@ def _extra_dbscan(sf_dir: str):
     return out
 
 
+def _extra_distance_join(sf_dir: str):
+    """kNN-within-eps join between two 500k/500k point tables (grid
+    cells = eps, one bucketed shuffle, per-shape-group stacks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.spatial_join import distance_join
+
+    def synth(seed):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            h = ids * np.int64(2654435761) + np.int64(seed)
+            lon = ((h % 120000) / 1000.0) - 60.0
+            lat = (((h // 120000) % 70000) / 1000.0) - 35.0
+            return pa.table({"id": pa.array(ids, pa.int64()),
+                             "lon": pa.array(lon), "lat": pa.array(lat)})
+        return fn
+
+    a = rd.range(500_000).map_batches(synth(1), batch_format="pyarrow")
+    b = rd.range(500_000).map_batches(synth(7), batch_format="pyarrow")
+    return distance_join(a, b, eps=0.05, k=4)
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -946,6 +970,7 @@ EXTRA_SET = {
     "traj_staypoints_od_1m": _extra_traj_analytics,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
+    "distance_join_500k": _extra_distance_join,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,

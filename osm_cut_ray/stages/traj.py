@@ -154,6 +154,45 @@ def detect_stay_points(points_ds, *, dist_thresh: float,
     return bucketed_group_apply(points_ds, traj_col, per_bucket)
 
 
+def trip_stats(points_ds, *, gap_thresh: float | None = None,
+               traj_col: str = "traj_id", ts_col: str = "ts",
+               x_col: str = "lon", y_col: str = "lat"):
+    """Per-trip summary: -> Dataset (traj_id, trip_ord, n_fixes,
+    t_start, t_end, length_deg, avg_speed) where length_deg is the
+    polyline length (planar degrees, consecutive-fix hypot within the
+    trip) and avg_speed = length / (t_end - t_start) (0.0 for
+    single-fix or zero-duration trips). One bucketed shuffle; fully
+    vectorized per bucket (segment lengths via shifted arrays, per-trip
+    sums via reduceat)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        schema = {"traj_id": np.int64, "trip_ord": np.int64,
+                  "n_fixes": np.int64, "t_start": np.float64,
+                  "t_end": np.float64, "length_deg": np.float64,
+                  "avg_speed": np.float64}
+        if len(g) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in schema.items()})
+        tid, ts, x, y = _sorted_traj(g, traj_col, ts_col, x_col, y_col)
+        new, _, trip_ord = _trip_bounds(tid, ts, gap_thresh)
+        seg = np.hypot(np.diff(x), np.diff(y))
+        seg = np.concatenate(([0.0], seg))
+        seg[new] = 0.0  # no segment across a trip boundary
+        first = np.flatnonzero(new)
+        last = np.concatenate((first[1:] - 1, [len(tid) - 1]))
+        length = np.add.reduceat(seg, first)
+        dur = ts[last] - ts[first]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            speed = np.where(dur > 0, length / dur, 0.0)
+        return pd.DataFrame({
+            "traj_id": tid[first], "trip_ord": trip_ord[first],
+            "n_fixes": (last - first + 1).astype(np.int64),
+            "t_start": ts[first], "t_end": ts[last],
+            "length_deg": length, "avg_speed": speed})
+
+    return bucketed_group_apply(points_ds, traj_col, per_bucket)
+
+
 def od_matrix(points_ds, *, res: int = 6, gap_thresh: float | None = None,
               traj_col: str = "traj_id", ts_col: str = "ts",
               x_col: str = "lon", y_col: str = "lat"):

@@ -138,11 +138,57 @@ def test_segment_trips_and_od(ray_session):
     assert int(od1["n_trips"].sum()) == len(exp_trips)
 
 
+def test_trip_stats_match_brute(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj import trip_stats
+
+    rng = np.random.default_rng(19)
+    rows = _synth_traces(rng)
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "traj_id": arr[:, 0].astype(np.int64), "ts": arr[:, 1],
+        "lon": arr[:, 2], "lat": arr[:, 3]})).repartition(4)
+
+    gap = 400.0
+    got = trip_stats(ds, gap_thresh=gap).to_pandas() \
+        .sort_values(["traj_id", "trip_ord"]).reset_index(drop=True)
+
+    # brute: split sorted traces at dt > gap, sum consecutive hypots
+    exp = []
+    for t in sorted({int(r[0]) for r in rows}):
+        traj = sorted([r for r in rows if r[0] == t])
+        trips, cur = [], [traj[0]]
+        for r in traj[1:]:
+            if r[1] - cur[-1][1] > gap:
+                trips.append(cur)
+                cur = []
+            cur.append(r)
+        trips.append(cur)
+        for k, trip in enumerate(trips):
+            length = sum(
+                np.hypot(trip[i + 1][2] - trip[i][2],
+                         trip[i + 1][3] - trip[i][3])
+                for i in range(len(trip) - 1))
+            dur = trip[-1][1] - trip[0][1]
+            exp.append((t, k, len(trip), trip[0][1], trip[-1][1],
+                        length, length / dur if dur > 0 else 0.0))
+    assert len(got) == len(exp)
+    for i, (t, k, n, t0, t1, ln, sp) in enumerate(exp):
+        assert (int(got["traj_id"][i]), int(got["trip_ord"][i]),
+                int(got["n_fixes"][i])) == (t, k, n)
+        assert got["t_start"][i] == t0 and got["t_end"][i] == t1
+        assert abs(got["length_deg"][i] - ln) < 1e-9
+        assert abs(got["avg_speed"][i] - sp) < 1e-12
+
+
 def test_traj_empty_and_single_fix(ray_session):
     import ray.data as rd
 
     from osm_cut_ray.stages.traj import (detect_stay_points, od_matrix,
                                          segment_trips)
+
+    from osm_cut_ray.stages.traj import trip_stats
 
     one = rd.from_arrow(pa.table({
         "traj_id": pa.array([5], pa.int64()),
@@ -150,6 +196,9 @@ def test_traj_empty_and_single_fix(ray_session):
         "lat": pa.array([3.0])}))
     trips = segment_trips(one, gap_thresh=10.0).to_pandas()
     assert len(trips) == 1 and trips["trip_ord"][0] == 0
+    st = trip_stats(one, gap_thresh=10.0).to_pandas()
+    assert (len(st) == 1 and st["n_fixes"][0] == 1
+            and st["length_deg"][0] == 0.0 and st["avg_speed"][0] == 0.0)
     stays = detect_stay_points(one, dist_thresh=1.0,
                                time_thresh=0.0).to_pandas()
     assert len(stays) == 1 and stays["n_pts"][0] == 1
