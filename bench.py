@@ -764,6 +764,39 @@ def _extra_distance_join(sf_dir: str):
     return distance_join(a, b, eps=0.05, k=4)
 
 
+def _extra_geofence(sf_dir: str):
+    """Geofence 1M points against 300 polygons through the broadcast
+    cell index (per-point cost independent of K; the tag_zones
+    sibling pays K bbox+PIP passes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.geofence import (build_geofence_index,
+                                             geofence_points)
+
+    specs = []
+    for i in range(300):
+        cx = ((i * 97) % 115) - 57.0
+        cy = ((i * 61) % 67) - 33.0
+        r = 0.3 + (i % 7) * 0.1
+        ang = np.linspace(0, 2 * np.pi, 8, endpoint=False) + i * 0.1
+        ring = [(cx + r * np.cos(a), cy + r * np.sin(a)) for a in ang]
+        specs.append([("include", ring)])
+    idx = build_geofence_index(specs, cell=0.25)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = ids * np.int64(2654435761)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "lon": pa.array(((h % 120000) / 1000.0) - 60.0),
+            "lat": pa.array((((h // 120000) % 70000) / 1000.0) - 35.0)})
+
+    pts = rd.range(1_000_000).map_batches(synth, batch_format="pyarrow")
+    return geofence_points(pts, idx)
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -971,6 +1004,7 @@ EXTRA_SET = {
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
+    "geofence_points_1m": _extra_geofence,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
