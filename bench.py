@@ -797,6 +797,55 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_overlay(sf_dir: str):
+    """Proper segment crossings between two 20k-way corpora over the
+    shared 200k-node table (A = broadcast grid, B = streamed
+    segments, zero shuffles on B)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.overlay import way_intersections
+
+    def synth_nodes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon, lat = _node_coords(ids)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def synth_nodes_b(t: pa.Table) -> pa.Table:
+        # the PERPENDICULAR family (axes swapped): realistic sparse
+        # crossings instead of two corpora tracing the same curve
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon, lat = _node_coords(ids)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lat), "lat": pa.array(lon / 2.0)})
+
+    def synth_ways(base):
+        def fn(t: pa.Table) -> pa.Table:
+            wids = t["id"].to_numpy(zero_copy_only=False)
+            refs = [(np.arange(50, dtype=np.int64) + w * 10)
+                    % _GRID_N_NODES for w in wids.tolist()]
+            return pa.table({
+                "id": pa.array(wids + base, pa.int64()),
+                "refs": pa.array([r.tolist() for r in refs],
+                                 pa.list_(pa.int64()))})
+        return fn
+
+    nodes_a = rd.range(_GRID_N_NODES).map_batches(synth_nodes,
+                                                  batch_format="pyarrow")
+    nodes_b = rd.range(_GRID_N_NODES).map_batches(synth_nodes_b,
+                                                  batch_format="pyarrow")
+    a = rd.range(20_000).map_batches(synth_ways(0),
+                                     batch_format="pyarrow",
+                                     batch_size=2048)
+    b = rd.range(20_000).map_batches(synth_ways(50_000),
+                                     batch_format="pyarrow",
+                                     batch_size=2048)
+    out = way_intersections(a, nodes_a, b, nodes_b, cell_deg=0.25)
+    return out
+
+
 def _extra_heavy_hitters(sf_dir: str):
     """Per-key Misra-Gries heavy hitters over lineitem (part keys per
     line number): sketch blobs are the only shuffle payload."""
@@ -1005,6 +1054,7 @@ EXTRA_SET = {
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
     "geofence_points_1m": _extra_geofence,
+    "overlay_crossings_20k": _extra_overlay,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,

@@ -48,6 +48,13 @@ class SegmentGrid:
         # linear referencing: each segment's start offset along its
         # way (planar degrees) — vectorized per-way prefix sums
         seg_len = np.hypot(x2 - x1, y2 - y1)
+        if len(x1) == 0:  # empty corpus: all-empty index
+            self.along0 = np.array([], np.float64)
+            self.seg_len = seg_len
+            self.cell_keys = np.array([], np.int64)
+            self.cell_start = np.array([0], np.int64)
+            self.cell_segs = np.array([], np.int64)
+            return
         order = np.lexsort((self.seg_ord, self.way_ids))
         cs = np.cumsum(seg_len[order]) - seg_len[order]
         wid_s = self.way_ids[order]
@@ -256,16 +263,13 @@ class SegmentGrid:
                 np.concatenate([a[5] for a in acc])[o])
 
 
-def build_segment_grid(ways_ds, nodes_ds, *, cell_deg: float = 0.5,
-                       refs_col: str = "refs", id_col: str = "id",
-                       max_broadcast_nodes: int = 50_000_000,
-                       max_broadcast_segments: int = 100_000_000
-                       ) -> SegmentGrid:
-    """Compile way geometry into a broadcastable SegmentGrid.
-
-    Segments are extracted distributed (one slim pass over ways with
-    the broadcast coordinate lookup) and pulled as flat arrays —
-    40 B/segment; `max_broadcast_segments` RAISES past the cap."""
+def way_segments(ways_ds, nodes_ds, *, refs_col: str = "refs",
+                 id_col: str = "id",
+                 max_broadcast_nodes: int = 50_000_000):
+    """Distributed way -> segment extraction: one slim pass over ways
+    with the broadcast coordinate lookup. -> Dataset (way_id, seg,
+    x1, y1, x2, y2). Shared by the SegmentGrid build and the overlay
+    (segment intersection) stage."""
     n_nodes = nodes_ds.count()
     if n_nodes > max_broadcast_nodes:
         raise ValueError(f"{n_nodes} nodes exceed broadcast cap")
@@ -321,10 +325,26 @@ def build_segment_grid(ways_ds, nodes_ds, *, cell_deg: float = 0.5,
             "x1": xs[:-1][pair], "y1": ys[:-1][pair],
             "x2": xs[1:][pair], "y2": ys[1:][pair]})
 
+    return ways_ds.map_batches(segs, batch_format="pyarrow")
+
+
+def build_segment_grid(ways_ds, nodes_ds, *, cell_deg: float = 0.5,
+                       refs_col: str = "refs", id_col: str = "id",
+                       max_broadcast_nodes: int = 50_000_000,
+                       max_broadcast_segments: int = 100_000_000
+                       ) -> SegmentGrid:
+    """Compile way geometry into a broadcastable SegmentGrid.
+
+    Segments are extracted distributed (`way_segments`) and pulled as
+    flat arrays — 40 B/segment; `max_broadcast_segments` RAISES past
+    the cap."""
+    seg_ds = way_segments(ways_ds, nodes_ds, refs_col=refs_col,
+                          id_col=id_col,
+                          max_broadcast_nodes=max_broadcast_nodes)
     parts = [[], [], [], [], [], []]
     names = ("way_id", "seg", "x1", "y1", "x2", "y2")
     total = 0
-    for b in ways_ds.map_batches(segs, batch_format="pyarrow") \
+    for b in seg_ds \
             .iter_batches(batch_size=None, batch_format="pyarrow"):
         if b.num_rows:
             total += b.num_rows
