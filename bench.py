@@ -797,6 +797,47 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_image_augment(sf_dir: str):
+    """3x deterministic augmentation over 50k mixed-size images
+    (decode -> stacked numpy flips/rots/crops -> re-encode)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import images_batch_from_keys
+    from osm_cut_ray.stages.image_augment import augment_images
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    return augment_images(corpus, n_variants=3).map_batches(
+        lambda t: t.select(["image_id", "w", "h"]),
+        batch_format="pyarrow")
+
+
+def _extra_channel_stats(sf_dir: str):
+    """Corpus pixel mean/std over 50k images in one streamed pass
+    (int64-exact partials, no shuffle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import images_batch_from_keys
+    from osm_cut_ray.stages.image_augment import channel_stats
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    st = channel_stats(corpus)
+    assert st["n_images"] == 50_000 and 0 < st["mean"] < 255
+    return pa.table({"mean": pa.array([st["mean"]]),
+                     "std": pa.array([st["std"]])})
+
+
 def _extra_overlay(sf_dir: str):
     """Proper segment crossings between two 20k-way corpora over the
     shared 200k-node table (A = broadcast grid, B = streamed
@@ -1055,6 +1096,8 @@ EXTRA_SET = {
     "distance_join_500k": _extra_distance_join,
     "geofence_points_1m": _extra_geofence,
     "overlay_crossings_20k": _extra_overlay,
+    "image_augment_50k": _extra_image_augment,
+    "image_norm_stats_50k": _extra_channel_stats,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
