@@ -797,6 +797,32 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_density_tiles(sf_dir: str):
+    """Render zoom-6 density tiles (256px grayscale images) from 2M
+    points: one slim (tile, pixel) shuffle + per-tile bincount+encode."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.tiles import render_density_tiles
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = ids * np.int64(2654435761)
+        blob = ids % 50
+        lon0, lat0 = _node_coords(blob * 4001)
+        lon = np.where(ids % 5 == 0,
+                       ((h % 360000) / 1000.0) - 180.0,
+                       lon0 + ((h % 2000) / 1000.0 - 1.0) * 2.0)
+        lat = np.where(ids % 5 == 0,
+                       (((h // 7) % 180000) / 1000.0) - 90.0,
+                       lat0 + (((h // 11) % 2000) / 1000.0 - 1.0) * 2.0)
+        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = rd.range(2_000_000).map_batches(synth, batch_format="pyarrow")
+    return render_density_tiles(pts, zoom=6)
+
+
 def _extra_image_augment(sf_dir: str):
     """3x deterministic augmentation over 50k mixed-size images
     (decode -> stacked numpy flips/rots/crops -> re-encode)."""
@@ -1098,6 +1124,7 @@ EXTRA_SET = {
     "overlay_crossings_20k": _extra_overlay,
     "image_augment_50k": _extra_image_augment,
     "image_norm_stats_50k": _extra_channel_stats,
+    "density_tiles_2m": _extra_density_tiles,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,

@@ -351,3 +351,101 @@ def dbscan_points(points_ds, *, eps: float, min_pts: int,
 
     borders = bmin.map_batches(border_rows, batch_format="pyarrow")
     return cores.union(borders)
+
+
+def _hull(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain -> CCW hull vertex indices (degenerate
+    inputs: all distinct points, in x-then-y order)."""
+    order = np.lexsort((y, x))
+    pts = np.stack([x[order], y[order]], axis=1)
+    uniq = np.concatenate(([True], (np.diff(pts, axis=0) != 0)
+                           .any(axis=1)))
+    order = order[uniq]
+    pts = pts[uniq]
+    n = len(pts)
+    if n <= 2:
+        return order
+
+    def half(idx_iter):
+        out: list[int] = []
+        for i in idx_iter:
+            while len(out) >= 2:
+                ox, oy = pts[out[-2]]
+                ax, ay = pts[out[-1]]
+                if (ax - ox) * (pts[i, 1] - oy) \
+                        - (ay - oy) * (pts[i, 0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    return order[np.asarray(lower[:-1] + upper[:-1], np.int64)]
+
+
+def cluster_hulls(labeled_ds, points_ds, *, id_col: str = "id",
+                  x_col: str = "lon", y_col: str = "lat"):
+    """Per-cluster convex hulls + summary over `dbscan_points` output:
+    -> Dataset (cluster, n_pts, cx, cy, hull_x, hull_y) with the CCW
+    hull as list<double> columns. Noise (cluster -1) is excluded. One
+    bucketed join to attach coordinates + one cluster-bucket shuffle;
+    the monotone-chain scan is per cluster (hulls are inherently
+    sequential), everything else vectorized."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .join import bucketed_attach_column, bucketed_group_apply
+    lab = labeled_ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cluster"], 0))
+        .select(["id", "cluster"]),
+        batch_format="pyarrow").materialize()
+
+    def _coord(col, name):
+        return points_ds.map_batches(
+            lambda t, c=col, n=name: pa.table({
+                "id": t[id_col].cast(pa.int64()),
+                n: t[c].cast(pa.float64())}),
+            batch_format="pyarrow")
+
+    both = bucketed_attach_column(lab, "id", _coord(x_col, "__x"),
+                                  "id", "__x").materialize()
+    both = bucketed_attach_column(both, "id", _coord(y_col, "__y"),
+                                  "id", "__y")
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                "n_pts": pa.array([], pa.int64()),
+                "cx": pa.array([], pa.float64()),
+                "cy": pa.array([], pa.float64()),
+                "hull_x": pa.array([], pa.list_(pa.float64())),
+                "hull_y": pa.array([], pa.list_(pa.float64()))})
+        g = g.sort_values("cluster", kind="mergesort")
+        cl = g["cluster"].to_numpy(np.int64)
+        x = g["__x"].to_numpy(np.float64)
+        y = g["__y"].to_numpy(np.float64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(cl[1:] != cl[:-1]) + 1, [len(cl)]))
+        rows = {"cluster": [], "n_pts": [], "cx": [], "cy": [],
+                "hull_x": [], "hull_y": []}
+        for k in range(len(starts) - 1):
+            s, e = int(starts[k]), int(starts[k + 1])
+            hi = _hull(x[s:e], y[s:e])
+            rows["cluster"].append(cl[s])
+            rows["n_pts"].append(e - s)
+            rows["cx"].append(float(x[s:e].mean()))
+            rows["cy"].append(float(y[s:e].mean()))
+            rows["hull_x"].append(x[s:e][hi])
+            rows["hull_y"].append(y[s:e][hi])
+        return pa.table({
+            "cluster": pa.array(np.asarray(rows["cluster"], np.int64)),
+            "n_pts": pa.array(np.asarray(rows["n_pts"], np.int64)),
+            "cx": pa.array(rows["cx"], pa.float64()),
+            "cy": pa.array(rows["cy"], pa.float64()),
+            "hull_x": pa.array(rows["hull_x"], pa.list_(pa.float64())),
+            "hull_y": pa.array(rows["hull_y"], pa.list_(pa.float64()))})
+
+    return bucketed_group_apply(both, "cluster", per_bucket)

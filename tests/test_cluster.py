@@ -115,6 +115,75 @@ def test_dbscan_degenerate(ray_session):
     assert dbscan_points(empty, eps=0.5, min_pts=2).count() == 0
 
 
+def _brute_hull(pts):
+    """Strictly-extreme points (unique argmax over sampled directions)
+    — every one MUST be a hull vertex; independent of monotone chain."""
+    arr = np.unique(np.asarray(pts, np.float64), axis=0)
+    out = set()
+    for ang in np.linspace(0, 2 * np.pi, 720, endpoint=False):
+        v = np.array([np.cos(ang), np.sin(ang)])
+        proj = arr @ v
+        top = np.flatnonzero(proj >= proj.max() - 1e-12)
+        if len(top) == 1:
+            out.add(tuple(arr[top[0]]))
+    return out
+
+
+def test_cluster_hulls(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.cluster import (_hull, cluster_hulls,
+                                            dbscan_points)
+
+    # _hull vs a direction-extreme brute on random sets
+    rng = np.random.default_rng(13)
+    for _ in range(10):
+        pts = rng.uniform(0, 1, (int(rng.integers(3, 40)), 2))
+        hi = _hull(pts[:, 0], pts[:, 1])
+        hull_set = {(pts[i, 0], pts[i, 1]) for i in hi}
+        exp = _brute_hull(pts)
+        assert exp <= hull_set  # every extreme point is on the hull
+        # every hull vertex is extreme in some direction
+        for hx, hy in hull_set:
+            proj_max = False
+            for ang in np.linspace(0, 2 * np.pi, 1440, endpoint=False):
+                v = np.array([np.cos(ang), np.sin(ang)])
+                if np.isclose(hx * v[0] + hy * v[1],
+                              (pts @ v).max(), atol=1e-12):
+                    proj_max = True
+                    break
+            assert proj_max
+
+    # end-to-end over dbscan output
+    blobs = [rng.normal([0, 0], 0.1, (50, 2)),
+             rng.normal([3, 3], 0.1, (60, 2))]
+    noise = np.array([[10.0, 10.0]])
+    pts = np.vstack(blobs + [noise])
+    ids = np.arange(len(pts), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "id": ids, "lon": pts[:, 0], "lat": pts[:, 1]})).repartition(3)
+    labeled = dbscan_points(ds, eps=0.2, min_pts=4).materialize()
+    hulls = cluster_hulls(labeled, ds).to_pandas() \
+        .sort_values("cluster").reset_index(drop=True)
+    lab = labeled.to_pandas()
+    sizes = lab[lab.cluster >= 0].groupby("cluster").size()
+    assert len(hulls) == 2  # noise excluded
+    assert hulls["n_pts"].tolist() == sizes.sort_index().tolist()
+    m0 = lab[lab.cluster == hulls["cluster"][0]]["id"].to_numpy()
+    assert abs(hulls["cx"][0] - pts[m0, 0].mean()) < 1e-9
+    # all cluster points lie inside-or-on their hull
+    for r in hulls.itertuples():
+        hx = np.asarray(r.hull_x)
+        hy = np.asarray(r.hull_y)
+        members = lab[lab.cluster == r.cluster]["id"].to_numpy()
+        mx, my = pts[members, 0], pts[members, 1]
+        for k in range(len(hx)):
+            x1, y1 = hx[k], hy[k]
+            x2, y2 = hx[(k + 1) % len(hx)], hy[(k + 1) % len(hx)]
+            cross = (x2 - x1) * (my - y1) - (y2 - y1) * (mx - x1)
+            assert (cross >= -1e-9).all()  # CCW: members on the left
+
+
 def test_dbscan_negative_coords_and_border_tie(ray_session):
     import ray.data as rd
 
