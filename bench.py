@@ -798,8 +798,10 @@ def _extra_geofence(sf_dir: str):
 
 
 def _extra_density_tiles(sf_dir: str):
-    """Render zoom-6 density tiles (256px grayscale images) from 2M
-    points: one slim (tile, pixel) shuffle + per-tile bincount+encode."""
+    """Raster pipeline over 2M points: render zoom-6 density tiles
+    (256px grayscale), box-blur them ACROSS tile borders (halo
+    exchange), then roll one pyramid level up — three bucketed
+    shuffles end to end."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -819,8 +821,13 @@ def _extra_density_tiles(sf_dir: str):
                        lat0 + (((h // 11) % 2000) / 1000.0 - 1.0) * 2.0)
         return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
 
+    from osm_cut_ray.stages.tiles import (smooth_tiles,
+                                          tile_pyramid_level)
     pts = rd.range(2_000_000).map_batches(synth, batch_format="pyarrow")
-    return render_density_tiles(pts, zoom=6)
+    tiles = render_density_tiles(pts, zoom=6).materialize()
+    sm = smooth_tiles(tiles, radius=2).materialize()
+    assert sm.count() == tiles.count()
+    return tile_pyramid_level(sm)
 
 
 def _extra_image_augment(sf_dir: str):

@@ -67,6 +67,90 @@ def test_density_tiles_match_brute(ray_session):
     assert decode_image(dens.bytes)[0].max() == 255
 
 
+def test_smooth_tiles_matches_global_blur(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import decode_image
+    from osm_cut_ray.stages.tiles import render_density_tiles, smooth_tiles
+
+    rng = np.random.default_rng(59)
+    # points concentrated near tile borders so the halo exchange is
+    # load-bearing, spanning a 2x2+ tile neighborhood at zoom 2
+    lons = np.concatenate([rng.normal(0.0, 8.0, 3000),
+                           rng.uniform(-30, 30, 500)])
+    lats = np.concatenate([rng.normal(0.0, 5.0, 3000),
+                           rng.uniform(-20, 20, 500)])
+    ds = rd.from_arrow(pa.table({"lon": lons, "lat": lats}))
+    zoom, px, r = 2, 32, 3
+    tiles = render_density_tiles(ds, zoom=zoom, tile_px=px).materialize()
+    sm = smooth_tiles(tiles, radius=r).to_pandas()
+
+    # brute: stitch the global raster (absent tiles = truly zero:
+    # they hold no points), blur with the same int box + floor
+    n = (1 << zoom)
+    world = np.zeros((n * px, n * px), np.int64)
+    in_tiles = {}
+    for row in tiles.to_pandas().itertuples():
+        img = decode_image(row.bytes)[0]
+        world[row.ty * px:(row.ty + 1) * px,
+              row.tx * px:(row.tx + 1) * px] = img
+        in_tiles[(int(row.tx), int(row.ty))] = True
+    pad = np.zeros((n * px + 2 * r, n * px + 2 * r), np.int64)
+    pad[r:-r, r:-r] = world
+    ii = pad.cumsum(0).cumsum(1)
+    ii = np.pad(ii, ((1, 0), (1, 0)))
+    k = 2 * r + 1
+    m = n * px
+    sums = (ii[k:k + m, k:k + m] - ii[0:m, k:k + m]
+            - ii[k:k + m, 0:m] + ii[0:m, 0:m])
+    blurred = (sums // (k * k)).astype(np.uint8)
+
+    assert {(int(t.tx), int(t.ty)) for t in sm.itertuples()} \
+        == set(in_tiles)
+    for row in sm.itertuples():
+        got = decode_image(row.bytes)[0]
+        exp = blurred[row.ty * px:(row.ty + 1) * px,
+                      row.tx * px:(row.tx + 1) * px]
+        assert (got == exp).all(), (row.tx, row.ty)
+
+
+def test_tile_pyramid_level(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import decode_image
+    from osm_cut_ray.stages.tiles import (render_density_tiles,
+                                          tile_pyramid_level)
+
+    rng = np.random.default_rng(61)
+    lons = rng.uniform(-90, 90, 3000)
+    lats = rng.uniform(-45, 45, 3000)
+    ds = rd.from_arrow(pa.table({"lon": lons, "lat": lats}))
+    zoom, px = 3, 32
+    tiles = render_density_tiles(ds, zoom=zoom, tile_px=px).materialize()
+    up = tile_pyramid_level(tiles).to_pandas()
+
+    child = {(int(r.tx), int(r.ty)): decode_image(r.bytes)[0]
+             for r in tiles.to_pandas().itertuples()}
+    exp_parents = {(x // 2, y // 2) for x, y in child}
+    assert {(int(r.tx), int(r.ty)) for r in up.itertuples()} \
+        == exp_parents
+    assert (up["tz"] == zoom - 1).all()
+    for r in up.itertuples():
+        big = np.zeros((2 * px, 2 * px), np.int64)
+        for cx in (0, 1):
+            for cy in (0, 1):
+                img = child.get((2 * int(r.tx) + cx, 2 * int(r.ty) + cy))
+                if img is not None:
+                    big[cy * px:(cy + 1) * px,
+                        cx * px:(cx + 1) * px] = img
+        exp = ((big[0::2, 0::2] + big[1::2, 0::2]
+                + big[0::2, 1::2] + big[1::2, 1::2]) // 4) \
+            .astype(np.uint8)
+        got = decode_image(r.bytes)[0]
+        assert got.shape == (px, px)
+        assert (got == exp).all()
+
+
 def test_density_tiles_linear_and_single(ray_session):
     import ray.data as rd
 
