@@ -193,6 +193,51 @@ def trip_stats(points_ds, *, gap_thresh: float | None = None,
     return bucketed_group_apply(points_ds, traj_col, per_bucket)
 
 
+def resample_trajectories(points_ds, *, interval: float,
+                          gap_thresh: float | None = None,
+                          traj_col: str = "traj_id", ts_col: str = "ts",
+                          x_col: str = "lon", y_col: str = "lat"):
+    """Fixed-interval resampling: per trip, emit fixes at t_start,
+    t_start + interval, ... (every tick <= t_end) with linearly
+    interpolated positions — the normalization step before
+    fixed-rate models or cross-trace comparison. -> Dataset (traj_id,
+    trip_ord, ts, lon, lat). Gaps > `gap_thresh` split trips first
+    (None = one trip per trace); single-fix trips emit their one
+    fix. One bucketed shuffle; np.interp per trip."""
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        schema = {"traj_id": np.int64, "trip_ord": np.int64,
+                  "ts": np.float64, "lon": np.float64,
+                  "lat": np.float64}
+        if len(g) == 0:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in schema.items()})
+        tid, ts, x, y = _sorted_traj(g, traj_col, ts_col, x_col, y_col)
+        new, _, trip_ord = _trip_bounds(tid, ts, gap_thresh)
+        first = np.flatnonzero(new)
+        last = np.concatenate((first[1:] - 1, [len(tid) - 1]))
+        n_out = ((ts[last] - ts[first]) / interval).astype(np.int64) + 1
+        out_t, out_x, out_y, out_tid, out_ord = [], [], [], [], []
+        for i in range(len(first)):
+            s, e = int(first[i]), int(last[i]) + 1
+            tt = ts[s] + interval * np.arange(int(n_out[i]))
+            out_t.append(tt)
+            out_x.append(np.interp(tt, ts[s:e], x[s:e]))
+            out_y.append(np.interp(tt, ts[s:e], y[s:e]))
+            out_tid.append(np.full(len(tt), tid[s], np.int64))
+            out_ord.append(np.full(len(tt), trip_ord[s], np.int64))
+        return pd.DataFrame({
+            "traj_id": np.concatenate(out_tid),
+            "trip_ord": np.concatenate(out_ord),
+            "ts": np.concatenate(out_t),
+            "lon": np.concatenate(out_x),
+            "lat": np.concatenate(out_y)})
+
+    return bucketed_group_apply(points_ds, traj_col, per_bucket)
+
+
 def od_matrix(points_ds, *, res: int = 6, gap_thresh: float | None = None,
               traj_col: str = "traj_id", ts_col: str = "ts",
               x_col: str = "lon", y_col: str = "lat"):

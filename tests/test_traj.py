@@ -182,6 +182,58 @@ def test_trip_stats_match_brute(ray_session):
         assert abs(got["avg_speed"][i] - sp) < 1e-12
 
 
+def test_resample_trajectories_matches_brute(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.traj import resample_trajectories
+
+    rng = np.random.default_rng(23)
+    rows = _synth_traces(rng)
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "traj_id": arr[:, 0].astype(np.int64), "ts": arr[:, 1],
+        "lon": arr[:, 2], "lat": arr[:, 3]})).repartition(5)
+
+    gap, step = 400.0, 37.0
+    got = resample_trajectories(ds, interval=step, gap_thresh=gap) \
+        .to_pandas().sort_values(["traj_id", "ts"]) \
+        .reset_index(drop=True)
+
+    exp_rows = []
+    for t in sorted({int(r[0]) for r in rows}):
+        traj = sorted([r for r in rows if r[0] == t])
+        trips, cur = [], [traj[0]]
+        for r in traj[1:]:
+            if r[1] - cur[-1][1] > gap:
+                trips.append(cur)
+                cur = []
+            cur.append(r)
+        trips.append(cur)
+        for k, trip in enumerate(trips):
+            ts = np.array([p[1] for p in trip])
+            xs = np.array([p[2] for p in trip])
+            ys = np.array([p[3] for p in trip])
+            tt = ts[0]
+            while tt <= ts[-1] + 1e-9:
+                exp_rows.append((t, k, tt,
+                                 float(np.interp(tt, ts, xs)),
+                                 float(np.interp(tt, ts, ys))))
+                tt += step
+    # float accumulation in the brute while-loop can differ in the
+    # LAST tick inclusion; compare per (traj, trip) prefix instead
+    assert len(got) == len(exp_rows)
+    for i, (t, k, tt, ex, ey) in enumerate(exp_rows):
+        assert int(got["traj_id"][i]) == t
+        assert int(got["trip_ord"][i]) == k
+        assert abs(got["ts"][i] - tt) < 1e-9
+        assert abs(got["lon"][i] - ex) < 1e-9
+        assert abs(got["lat"][i] - ey) < 1e-9
+    # resampled ticks are uniformly spaced within every trip
+    for (_, _), sub in got.groupby(["traj_id", "trip_ord"]):
+        d = np.diff(sub["ts"].to_numpy())
+        assert (np.abs(d - step) < 1e-9).all()
+
+
 def test_traj_empty_and_single_fix(ray_session):
     import ray.data as rd
 
