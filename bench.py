@@ -797,6 +797,39 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_retrieval_eval(sf_dir: str):
+    """Perturbed-copy retrieval recall@k over 50k DISTINCT-gradient
+    images (the input_hint default pattern differs only by an
+    intensity shift, which mean-centering erases — retrieval needs
+    per-key structure): distributed embed + broadcast-probe brute kNN
+    + rank scoring."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import encode_image
+    from osm_cut_ray.stages.retrieval import image_query_recall
+
+    def synth(t: pa.Table) -> pa.Table:
+        keys = t["id"].to_numpy(zero_copy_only=False)
+        xx = np.arange(32, dtype=np.int64)[None, None, :]
+        yy = np.arange(32, dtype=np.int64)[None, :, None]
+        a = (keys % 251 + 3)[:, None, None]
+        b = (keys % 241 + 5)[:, None, None]
+        px = ((a * xx + b * yy + (xx * yy) // 7
+               + keys[:, None, None]) % 256).astype(np.uint8)
+        blobs = [encode_image(px[i], "fpng") for i in range(len(keys))]
+        ids = [f"img{k:08d}" for k in keys.tolist()]
+        return pa.table({"image_id": pa.array(ids),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    got = image_query_recall(corpus, n_queries=128, noise=2)
+    assert got["n_queries"] == 128 and got["recall@10"] >= 0.9, got
+    return pa.table({k: pa.array([float(v)]) for k, v in got.items()})
+
+
 def _extra_density_tiles(sf_dir: str):
     """Raster pipeline over 2M points: render zoom-6 density tiles
     (256px grayscale), box-blur them ACROSS tile borders (halo
@@ -1132,6 +1165,7 @@ EXTRA_SET = {
     "image_augment_50k": _extra_image_augment,
     "image_norm_stats_50k": _extra_channel_stats,
     "density_tiles_2m": _extra_density_tiles,
+    "retrieval_recall_50k": _extra_retrieval_eval,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
