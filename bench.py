@@ -641,7 +641,12 @@ def _extra_match_traj(sf_dir: str):
             "lat": pa.array(lat0 + np.cos(ids * 1.3) * 0.08)})
 
     pts = rd.range(200_000).map_batches(traj_pts, batch_format="pyarrow")
-    return match_trajectories(pts, grid, radius=0.25, k_cands=4)
+    from osm_cut_ray.stages.speed import way_speed_stats
+    matched = match_trajectories(pts, grid, radius=0.25,
+                                 k_cands=4).materialize()
+    stats = way_speed_stats(matched)
+    assert stats.count() > 0
+    return matched
 
 
 def _extra_traj_analytics(sf_dir: str):
