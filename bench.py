@@ -802,6 +802,33 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_hotspot(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores over 2M points at hex res 7
+    (count groupby + ring fold + map-side scoring)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.hotspot import getis_ord_gi
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = ids * np.int64(2654435761)
+        blob = ids % 200
+        lon0, lat0 = _node_coords(blob * 997)
+        lon = np.where(ids % 3 == 0,
+                       ((h % 120000) / 1000.0) - 60.0,
+                       lon0 + ((h % 2000) / 1000.0 - 1.0) * 0.3)
+        lat = np.where(ids % 3 == 0,
+                       (((h // 7) % 70000) / 1000.0) - 35.0,
+                       lat0 + (((h // 11) % 2000) / 1000.0 - 1.0) * 0.3)
+        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = rd.range(2_000_000).map_batches(synth, batch_format="pyarrow")
+    out = getis_ord_gi(pts, res=7)
+    return out
+
+
 def _extra_retrieval_eval(sf_dir: str):
     """Perturbed-copy retrieval recall@k over 50k DISTINCT-gradient
     images (the input_hint default pattern differs only by an
@@ -1171,6 +1198,7 @@ EXTRA_SET = {
     "image_norm_stats_50k": _extra_channel_stats,
     "density_tiles_2m": _extra_density_tiles,
     "retrieval_recall_50k": _extra_retrieval_eval,
+    "hotspot_gi_2m": _extra_hotspot,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,

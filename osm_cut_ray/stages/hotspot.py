@@ -1,0 +1,137 @@
+"""Spatial hotspot detection: Getis-Ord Gi* z-scores over hex-cell
+point counts — the standard local spatial statistic (crime/incident
+hotspots, demand surging, coverage anomalies).
+
+Definition used (pinned by tests/test_hotspot.py): the cell universe
+is the NON-EMPTY cells (an infinite plane has no all-cells universe);
+weights are w = 1 over ring-1 neighbors plus self (Gi*), restricted
+to non-empty cells. With n = |universe|, x-bar and S the universe
+mean/std (population std), Wi = number of non-empty cells in i's
+ring+self:
+
+  Gi* = (sum_j x_j - x_bar * Wi) / (S * sqrt((n*Wi - Wi^2) / (n-1)))
+
+Ray-Data shape: ONE groupby builds the (cell, n) count table
+(per-batch Arrow combiner first); each count row then emits itself to
+its 7 ring keys (hex_neighbors is antimeridian-correct), a second
+small groupby folds (sum_j x_j, Wi) per cell, and the z-score is a
+map-side pass with the broadcast (n, x_bar, S) globals — shuffles
+touch count rows only, never points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geometry.cells import hex_cell, hex_neighbors
+
+
+def _bucket_sums(rows_ds, cols: tuple[str, ...]):
+    """(cell, *int64 cols) rows -> per-cell sums via the bucket-hash
+    pattern (sort key cardinality = bucket count, not cell count —
+    measured ~4x faster than a raw groupby(cell) sort-shuffle here)."""
+    from .join import bucketed_group_apply
+
+    def per_bucket(g) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        out = g.groupby("cell", as_index=False)[list(cols)].sum()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return bucketed_group_apply(rows_ds, "cell", per_bucket)
+
+
+def cell_counts(points_ds, *, res: int = 7, x_col: str = "lon",
+                y_col: str = "lat"):
+    """points -> Dataset (cell, n) over non-empty hex cells."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = hex_cell(
+            t[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            t[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            res)
+        uc, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(uc),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    partial = points_ds.map_batches(combine, batch_format="pyarrow")
+    return _bucket_sums(partial, ("n",))
+
+
+def getis_ord_gi(points_ds, *, res: int = 7, x_col: str = "lon",
+                 y_col: str = "lat"):
+    """-> Dataset (cell, n, gi_z): Gi* z-score per non-empty cell
+    (module docstring). Deterministic given the point set."""
+    import ray.data
+
+    counts = cell_counts(points_ds, res=res, x_col=x_col,
+                         y_col=y_col).materialize()
+    # universe globals: one tiny aggregate over the count table
+    gstats = counts.aggregate(
+        ray.data.aggregate.Count(alias_name="n_cells"),
+        ray.data.aggregate.Sum("n", alias_name="sx"),
+        ray.data.aggregate.Mean("n", alias_name="xbar"),
+        ray.data.aggregate.Std("n", ddof=0, alias_name="s"))
+    n_cells = int(gstats["n_cells"])
+    if n_cells == 0:
+        return ray.data.from_arrow(pa.table({
+            "cell": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "gi_z": pa.array([], pa.float64())}))
+    xbar = float(gstats["xbar"])
+    s = float(gstats["s"] or 0.0)
+    glob = ray.put((n_cells, xbar, s))
+
+    def spread(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr = hex_neighbors(c)                       # (m, 6)
+        targets = np.concatenate([c] + [nbr[:, j] for j in range(6)])
+        vals = np.tile(x, 7)
+        return pa.table({"cell": pa.array(targets),
+                         "sx": pa.array(vals),
+                         "w": pa.array(np.ones(len(vals), np.int64))})
+
+    folded = _bucket_sums(
+        counts.map_batches(spread, batch_format="pyarrow"),
+        ("sx", "w")).map_batches(
+            lambda t: t.rename_columns(["cell", "sum_x", "wi"]),
+            batch_format="pyarrow")
+    # keep only cells of the universe: attach own count (inner join)
+    from .join import bucketed_attach_column
+    folded = bucketed_attach_column(
+        folded.materialize(), "cell", counts, "cell", "n")
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "gi_z": pa.array([], pa.float64())})
+        nc, xb, sd = ray.get(glob)
+        sx = t["sum_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        wi = t["wi"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if nc > 1 and sd > 0:
+            den = sd * np.sqrt((nc * wi - wi * wi) / (nc - 1))
+        else:
+            den = np.zeros(len(wi))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(den > 0, (sx - xb * wi) / den, 0.0)
+        return pa.table({
+            "cell": t["cell"].cast(pa.int64()),
+            "n": t["n"].cast(pa.int64()),
+            "gi_z": pa.array(z)})
+
+    return folded.map_batches(score, batch_format="pyarrow")
