@@ -194,6 +194,18 @@ def cut_shuffle(nodes: Dataset, ways: Dataset, relations: Dataset,
             lambda t: t.rename_columns(["way_id", "node_ids"]),
             batch_format="pyarrow"),
         ["way_id"], "node_ids", "node_id", pos_col="pos").materialize()
+    # re-solidify: an explode batch with nothing to emit leaves a
+    # zero-row schema-less block in the materialized set; a hash-join
+    # partition built only from those crashes Acero ("No match for
+    # key field way_id on left side" — observed once under heavy CPU
+    # contention even with non-degenerate corpora). `pairs` is the
+    # LEFT side of several native joins below, so pay one data-sized
+    # repartition barrier here.
+    _n0 = pairs.count()
+    if _n0:
+        pairs = pairs.repartition(
+            max(1, min(J.cluster_parts(), _n0 // 5000 + 1))) \
+            .materialize()
     # pairs feeds three joins; materializing avoids recomputing the
     # explode per consumer (slim columns only — payloads stay behind)
     # size join partitions to the measured slim-row volume (both sets
