@@ -824,9 +824,23 @@ def _extra_hotspot(sf_dir: str):
                        lat0 + (((h // 11) % 2000) / 1000.0 - 1.0) * 0.3)
         return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
 
+        # ts ramps per blob so half the blobs EMERGE over the window
     pts = rd.range(2_000_000).map_batches(synth, batch_format="pyarrow")
-    out = getis_ord_gi(pts, res=7)
-    return out
+    gi = getis_ord_gi(pts, res=7).materialize()
+    assert gi.count() > 0
+
+    from osm_cut_ray.stages.hotspot import emerging_hotspots
+
+    def with_ts(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = len(t)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        h = (np.arange(n) * 40503) % 1000
+        return t.append_column("ts", pa.array(h / 1000.0 * 120.0))
+
+    return emerging_hotspots(pts.map_batches(with_ts,
+                                             batch_format="pyarrow"),
+                             t0=0.0, t1=120.0, interval=10.0, res=7)
 
 
 def _extra_retrieval_eval(sf_dir: str):

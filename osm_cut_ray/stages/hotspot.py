@@ -66,6 +66,79 @@ def cell_counts(points_ds, *, res: int = 7, x_col: str = "lon",
     return _bucket_sums(partial, ("n",))
 
 
+def emerging_hotspots(points_ds, *, t0: float, t1: float,
+                      interval: float, res: int = 7,
+                      x_col: str = "lon", y_col: str = "lat",
+                      ts_col: str = "ts"):
+    """Space-time trend per cell: bin events into (hex cell, time
+    bin), then score each cell's COMPLETE bin series (zeros included
+    over [t0, t1)) with the Mann-Kendall trend statistic
+
+      S = sum_{i<j} sign(x_j - x_i),
+      var = (B(B-1)(2B+5) - sum_t t(t-1)(2t+5)) / 18   (tie-corrected)
+      z = (S -/+ 1) / sqrt(var)  (continuity-corrected, 0 when S = 0)
+
+    -> Dataset (cell, n_events, mk_s, mk_z): positive z = growing
+    activity (emerging), negative = fading. Events outside [t0, t1)
+    are ignored. One slim (cell, tbin) shuffle; the O(B^2) pair scan
+    runs vectorized across every cell of a bucket at once (B = bin
+    count, small by construction)."""
+    from .join import bucketed_group_apply
+    n_bins = int(np.ceil((t1 - t0) / interval))
+    if n_bins < 2:
+        raise ValueError("need >= 2 time bins")
+
+    def slim(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (ts >= t0) & (ts < t1)
+        c = hex_cell(x[ok], y[ok], res)
+        b = ((ts[ok] - t0) / interval).astype(np.int64)
+        # per-batch combine: (cell, bin) counts
+        key = c * np.int64(n_bins) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell": pa.array(uk // n_bins),
+                         "tbin": pa.array(uk % n_bins),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def per_bucket(g) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "mk_s": pa.array([], pa.int64()),
+                          "mk_z": pa.array([], pa.float64())})
+        if len(g) == 0:
+            return empty
+        agg = g.groupby(["cell", "tbin"], as_index=False)["n"].sum()
+        cl = agg["cell"].to_numpy(np.int64)
+        tb = agg["tbin"].to_numpy(np.int64)
+        nn = agg["n"].to_numpy(np.int64)
+        cells, inv = np.unique(cl, return_inverse=True)
+        mat = np.zeros((len(cells), n_bins), np.int64)
+        mat[inv, tb] = nn
+        # S over all bin pairs, vectorized across cells
+        d = np.sign(mat[:, None, :] - mat[:, :, None])
+        iu, ju = np.triu_indices(n_bins, k=1)
+        S = d[:, iu, ju].sum(axis=1)
+        # tie correction: group sizes per distinct value per cell
+        var = np.full(len(cells),
+                      n_bins * (n_bins - 1) * (2 * n_bins + 5) / 18.0)
+        for i in range(len(cells)):
+            _, tcnt = np.unique(mat[i], return_counts=True)
+            var[i] -= (tcnt * (tcnt - 1) * (2 * tcnt + 5)).sum() / 18.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(S > 0, (S - 1) / np.sqrt(var),
+                         np.where(S < 0, (S + 1) / np.sqrt(var), 0.0))
+        z = np.where(var > 0, z, 0.0)
+        return pa.table({"cell": pa.array(cells),
+                         "n_events": pa.array(mat.sum(axis=1)),
+                         "mk_s": pa.array(S.astype(np.int64)),
+                         "mk_z": pa.array(z)})
+
+    rows = points_ds.map_batches(slim, batch_format="pyarrow")
+    return bucketed_group_apply(rows, "cell", per_bucket)
+
+
 def getis_ord_gi(points_ds, *, res: int = 7, x_col: str = "lon",
                  y_col: str = "lat"):
     """-> Dataset (cell, n, gi_z): Gi* z-score per non-empty cell

@@ -56,6 +56,80 @@ def test_getis_ord_matches_brute(ray_session):
     assert np.median(np.abs(got["gi_z"])) < 2.0
 
 
+def _brute_mk(series):
+    B = len(series)
+    S = 0
+    for i in range(B):
+        for j in range(i + 1, B):
+            S += int(np.sign(series[j] - series[i]))
+    var = B * (B - 1) * (2 * B + 5) / 18.0
+    _, tcnt = np.unique(series, return_counts=True)
+    var -= (tcnt * (tcnt - 1) * (2 * tcnt + 5)).sum() / 18.0
+    if var <= 0:
+        return S, 0.0
+    if S > 0:
+        return S, (S - 1) / np.sqrt(var)
+    if S < 0:
+        return S, (S + 1) / np.sqrt(var)
+    return S, 0.0
+
+
+def test_emerging_hotspots_match_brute(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.geometry.cells import hex_cell
+    from osm_cut_ray.stages.hotspot import emerging_hotspots
+
+    rng = np.random.default_rng(79)
+    res, t0, t1, step = 6, 0.0, 120.0, 10.0  # 12 bins
+    rows = []
+    # growing blob at (1,1): events per bin ramp 0..11
+    for b in range(12):
+        for _ in range(b):
+            rows.append((rng.normal(1.0, 0.01), rng.normal(1.0, 0.01),
+                         t0 + b * step + rng.uniform(0, step)))
+    # fading blob at (3,3): ramp down
+    for b in range(12):
+        for _ in range(11 - b):
+            rows.append((rng.normal(3.0, 0.01), rng.normal(3.0, 0.01),
+                         t0 + b * step + rng.uniform(0, step)))
+    # stationary noise + out-of-range events (must be ignored)
+    for _ in range(400):
+        rows.append((rng.uniform(-5, 5), rng.uniform(-5, 5),
+                     rng.uniform(t0, t1)))
+    rows.append((1.0, 1.0, -50.0))
+    rows.append((1.0, 1.0, 500.0))
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "lon": arr[:, 0], "lat": arr[:, 1],
+        "ts": arr[:, 2]})).repartition(4)
+
+    got = emerging_hotspots(ds, t0=t0, t1=t1, interval=step,
+                            res=res).to_pandas() \
+        .sort_values("cell").reset_index(drop=True)
+
+    # brute over the same binning
+    ok = (arr[:, 2] >= t0) & (arr[:, 2] < t1)
+    cells = hex_cell(arr[ok, 0], arr[ok, 1], res)
+    bins = ((arr[ok, 2] - t0) / step).astype(np.int64)
+    series = {}
+    for c, b in zip(cells.tolist(), bins.tolist()):
+        series.setdefault(c, np.zeros(12, np.int64))[b] += 1
+    assert got["cell"].tolist() == sorted(series)
+    for r in got.itertuples():
+        s = series[int(r.cell)]
+        es, ez = _brute_mk(s)
+        assert int(r.mk_s) == es
+        assert abs(r.mk_z - ez) < 1e-12
+        assert int(r.n_events) == int(s.sum())
+
+    grow = int(hex_cell(np.array([1.0]), np.array([1.0]), res)[0])
+    fade = int(hex_cell(np.array([3.0]), np.array([3.0]), res)[0])
+    zmap = {int(r.cell): r.mk_z for r in got.itertuples()}
+    assert zmap[grow] > 3.0   # strongly emerging
+    assert zmap[fade] < -3.0  # strongly fading
+
+
 def test_getis_ord_degenerate(ray_session):
     import ray.data as rd
 
