@@ -802,6 +802,44 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_geo_report(sf_dir: str):
+    """One-pass geo datasheet over the 200k-node / 20k-way synthetic
+    corpus (counts, bbox, HLL cell density, KLL way-size quantiles)
+    + the way-component count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.pipelines.geo_report import geo_corpus_report
+
+    def synth_nodes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon, lat = _node_coords(ids)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def synth_ways(t: pa.Table) -> pa.Table:
+        wids = t["id"].to_numpy(zero_copy_only=False)
+        refs = [(np.arange(50, dtype=np.int64) + w * 10)
+                % _GRID_N_NODES for w in wids.tolist()]
+        return pa.table({
+            "id": pa.array(wids, pa.int64()),
+            "refs": pa.array([r.tolist() for r in refs],
+                             pa.list_(pa.int64()))})
+
+    nodes = rd.range(_GRID_N_NODES).map_batches(synth_nodes,
+                                                batch_format="pyarrow")
+    ways = rd.range(20_000).map_batches(synth_ways,
+                                        batch_format="pyarrow",
+                                        batch_size=2048)
+    rep = geo_corpus_report(nodes, ways, res=6,
+                            include_components=True)
+    assert rep["n_nodes"] == _GRID_N_NODES and rep["n_ways"] == 20_000
+    return pa.table({k: pa.array([float(v)])
+                     for k, v in rep.items()
+                     if isinstance(v, (int, float))})
+
+
 def _extra_hotspot(sf_dir: str):
     """Getis-Ord Gi* hotspot z-scores over 2M points at hex res 7
     (count groupby + ring fold + map-side scoring)."""
@@ -1213,6 +1251,7 @@ EXTRA_SET = {
     "density_tiles_2m": _extra_density_tiles,
     "retrieval_recall_50k": _extra_retrieval_eval,
     "hotspot_gi_2m": _extra_hotspot,
+    "geo_report_200k": _extra_geo_report,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
