@@ -802,6 +802,19 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_chunk_docs(sf_dir: str):
+    """Overlapping token-window chunking over the documents table
+    (pure map-side flat emission; chunks keep original text)."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.chunk import chunk_documents
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    return chunk_documents(docs, window=64, stride=48)
+
+
 def _extra_geo_report(sf_dir: str):
     """One-pass geo datasheet over the 200k-node / 20k-way synthetic
     corpus (counts, bbox, HLL cell density, KLL way-size quantiles)
@@ -1252,6 +1265,7 @@ EXTRA_SET = {
     "retrieval_recall_50k": _extra_retrieval_eval,
     "hotspot_gi_2m": _extra_hotspot,
     "geo_report_200k": _extra_geo_report,
+    "chunk_docs": _extra_chunk_docs,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
