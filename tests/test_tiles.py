@@ -151,6 +151,49 @@ def test_tile_pyramid_level(ray_session):
         assert (got == exp).all()
 
 
+def test_write_tile_pyramid_resumable(ray_session, tmp_path):
+    import ray.data as rd
+
+    from osm_cut_ray.pipelines.tile_pyramid import write_tile_pyramid
+    from osm_cut_ray.stages.tiles import render_density_tiles
+
+    rng = np.random.default_rng(97)
+    lons = rng.uniform(-60, 60, 4000)
+    lats = rng.uniform(-30, 30, 4000)
+    ds = rd.from_arrow(pa.table({"lon": lons, "lat": lats}))
+    out = str(tmp_path / "pyr")
+
+    rep = write_tile_pyramid(ds, out, zmax=3, zmin=1, tile_px=16)
+    assert rep["written"] == [3, 2, 1] and rep["skipped"] == []
+    # level contents equal a direct render / rollup
+    direct = render_density_tiles(ds, zoom=3, tile_px=16).to_pandas()
+    z3 = rd.read_parquet(out + "/z=3").to_pandas()
+    assert len(z3) == len(direct) == rep["n_tiles"][3]
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.tx), int(r.ty), bytes(r.bytes))
+        for r in df.itertuples())
+    assert key(z3) == key(direct)
+
+    # full re-run: everything skips
+    rep2 = write_tile_pyramid(ds, out, zmax=3, zmin=1, tile_px=16)
+    assert rep2["written"] == [] and rep2["skipped"] == [3, 2, 1]
+    assert rep2["n_tiles"] == rep["n_tiles"]
+
+    # crash simulation: drop level 2's manifest -> only 2 and below
+    # rebuild, and level 2 rebuilds FROM the on-disk level 3
+    import os
+    os.remove(out + "/_manifests/z2.json")
+    rep3 = write_tile_pyramid(ds, out, zmax=3, zmin=1, tile_px=16)
+    assert rep3["skipped"] == [3] and rep3["written"] == [2, 1]
+    z1a = rd.read_parquet(out + "/z=1").to_pandas()
+    # changed params invalidate every level
+    rep4 = write_tile_pyramid(ds, out, zmax=3, zmin=1, tile_px=16,
+                              corpus_tag="v2")
+    assert rep4["written"] == [3, 2, 1]
+    z1b = rd.read_parquet(out + "/z=1").to_pandas()
+    assert key(z1a) == key(z1b)  # same corpus -> identical bytes
+
+
 def test_density_tiles_linear_and_single(ray_session):
     import ray.data as rd
 
