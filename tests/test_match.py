@@ -185,6 +185,52 @@ def test_match_fixes_parallel_road_noise(ray_session):
     assert np.allclose(free["along_deg"], snapped["along_deg"])
 
 
+def test_snapped_positions_and_route_heat(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.pipelines.route_heat import route_usage_tiles
+    from osm_cut_ray.sources.images import decode_image
+    from osm_cut_ray.stages.match import snapped_positions
+    from osm_cut_ray.stages.snap import build_segment_grid
+
+    # one horizontal road at lat 0; noisy trace above/below it plus
+    # off-network outliers
+    nodes = rd.from_arrow(pa.table({
+        "id": np.array([1, 2, 3], np.int64),
+        "lon": np.array([0.0, 1.0, 2.0]),
+        "lat": np.array([0.0, 0.0, 0.0])}))
+    ways = rd.from_items([{"id": 700, "refs": [1, 2, 3]}])
+    grid = build_segment_grid(ways, nodes, cell_deg=1.0)
+    n = 12
+    xs = np.linspace(0.1, 1.9, n)
+    ys = np.where(np.arange(n) % 2 == 0, 0.02, -0.03)
+    ys[5] = 9.0  # off network
+    pts = rd.from_arrow(pa.table({
+        "traj_id": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.float64)),
+        "lon": pa.array(xs), "lat": pa.array(ys)}))
+
+    matched, tiles = route_usage_tiles(
+        pts, ways, nodes, radius=0.5, zoom=5, tile_px=32, grid=grid)
+    on_road = snapped_positions(matched, grid).to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    # the off-network fix is dropped; every other fix lands ON the
+    # road (lat exactly 0, lon == its x: perpendicular projection)
+    assert len(on_road) == n - 1
+    assert (on_road["lat"] == 0.0).all()
+    exp_x = np.delete(xs, 5)
+    assert np.allclose(on_road["lon"].to_numpy(), exp_x, atol=1e-12)
+
+    tdf = tiles.to_pandas()
+    assert int(tdf["n_pts"].sum()) == n - 1
+    # hot pixels only on the road row: every tile's nonzero pixels
+    # sit at lat ~ 0 (one pixel row)
+    for r in tdf.itertuples():
+        img = decode_image(r.bytes)[0]
+        rows = np.unique(np.nonzero(img)[0])
+        assert len(rows) == 1
+
+
 def test_match_topk_radius_guard(ray_session):
     import ray.data as rd
 
