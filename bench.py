@@ -802,6 +802,24 @@ def _extra_geofence(sf_dir: str):
     return geofence_points(pts, idx)
 
 
+def _extra_atlases(sf_dir: str):
+    """Pack 50k images into 8x8 sprite sheets (decode + per-shape
+    resize map-side, one group shuffle of 16px thumbs)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import images_batch_from_keys
+    from osm_cut_ray.stages.image_atlas import pack_atlases
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    return pack_atlases(corpus, grid=8, thumb=16, n_groups=1200)
+
+
 def _extra_chunk_docs(sf_dir: str):
     """Overlapping token-window chunking over the documents table
     (pure map-side flat emission; chunks keep original text)."""
@@ -1266,6 +1284,7 @@ EXTRA_SET = {
     "hotspot_gi_2m": _extra_hotspot,
     "geo_report_200k": _extra_geo_report,
     "chunk_docs": _extra_chunk_docs,
+    "image_atlases_50k": _extra_atlases,
     "zonal_stats_points": _extra_zonal,
     "pq_encode_search": _extra_pq,
     "cut_multi_3x": _extra_cut_multi,
