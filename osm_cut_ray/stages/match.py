@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 
 from .join import bucketed_group_apply
-from .snap import SegmentGrid
+from .snap import SegmentGrid, TiledSegmentGrid, get_grid
 
 _OUT_SCHEMA = {
     "traj_id": np.int64, "ts": np.float64, "way_id": np.int64,
@@ -103,7 +103,9 @@ def _viterbi_traj(ts: np.ndarray, cand_off: np.ndarray,
     return out_w, out_s, out_d, out_a
 
 
-def match_trajectories(points_ds, grid: SegmentGrid, *, radius: float,
+def match_trajectories(points_ds,
+                       grid: SegmentGrid | TiledSegmentGrid, *,
+                       radius: float,
                        k_cands: int = 8,
                        switch_penalty: float | None = None,
                        traj_col: str = "traj_id", ts_col: str = "ts",
@@ -129,7 +131,7 @@ def match_trajectories(points_ds, grid: SegmentGrid, *, radius: float,
             "along": pa.array([], pa.float64())})
         if len(t) == 0:
             return empty
-        g = ray.get(ref)  # zero-copy plasma rehydrate
+        g = get_grid(ref)  # zero-copy plasma rehydrate, memoized
         px = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         py = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         tid = t[traj_col].to_numpy(zero_copy_only=False) \
@@ -213,13 +215,15 @@ def match_trajectories(points_ds, grid: SegmentGrid, *, radius: float,
     return bucketed_group_apply(slim, "traj_id", per_bucket)
 
 
-def snapped_positions(matched_ds, grid: SegmentGrid):
+def snapped_positions(matched_ds,
+                      grid: SegmentGrid | TiledSegmentGrid):
     """Reconstruct the on-road coordinates of matched fixes from the
-    broadcast grid: along_deg locates each fix on its (way, seg)
-    segment exactly (linear referencing is invertible). Off-network
-    rows (way_id = -1) are dropped. -> Dataset (traj_id, ts, way_id,
-    lon, lat); map-side, zero shuffles — feeds density tiles for
-    road-usage heatmaps (pipelines/route_heat.py)."""
+    grid: along_deg locates each fix on its (way, seg) segment exactly
+    (linear referencing is invertible — `SegmentGrid.locate`; the
+    tiled grid probes its stripes). Off-network rows (way_id = -1)
+    are dropped. -> Dataset (traj_id, ts, way_id, lon, lat);
+    map-side, zero shuffles — feeds density tiles for road-usage
+    heatmaps (pipelines/route_heat.py)."""
     ref = ray.put(grid)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -231,35 +235,18 @@ def snapped_positions(matched_ds, grid: SegmentGrid):
             "lat": pa.array([], pa.float64())})
         if len(t) == 0:
             return empty
-        g: SegmentGrid = ray.get(ref)
+        g = get_grid(ref)
         way = t["way_id"].to_numpy(zero_copy_only=False)
         ok = way >= 0
         if not ok.any():
             return empty
-        # per-worker memo: (way, seg) -> segment row, via one lexsort
-        key = ("segidx", id(g.way_ids))
-        idx = _STAGE_IDX.get(key)
-        if idx is None:
-            order = np.lexsort((g.seg_ord, g.way_ids))
-            idx = _STAGE_IDX[key] = (
-                g.way_ids[order], g.seg_ord[order], order)
-        ws, ss, order = idx
         seg = t["seg"].to_numpy(zero_copy_only=False)[ok]
         along = t["along_deg"].to_numpy(zero_copy_only=False)[ok]
         w = way[ok]
-        # binary-search the (way, seg) pair on the composite key
-        # (lexsorted by way then seg; seg ordinals < 2^20 — the
-        # trip_id convention)
-        gi = order[np.searchsorted(
-            ws * np.int64(1 << 20) + ss,
-            w * np.int64(1 << 20) + seg)]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            tpar = np.where(g.seg_len[gi] > 0,
-                            (along - g.along0[gi]) / g.seg_len[gi],
-                            0.0)
-        tpar = np.clip(tpar, 0.0, 1.0)
-        lon = g.x1[gi] + tpar * (g.x2[gi] - g.x1[gi])
-        lat = g.y1[gi] + tpar * (g.y2[gi] - g.y1[gi])
+        found, lon, lat = g.locate(w, seg, along)
+        if not found.all():
+            raise ValueError("matched rows reference (way, seg) "
+                             "pairs absent from the grid")
         return pa.table({
             "traj_id": t["traj_id"].filter(pa.array(ok)),
             "ts": t["ts"].filter(pa.array(ok)),
@@ -267,6 +254,3 @@ def snapped_positions(matched_ds, grid: SegmentGrid):
             "lon": pa.array(lon), "lat": pa.array(lat)})
 
     return matched_ds.map_batches(fn, batch_format="pyarrow")
-
-
-_STAGE_IDX: dict = {}

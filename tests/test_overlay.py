@@ -92,6 +92,52 @@ def test_way_intersections_touch_excluded(ray_session):
     assert abs(got["x"][0] - 1.5) < 1e-12 and abs(got["y"][0]) < 1e-12
 
 
+def test_overlay_cap_surfaces_dropped_cells(ray_session):
+    """Adversarial collinear corpora (both traced along the same
+    curve) pile candidate pairs into few cells; `max_cell_pairs`
+    drops those cells' pairs and surfaces sentinel rows (a_way =
+    b_way = -1, b_seg = dropped pair count) instead of silently
+    truncating (the spatial_join.py cap contract)."""
+    from osm_cut_ray.stages.overlay import way_intersections
+
+    rng = np.random.default_rng(91)
+    # dense hot cell: many A and B segments jittered along y=x inside
+    # one grid cell; plus one isolated proper crossing far away
+    a_chains, b_chains = [], []
+    for i in range(14):
+        t0 = rng.uniform(0.1, 0.4)
+        a_chains.append([(t0, t0 + rng.uniform(-0.05, 0.05)),
+                         (t0 + 0.3, t0 + 0.3 + rng.uniform(-0.05, 0.05))])
+        b_chains.append([(t0 + 0.3, t0 + rng.uniform(-0.05, 0.05)),
+                         (t0, t0 + 0.3 + rng.uniform(-0.05, 0.05))])
+    a_chains.append([(100.0, 0.0), (101.0, 1.0)])
+    b_chains.append([(100.0, 1.0), (101.0, 0.0)])
+    a_nodes, a_ways, a_segs = _ways_ds(a_chains, 100)
+    b_nodes, b_ways, b_segs = _ways_ds(b_chains, 500)
+
+    full = way_intersections(a_ways, a_nodes, b_ways, b_nodes,
+                             cell_deg=1.0).to_pandas()
+    exp = _brute_crossings(a_segs, b_segs)
+    assert len(full) == len(exp) and len(exp) > 10
+    assert (full["a_way"] >= 0).all()
+
+    capped = way_intersections(a_ways, a_nodes, b_ways, b_nodes,
+                               cell_deg=1.0,
+                               max_cell_pairs=10).to_pandas()
+    sent = capped[capped["a_way"] < 0]
+    real = capped[capped["a_way"] >= 0]
+    assert len(sent) >= 1                      # hot cell surfaced
+    assert (sent["b_way"] == -1).all()
+    assert (sent["b_seg"] > 10).all()          # dropped pair counts
+    assert sent["x"].isna().all()
+    # the isolated crossing survives; every surviving row is genuine
+    assert ((real["a_way"] == 114) & (real["b_way"] == 514)).any()
+    fullset = set(zip(full["a_way"], full["a_seg"],
+                      full["b_way"], full["b_seg"]))
+    assert set(zip(real["a_way"], real["a_seg"],
+                   real["b_way"], real["b_seg"])) <= fullset
+
+
 def test_way_intersections_empty_sides(ray_session):
     import ray.data as rd
 
