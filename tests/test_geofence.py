@@ -79,3 +79,53 @@ def test_geofence_cap_and_empty(ray_session):
     far = rd.from_arrow(pa.table({
         "lon": pa.array([500.0]), "lat": pa.array([500.0])}))
     assert geofence_points(far, idx).to_pandas()["zone"].tolist() == [-1]
+
+
+def test_geofence_tiled_equal_broadcast(ray_session):
+    """Past max_cells the auto builder stripes the zone grid; results
+    stay bit-identical to the broadcast index (VERDICT r3 item #2)."""
+    import ray.data as rd
+
+    from osm_cut_ray.stages.geofence import (TiledGeofenceIndex,
+                                             build_geofence_index,
+                                             build_geofence_index_auto,
+                                             geofence_points)
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    pts = rng.uniform([-7, -6], [8, 7], (n, 2))
+    ds = rd.from_arrow(pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "lon": pts[:, 0], "lat": pts[:, 1]})).repartition(5)
+
+    for cell in (0.2, 0.7):
+        idx_b = build_geofence_index(_specs(), cell=cell)
+        # force tiling: cap well under the full raster size
+        cap = max(20, (len(idx_b.poly_ids) * 2) // 3)
+        idx_t = build_geofence_index_auto(_specs(), cell=cell,
+                                          max_cells=cap)
+        assert isinstance(idx_t, TiledGeofenceIndex), cell
+        assert idx_t.n_tiles >= 2
+        a = geofence_points(ds, idx_b).to_pandas().sort_values("id")
+        b = geofence_points(ds, idx_t).to_pandas().sort_values("id")
+        assert a["zone"].tolist() == b["zone"].tolist(), cell
+        assert set(a["zone"]) == {-1, 0, 1, 2, 3, 4}
+
+
+def test_geofence_auto_broadcast_below_cap(ray_session):
+    from osm_cut_ray.stages.geofence import (GeofenceIndex,
+                                             build_geofence_index_auto)
+
+    idx = build_geofence_index_auto(_specs(), cell=0.5)
+    assert isinstance(idx, GeofenceIndex)
+
+
+def test_geofence_tiled_unsplittable_column_raises(ray_session):
+    """A single ix column denser than max_cells cannot stripe."""
+    from osm_cut_ray.stages.geofence import build_geofence_index_auto
+
+    # one tall thin polygon: all cells share one ix column
+    tall = [[("include", [(0.1, 0.0), (0.4, 0.0), (0.4, 50.0),
+                          (0.1, 50.0)])]]
+    with pytest.raises(ValueError, match="coarsen"):
+        build_geofence_index_auto(tall, cell=0.5, max_cells=30)
