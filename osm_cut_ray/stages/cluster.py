@@ -10,16 +10,17 @@ eps/sqrt(2), every two points in one cell are within eps, so
     union-find runs over non-empty core cells, not points.
 
 Ray-Data shape:
-  1. neighbor counting: each point is replicated to its own cell plus
-     the <= 24 two-ring neighbor cells whose rectangle lies within
-     eps of it (vectorized per-offset pruning — typically ~6 copies,
-     not 25); ONE bucketed shuffle, per-cell vectorized distance
-     counts -> core flags.
-  2. core flags re-attach by id (bucketed Arrow join), a second
-     replicate+shuffle emits per cell: its rep (min home-core id),
-     cell-cell edges (halo core within eps of a home core), and
-     border rows (non-core home point -> home cell of each core
-     neighbor; a NOISE sentinel when none).
+  1. flag pass: each point is replicated to its own cell plus the
+     <= 24 two-ring neighbor cells whose rectangle lies within eps of
+     it (vectorized per-offset pruning — typically ~6 copies, not
+     25); ONE bucketed shuffle whose per-cell vectorized distance
+     counts emit the home rows WITH their core flag — the flagged
+     point table falls straight out (no separate id-join re-attach).
+  2. a second replicate+shuffle — halo NON-core replicas dropped
+     map-side, they feed no predicate — emits per cell: its rep (min
+     home-core id), cell-cell edges (halo core within eps of a home
+     core), and border rows (non-core home point -> home cell of
+     each core neighbor; a NOISE sentinel when none).
   3. cell edges + reps are collected to the driver for union-find
      (bounded by #non-empty-core CELLS, orders below #points; the
      shared `dup_clusters_distributed` fallback applies if a corpus
@@ -119,12 +120,20 @@ def _size_groups(starts: np.ndarray, budget: int = 4_000_000):
             yield order[lo:min(lo + step, b)], s
 
 
-def _count_pass(points_ds, eps: float, c: float):
-    """-> Dataset (id, n_nb): |N_eps(p)| including p itself."""
+def _flag_pass(points_ds, eps: float, c: float, min_pts: int):
+    """ONE ckey-bucket shuffle -> Dataset (id, x, y, core): every
+    point exactly once (its home bucket holds its complete
+    eps-neighborhood, so |N_eps(p)| — and hence the core flag — is
+    decided there). Carrying the home row's coordinates through the
+    bucket makes the output the flagged point table directly,
+    replacing the former count pass + separate id-join re-attach
+    (two shuffles + two materializations fused into one)."""
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         empty = pa.table({"id": pa.array([], pa.int64()),
-                          "n_nb": pa.array([], pa.int64())})
+                          "x": pa.array([], pa.float64()),
+                          "y": pa.array([], pa.float64()),
+                          "core": pa.array([], pa.int8())})
         if len(g) == 0:
             return empty
         g = g.sort_values("ckey", kind="mergesort")
@@ -134,7 +143,7 @@ def _count_pass(points_ds, eps: float, c: float):
         pid = g["id"].to_numpy(np.int64)
         home = g["home"].to_numpy(np.int8) == 1
         starts = _cell_slices(ck)
-        out_id, out_n = [], []
+        out_id, out_x, out_y, out_c = [], [], [], []
         for cells, s in _size_groups(starts):
             idx = starts[cells][:, None] + np.arange(s)     # (m, s)
             X, Y = x[idx], y[idx]
@@ -143,11 +152,15 @@ def _count_pass(points_ds, eps: float, c: float):
             cnt = (d <= eps).sum(axis=2)                    # every row
             hm = home[idx]
             out_id.append(pid[idx][hm])
-            out_n.append(cnt[hm].astype(np.int64))
+            out_x.append(X[hm])
+            out_y.append(Y[hm])
+            out_c.append((cnt[hm] >= min_pts).astype(np.int8))
         if not out_id:
             return empty
         return pa.table({"id": pa.array(np.concatenate(out_id)),
-                         "n_nb": pa.array(np.concatenate(out_n))})
+                         "x": pa.array(np.concatenate(out_x)),
+                         "y": pa.array(np.concatenate(out_y)),
+                         "core": pa.array(np.concatenate(out_c))})
 
     rows = points_ds.map_batches(lambda t: _copies(t, eps, c),
                                  batch_format="pyarrow")
@@ -220,9 +233,16 @@ def _topo_pass(core_pts, eps: float, c: float):
                          "k1": pa.array(np.concatenate(k1s)),
                          "k2": pa.array(np.concatenate(k2s))})
 
-    rows = core_pts.map_batches(
-        lambda t: _copies(t, eps, c, extra=("core",)),
-        batch_format="pyarrow")
+    def rep(t: pa.Table) -> pa.Table:
+        tt = _copies(t, eps, c, extra=("core",))
+        # halo NON-core replicas feed no topo predicate (edges need
+        # halo CORES, border rows need HOME non-cores): drop them
+        # before the shuffle — the one real volume cut available here
+        keep = (tt["home"].to_numpy(zero_copy_only=False) == 1) \
+            | (tt["core"].to_numpy(zero_copy_only=False) == 1)
+        return tt.filter(pa.array(keep))
+
+    rows = core_pts.map_batches(rep, batch_format="pyarrow")
     return bucketed_group_apply(rows, "ckey", per_bucket)
 
 
@@ -250,18 +270,7 @@ def dbscan_points(points_ds, *, eps: float, min_pts: int,
             "id": pa.array([], pa.int64()),
             "cluster": pa.array([], pa.int64()),
             "is_core": pa.array([], pa.bool_())}))
-    counts = _count_pass(pts, eps, c).materialize()
-
-    def flag(t: pa.Table) -> pa.Table:
-        n = t["n_nb"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "id": t["id"],
-            "core": pa.array((n >= min_pts).astype(np.int8))})
-
-    flags = counts.map_batches(flag, batch_format="pyarrow") \
-        .materialize()
-    core_pts = bucketed_attach_column(pts, "id", flags, "id", "core") \
-        .materialize()
+    core_pts = _flag_pass(pts, eps, c, min_pts).materialize()
     topo = _topo_pass(core_pts, eps, c).materialize()
 
     # cells + edges: bounded by non-empty core cells, not points
