@@ -69,8 +69,12 @@ def _chain_depth_within(ts_by_step: list[np.ndarray],
 def funnel_counts(events_ds, steps: list[str], *,
                   within: float | None = None,
                   user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> pa.Table:
-    """-> (step, event_type, n_users) funnel table."""
+                  type_col: str = "event_type",
+                  max_key_rows: int | None = None) -> pa.Table:
+    """-> (step, event_type, n_users) funnel table. `max_key_rows`
+    surfaces a corpus-scale user key (bot/service account) instead of
+    silently stalling its bucket task (RAISES; the
+    bucketed_group_apply cap contract)."""
     k = len(steps)
     if k == 0:
         raise ValueError("funnel needs >= 1 step")
@@ -120,7 +124,8 @@ def funnel_counts(events_ds, steps: list[str], *,
         return pd.DataFrame({"depth": np.array(depths, np.int64)})
 
     slim_ds = events_ds.map_batches(slim, batch_format="pyarrow")
-    depths_ds = bucketed_group_apply(slim_ds, "user_id", per_bucket)
+    depths_ds = bucketed_group_apply(slim_ds, "user_id", per_bucket,
+                                     max_key_rows=max_key_rows)
     hist = np.zeros(k + 1, np.int64)
     for b in depths_ds.iter_batches(batch_size=None,
                                     batch_format="pyarrow"):

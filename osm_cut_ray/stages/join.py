@@ -470,7 +470,8 @@ def default_bucket_count() -> int:
 
 
 def bucketed_group_apply(ds, key_col: str, fn,
-                         num_buckets: int | None = None):
+                         num_buckets: int | None = None,
+                         max_key_rows: int | None = None):
     """Per-key transforms at the right granularity: hash-partition the
     int64 key into `num_buckets` buckets (default: cluster-adaptive,
     ~4x cores), ONE sort shuffle on the bucket key, then
@@ -482,6 +483,11 @@ def bucketed_group_apply(ds, key_col: str, fn,
     key (unbounded at corpus scale). Correct whenever fn commutes
     with key-partitioning — true for any per-key transform, since a
     key's rows all land in one bucket.
+
+    `max_key_rows` surfaces corpus-scale keys (the repo cap contract:
+    RAISE, never silently straggle): a single key exceeding it in one
+    bucket task aborts with advice to split the key (e.g. the traj
+    ops' `window=`) or raise the cap.
     """
     if num_buckets is None:
         num_buckets = default_bucket_count()
@@ -492,7 +498,16 @@ def bucketed_group_apply(ds, key_col: str, fn,
         return t.append_column("__bucket", pa.array(b.view(np.int64)))
 
     def apply(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=["__bucket"]))
+        g = g.drop(columns=["__bucket"])
+        if max_key_rows is not None and len(g) > max_key_rows:
+            vc = g[key_col].value_counts()
+            if int(vc.iloc[0]) > max_key_rows:
+                raise ValueError(
+                    f"key {vc.index[0]} holds {int(vc.iloc[0])} rows "
+                    f"in one bucket task (> max_key_rows="
+                    f"{max_key_rows}); split the key (e.g. the traj "
+                    "ops' window=) or raise the cap")
+        return fn(g)
 
     return ds.map_batches(tag, batch_format="pyarrow")\
         .groupby("__bucket").map_groups(apply, batch_format="pandas")
