@@ -40,11 +40,40 @@ from .traj import _sorted_traj
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _frechet_lower_bound(xa: np.ndarray, ya: np.ndarray,
+                         xb: np.ndarray, yb: np.ndarray) -> float:
+    """O(n+m) lower bound on the discrete Frechet distance: any
+    coupling matches first-with-first and last-with-last (endpoint
+    distances), and every point of one curve must couple to SOME
+    point of the other, so its distance to the other's bbox bounds
+    from below."""
+    lb = max(float(np.hypot(xa[0] - xb[0], ya[0] - yb[0])),
+             float(np.hypot(xa[-1] - xb[-1], ya[-1] - yb[-1])))
+
+    def to_bbox(x, y, ox, oy):
+        dx = np.maximum(np.maximum(ox.min() - x, x - ox.max()), 0.0)
+        dy = np.maximum(np.maximum(oy.min() - y, y - oy.max()), 0.0)
+        return float(np.hypot(dx, dy).max())
+
+    return max(lb, to_bbox(xa, ya, xb, yb), to_bbox(xb, yb, xa, ya))
+
+
 def discrete_frechet(xa: np.ndarray, ya: np.ndarray,
-                     xb: np.ndarray, yb: np.ndarray) -> float:
+                     xb: np.ndarray, yb: np.ndarray,
+                     threshold: float | None = None) -> float:
     """Exact discrete Frechet distance (Eiter-Mannila coupling DP),
     planar degrees. O(n*m); rows are numpy, the left-to-right scan is
-    the inherently sequential part of the recurrence."""
+    the inherently sequential part of the recurrence.
+
+    With `threshold`, early-abandons (VERDICT r3 item #6): returns
+    +inf as soon as the distance is PROVABLY > threshold — first via
+    the O(n+m) endpoint/bbox lower bound, then whenever a whole DP
+    row exceeds it (every monotone coupling crosses each row, so the
+    row minimum bounds the answer from below). The <= threshold
+    decision — and any returned finite value — is exact."""
+    if threshold is not None \
+            and _frechet_lower_bound(xa, ya, xb, yb) > threshold:
+        return np.inf
     d = np.hypot(xa[:, None] - xb[None, :], ya[:, None] - yb[None, :])
     n, m = d.shape
     prev = np.maximum.accumulate(d[0])
@@ -58,6 +87,8 @@ def discrete_frechet(xa: np.ndarray, ya: np.ndarray,
         for j in range(m):
             left = max(row[j], min(pm[j], left))
             cur[j] = left
+        if threshold is not None and cur.min() > threshold:
+            return np.inf
         prev = cur
     return float(prev[-1])
 
@@ -213,7 +244,8 @@ def trajectory_dup_pairs(points_ds, *, frechet_threshold: float,
             pa_ = np.asarray(axy[i], np.float64)
             pb_ = np.asarray(bxy[i], np.float64)
             na, nb = len(pa_) // 2, len(pb_) // 2
-            f = discrete_frechet(pa_[:na], pa_[na:], pb_[:nb], pb_[nb:])
+            f = discrete_frechet(pa_[:na], pa_[na:], pb_[:nb],
+                                 pb_[nb:], threshold=frechet_threshold)
             if f <= frechet_threshold:
                 keep_a.append(int(a[i]))
                 keep_b.append(int(b[i]))

@@ -129,3 +129,26 @@ def test_trajectory_dup_pairs_empty_and_no_dups(ray_session):
     got = trajectory_dup_pairs(ds, frechet_threshold=0.01, res=7)
     assert got.num_rows == 0
     assert got.schema.names == ["a_id", "b_id", "frechet"]
+
+
+def test_frechet_early_abandon_decision_exact(ray_session):
+    """Thresholded discrete_frechet must make the identical
+    <= threshold decision as the exact DP, and any finite value it
+    returns equals the exact value (VERDICT r3 item #6)."""
+    import numpy as np
+
+    from osm_cut_ray.stages.traj_dedup import discrete_frechet
+
+    rng = np.random.default_rng(31)
+    for _ in range(200):
+        na, nb = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        xa, ya = rng.uniform(0, 1, na), rng.uniform(0, 1, na)
+        sep = rng.choice([0.0, 0.0, 0.3, 5.0])  # mix of near and far
+        xb = rng.uniform(0, 1, nb) + sep
+        yb = rng.uniform(0, 1, nb)
+        exact = discrete_frechet(xa, ya, xb, yb)
+        for t in (exact * 0.5, exact, exact * 1.5, 0.2):
+            fast = discrete_frechet(xa, ya, xb, yb, threshold=t)
+            assert (fast <= t) == (exact <= t), (na, nb, sep, t)
+            if np.isfinite(fast):
+                assert fast == exact
