@@ -1261,7 +1261,78 @@ def _extra_spatial_layout(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _synth_grid_road(w: int, h: int, way_len: int = 20):
+    """Deterministic grid road network: (nodes_ds, ways_ds). Nodes at
+    (10 + ix*1e-3, 50 + iy*1e-3); ways = row/column runs chopped into
+    `way_len`-ref pieces, built as Arrow list columns directly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    ix, iy = np.meshgrid(np.arange(w), np.arange(h))
+    node_id = (iy * w + ix).ravel().astype(np.int64)
+    nodes = pa.table({
+        "id": pa.array(node_id),
+        "lon": pa.array(np.round(10.0 + ix.ravel() * 1e-3, 7)),
+        "lat": pa.array(np.round(50.0 + iy.ravel() * 1e-3, 7))})
+
+    def runs(grid_ids):  # (n_runs, run_len) -> list col pieces
+        vals, offs = [], [0]
+        for row in grid_ids:
+            for s in range(0, len(row) - 1, way_len - 1):
+                piece = row[s:s + way_len]
+                if len(piece) < 2:
+                    continue
+                vals.append(piece)
+                offs.append(offs[-1] + len(piece))
+        flat = np.concatenate(vals).astype(np.int64)
+        return pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat))
+
+    horiz = (iy * w + ix).astype(np.int64)
+    vert = horiz.T
+    refs = pa.concat_arrays([
+        runs(list(horiz)), runs(list(vert))])
+    ways = pa.table({
+        "id": pa.array(np.arange(len(refs), dtype=np.int64) + 10 ** 6),
+        "refs": refs})
+    return rd.from_arrow(nodes), rd.from_arrow(ways)
+
+
+def _extra_route_grid(sf_dir: str):
+    """90k-node grid road network: way_edges (two bucketed coordinate
+    attaches over ~720k directed edges), driver-path multi-source
+    SSSP, isochrone cells, and 10 pagerank iterations."""
+    from osm_cut_ray.stages.route import (isochrone_cells, pagerank,
+                                          sssp, way_edges)
+
+    nodes, ways = _synth_grid_road(300, 300)
+    edges = way_edges(ways, nodes).materialize()
+    dists = sssp(edges, [0, 44850, 89999]).materialize()
+    iso = isochrone_cells(dists, nodes, budget_cm=800_000,
+                          cell_deg=0.01).materialize()
+    pr = pagerank(edges, n_iter=10)
+    assert iso.count() > 0
+    return pr
+
+
+def _extra_route_sssp_distributed(sf_dir: str):
+    """Forced-distributed SSSP on a 10k-node grid with spatial
+    buckets: rounds track tile crossings (the planet-scale path)."""
+    from osm_cut_ray.stages.route import (spatial_node_buckets,
+                                          sssp_distributed, way_edges)
+
+    nodes, ways = _synth_grid_road(100, 100)
+    edges = way_edges(ways, nodes).materialize()
+    buckets = spatial_node_buckets(nodes, cell_deg=0.04,
+                                   num_buckets=16)
+    return sssp_distributed(edges, [0], buckets_ds=buckets,
+                            num_buckets=16, max_rounds=64)
+
+
 EXTRA_SET = {
+    "route_grid_90k": _extra_route_grid,
+    "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
