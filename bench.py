@@ -367,6 +367,22 @@ def _extra_line_dedup(sf_dir: str):
     return out
 
 
+def _extra_substring_dedup(sf_dir: str):
+    """ExactSubstr repeated-window dedup over documents: Sum/Min
+    window aggregate (one slim row per token occurrence), broadcast
+    hot set, actor-pool strip. window=8 because the synthetic corpus
+    is ~54 tokens/doc with a tiny vocab — plenty of organic repeats
+    to exercise the rewrite."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.substring_dedup import dedup_substrings
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    return dedup_substrings(docs, window=8, concurrency=8)
+
+
 def _extra_clip_ways(sf_dir: str):
     """Boundary clipping of 20k synthesized ways (the simplify corpus)
     against a 64-edge star polygon covering ~half the coordinate
@@ -1334,6 +1350,7 @@ EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
+    "substring_dedup_docs": _extra_substring_dedup,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
@@ -1503,7 +1520,25 @@ def _diff_vs_previous(qtimes: dict) -> dict:
         data = json.load(open(files[-1]))
     except (json.JSONDecodeError, OSError):
         return {}
-    prev = data.get("parsed", data).get("queries") or {}
+    if not isinstance(data, dict):
+        return {}
+    src = data.get("parsed") if isinstance(data.get("parsed"), dict) \
+        else data
+    if "queries" not in src and isinstance(data.get("tail"), str):
+        # driver artifacts sometimes carry the JSON line as a (possibly
+        # truncated) 'tail' string — salvage what parses
+        try:
+            src = json.loads(data["tail"][data["tail"].index("{"):])
+        except (ValueError, json.JSONDecodeError):
+            # head-truncated fragment: salvage the flat "name": sec
+            # pairs (bench query names never nest)
+            import re
+            pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)',
+                               data["tail"])
+            src = {"queries": {k: float(v) for k, v in pairs
+                               if k not in ("value", "sf", "num_cpus",
+                                            "headline_rows")}}
+    prev = src.get("queries") or {}
     regressions, improvements = {}, {}
     for k, v in qtimes.items():
         pv = prev.get(k)
