@@ -383,6 +383,20 @@ def _extra_substring_dedup(sf_dir: str):
     return dedup_substrings(docs, window=8, concurrency=8)
 
 
+def _extra_bpe(sf_dir: str):
+    """BPE tokenizer fit (word-count shuffle + driver merge loop over
+    the unique-word table) + map-side encode of the whole corpus."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.bpe import bpe_encode, fit_bpe
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    model = fit_bpe(docs, num_merges=200)
+    return bpe_encode(docs, model, emit_ids=True)
+
+
 def _extra_clip_ways(sf_dir: str):
     """Boundary clipping of 20k synthesized ways (the simplify corpus)
     against a 64-edge star polygon covering ~half the coordinate
@@ -1351,6 +1365,7 @@ EXTRA_SET = {
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
+    "bpe_fit_encode_docs": _extra_bpe,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
