@@ -383,6 +383,55 @@ def _extra_substring_dedup(sf_dir: str):
     return dedup_substrings(docs, window=8, concurrency=8)
 
 
+def _extra_semdedup(sf_dir: str):
+    """SemDeDup over 200k synthetic 32-d embeddings (64 directions +
+    noise; every 8th vector is a near-copy of an earlier one): driver
+    k-means on a hash sample, map-side assignment, ONE cluster-bucket
+    shuffle for the per-cluster pairwise kernel, distributed anti-join
+    to the survivors."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.semdedup import semdedup
+
+    M1 = np.uint64(0x9E3779B97F4A7C15)
+    M2 = np.uint64(0xBF58476D1CE4E5B9)
+    M3 = np.uint64(0x94D049BB133111EB)
+
+    def _mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """(n,1)x(1,d) int64 -> uniform [0,1) via a full 64-bit mix
+        (no small modulus, so no period across 200k ids)."""
+        m = ((a.view(np.uint64)[:, None] * M1)
+             ^ (b.view(np.uint64)[None, :] * M2)) * M3
+        return (m >> np.uint64(40)).astype(np.float64) / float(1 << 24)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, k = 32, 64
+        dim = np.arange(d, dtype=np.int64)
+        # dup sources are ids % 8 == 0, which are NEVER dups
+        # themselves — a src that is itself a copy would break the
+        # planted-pair geometry (chains point at vectors that do not
+        # exist in the corpus)
+        dup = ids % 8 == 7
+        src = np.where(dup, ids - 7, ids)
+        base = (_mix(src % k, dim) - 0.5) * 2.0        # group direction
+        noise = (_mix(src, dim + 1000) - 0.5) * 0.7    # per-id noise
+        pert = (_mix(ids, dim + 2000) - 0.5) * 2e-3    # dup perturbation
+        v = (base + noise
+             + np.where(dup[:, None], pert, 0.0)).astype(np.float32)
+        off = pa.array(np.arange(0, (len(ids) + 1) * d, d, np.int32))
+        emb = pa.ListArray.from_arrays(off, pa.array(v.ravel()))
+        return pa.table({"vec_id": pa.array(ids), "embedding": emb})
+
+    emb = rd.range(200_000, override_num_blocks=64)\
+        .map_batches(synth, batch_format="pyarrow")
+    kept, _flags = semdedup(emb, eps=0.99, n_clusters=64,
+                            max_cluster_size=20_000)
+    return kept
+
+
 def _extra_bpe(sf_dir: str):
     """BPE tokenizer fit (word-count shuffle + driver merge loop over
     the unique-word table) + map-side encode of the whole corpus."""
@@ -1366,6 +1415,7 @@ EXTRA_SET = {
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
+    "semdedup_200k": _extra_semdedup,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,

@@ -262,8 +262,9 @@ def _pad_array(n: int, typ: pa.DataType) -> pa.Array:
 
 
 def bucketed_semi_join(payload, key: str, keys_ds, keys_col: str,
-                       num_buckets: int = 64):
-    """payload ⋉ keys as a pure-Arrow hash-bucket join.
+                       num_buckets: int = 64, mode: str = "semi"):
+    """payload ⋉ keys (mode="semi") or ▷ keys (mode="anti") as a
+    pure-Arrow hash-bucket join.
 
     Unlike Acero-backed `Dataset.join`, this supports ANY payload
     column types (list/map/struct survive untouched): both sides get a
@@ -272,6 +273,8 @@ def bucketed_semi_join(payload, key: str, keys_ds, keys_col: str,
     payload rows with `pc.is_in` against its key rows. One sort-shuffle
     on the bucket column; payload bytes move once.
     """
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be semi|anti, got {mode!r}")
     schema: pa.Schema = payload.schema().base_schema
 
     def tag_payload(t: pa.Table) -> pa.Table:
@@ -299,6 +302,8 @@ def bucketed_semi_join(payload, key: str, keys_ds, keys_col: str,
         keys_in = t.filter(pc.equal(side, 1))[key]
         left = t.filter(pc.equal(side, 0))
         hit = pc.fill_null(pc.is_in(left[key], value_set=keys_in), False)
+        if mode == "anti":
+            hit = pc.invert(hit)
         return left.filter(hit).drop_columns(["__bucket", "__side"])
 
     return lp.union(rk).groupby("__bucket").map_groups(
