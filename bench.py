@@ -432,6 +432,25 @@ def _extra_semdedup(sf_dir: str):
     return kept
 
 
+def _extra_bm25(sf_dir: str):
+    """BM25 top-k over documents for a small query set: one corpus
+    stats pass (query-term-filtered df partials), one map-side scoring
+    pass, tiny per-query merge. Query terms drawn from the synthetic
+    corpus vocabulary so hits are real."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.bm25 import bm25_topk
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    queries = {1: "data pipeline quality", 2: "model training corpus",
+               3: "the and of", 4: "deduplication filter token",
+               5: "image audio video"}
+    tbl = bm25_topk(docs, queries, k=20, lowercase=True)
+    return rd.from_arrow(tbl)
+
+
 def _extra_bpe(sf_dir: str):
     """BPE tokenizer fit (word-count shuffle + driver merge loop over
     the unique-word table) + map-side encode of the whole corpus."""
@@ -1416,6 +1435,7 @@ EXTRA_SET = {
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
     "semdedup_200k": _extra_semdedup,
+    "bm25_topk_docs": _extra_bm25,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
