@@ -451,6 +451,30 @@ def _extra_bm25(sf_dir: str):
     return rd.from_arrow(tbl)
 
 
+def _extra_dsir(sf_dir: str):
+    """DSIR selection over documents: target model fit on the 'en'
+    slice, raw model on the full corpus (two slim count passes), one
+    map-side weight pass, Gumbel-top-k (local prune + slim sort) and
+    a distributed semi-join back to the payload."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.dsir import dsir_select, fit_hashed_ngrams
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "lang"]))\
+        .materialize()
+    target_ds = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")),
+        batch_format="pyarrow")
+    n = docs.count()
+    tgt = fit_hashed_ngrams(target_ds, dim=1 << 16)
+    raw = fit_hashed_ngrams(docs, dim=1 << 16)
+    kept, _w = dsir_select(docs, tgt, raw, k=max(1, n // 5), seed=1)
+    return kept
+
+
 def _extra_bpe(sf_dir: str):
     """BPE tokenizer fit (word-count shuffle + driver merge loop over
     the unique-word table) + map-side encode of the whole corpus."""
@@ -1436,6 +1460,7 @@ EXTRA_SET = {
     "bpe_fit_encode_docs": _extra_bpe,
     "semdedup_200k": _extra_semdedup,
     "bm25_topk_docs": _extra_bm25,
+    "dsir_select_docs": _extra_dsir,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
