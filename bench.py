@@ -451,6 +451,31 @@ def _extra_bm25(sf_dir: str):
     return rd.from_arrow(tbl)
 
 
+def _extra_bm25_indexed(sf_dir: str):
+    """Inverted-index BM25 with a LARGE query set (2,000 queries —
+    the regime where the broadcast-scoring plan stops paying off):
+    postings build, term-bucketed one-to-many join, exact int64
+    (query, doc) sum, per-query top-k."""
+    import numpy as np
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.bm25 import bm25_topk_indexed
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    # queries sampled from the corpus vocabulary (deterministic)
+    vocab = ["data", "pipeline", "quality", "model", "training",
+             "corpus", "token", "filter", "image", "audio", "video",
+             "the", "and", "for", "with", "text", "batch", "shuffle"]
+    rng = np.random.default_rng(0)
+    queries = {q: " ".join(vocab[int(j)] for j in
+                           rng.integers(0, len(vocab), 3))
+               for q in range(2000)}
+    tbl = bm25_topk_indexed(docs, queries, k=10, lowercase=True)
+    return rd.from_arrow(tbl)
+
+
 def _extra_dsir(sf_dir: str):
     """DSIR selection over documents: target model fit on the 'en'
     slice, raw model on the full corpus (two slim count passes), one
@@ -1461,6 +1486,7 @@ EXTRA_SET = {
     "semdedup_200k": _extra_semdedup,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
+    "bm25_indexed_2kq": _extra_bm25_indexed,
     "lm_score_docs": _extra_lm_score,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,

@@ -105,3 +105,65 @@ def test_bm25_query_term_cap_raises(ray_session):
     with pytest.raises(ValueError, match="max_query_terms"):
         bm25_topk(_docs_ds(docs, 2), {0: "a b c d e"},
                   max_query_terms=3)
+
+
+# --------------------------------------------- inverted-index path
+
+def test_indexed_matches_broadcast(ray_session):
+    from osm_cut_ray.stages.bm25 import bm25_topk_indexed
+    docs = _mk_corpus(n=180, seed=21)
+    queries = {1: "alpha bravo", 2: "kilo lima golf", 3: "echo",
+               4: "zulu", 5: "delta hotel india juliet"}
+    want = bm25_topk(_docs_ds(docs, 4), queries, k=9).to_pandas()
+    got = bm25_topk_indexed(_docs_ds(docs, 4), queries, k=9)\
+        .to_pandas()
+    assert got.equals(want)
+    # partitioning invariance of the indexed path
+    got2 = bm25_topk_indexed(_docs_ds(docs, 13), queries, k=9,
+                             num_buckets=7).to_pandas()
+    assert got2.equals(want)
+
+
+def test_indexed_params_and_lowercase(ray_session):
+    from osm_cut_ray.stages.bm25 import bm25_topk_indexed
+    docs = [{"doc_id": 0, "text": "Alpha ALPHA bravo"},
+            {"doc_id": 1, "text": "alpha charlie"},
+            {"doc_id": 2, "text": "bravo bravo delta"}]
+    for kw in ({"lowercase": True}, {"k1": 2.0, "b": 0.0}):
+        want = bm25_topk(_docs_ds(docs, 2), {0: "alpha bravo"},
+                         k=3, **kw).to_pandas()
+        got = bm25_topk_indexed(_docs_ds(docs, 2), {0: "alpha bravo"},
+                                k=3, **kw).to_pandas()
+        assert got.equals(want), kw
+
+
+def test_inverted_index_postings(ray_session):
+    import hashlib
+    from osm_cut_ray.stages.bm25 import build_inverted_index
+    docs = [{"doc_id": 7, "text": "a b a a"},
+            {"doc_id": 9, "text": "b"},
+            {"doc_id": 11, "text": ""}]
+    post = build_inverted_index(_docs_ds(docs, 2)).to_pandas()
+
+    def h(w):
+        return int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "little")
+    got = {(int(r.term) & ((1 << 64) - 1), r.doc_id): (r.tf, r.dl)
+           for r in post.itertuples()}
+    assert got == {(h("a"), 7): (3, 4), (h("b"), 7): (1, 4),
+                   (h("b"), 9): (1, 1)}
+
+
+def test_indexed_empty_cases(ray_session):
+    from osm_cut_ray.stages.bm25 import bm25_topk_indexed
+    docs = _mk_corpus(n=20, seed=3)
+    # no query terms at all
+    out = bm25_topk_indexed(_docs_ds(docs, 2), {1: ""})
+    assert len(out) == 0
+    assert out.column_names == ["query_id", "doc_id", "score"]
+    # all-miss query set, both paths
+    out2 = bm25_topk_indexed(_docs_ds(docs, 2), {1: "zulu yankee"})
+    assert len(out2) == 0
+    out3 = bm25_topk(_docs_ds(docs, 2), {1: "zulu yankee"})
+    assert len(out3) == 0
+    assert out3.column_names == ["query_id", "doc_id", "score"]
