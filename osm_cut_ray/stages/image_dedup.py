@@ -45,14 +45,60 @@ def ahash_stack(stack: np.ndarray) -> np.ndarray:
             << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
 
 
-def image_fingerprints(images_ds, *, id_prefix_len: int = 3):
+_DCT8x32 = None
+
+
+def _dct_rows(n: int = 32, keep: int = 8) -> np.ndarray:
+    """First `keep` rows of the orthonormal DCT-II matrix (cached)."""
+    global _DCT8x32
+    if _DCT8x32 is None:
+        k = np.arange(n)
+        d = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        d[0] /= np.sqrt(2.0)
+        _DCT8x32 = np.ascontiguousarray(d[:keep])
+    return _DCT8x32
+
+
+def phash_stack(stack: np.ndarray) -> np.ndarray:
+    """(m, h, w) uint8 stack -> (m,) uint64 DCT perceptual hash (the
+    public pHash: nearest-neighbor resample to 32x32, 2-D orthonormal
+    DCT-II, keep the 8x8 lowest frequencies, threshold each at the
+    per-image MEDIAN of those 64 coefficients). Vectorized across the
+    stack as two matrix products. Any input size (NN index resample
+    up- or down-samples)."""
+    m, h, w = stack.shape
+    ri = (np.arange(32) * h) // 32
+    ci = (np.arange(32) * w) // 32
+    x = stack[:, ri][:, :, ci].astype(np.float64)       # (m, 32, 32)
+    d8 = _dct_rows()
+    low = np.einsum("ij,mjk,lk->mil", d8, x, d8)        # (m, 8, 8)
+    flat = low.reshape(m, 64)
+    med = np.median(flat, axis=1)
+    bits = flat > med[:, None]
+    return (bits.astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+
+
+_HASHERS = {"ahash": ahash_stack, "phash": phash_stack}
+
+
+def image_fingerprints(images_ds, *, id_prefix_len: int = 3,
+                       method: str = "ahash"):
     """input_hint-shaped images Dataset -> (doc_id:int64, fp:int64).
 
     doc_id is parsed from the trailing digits of `image_id` (the
     'img%08d' convention of the synthetic corpus; adjust
     `id_prefix_len` for other prefixes). Decode is per-row (zlib is
     inherent to the codec) but hashing is vectorized per shape group,
-    mirroring `sources/images.py:ImageDecodeStage`."""
+    mirroring `sources/images.py:ImageDecodeStage`. `method` picks the
+    fingerprint: 'ahash' (8x8 block means) or 'phash' (DCT low-freq
+    median — robust where aHash confuses smooth gradients)."""
+    if method not in _HASHERS:
+        raise ValueError(f"method must be one of {sorted(_HASHERS)}, "
+                         f"got {method!r}")
+    hasher = _HASHERS[method]
+
     def fp_batch(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -69,7 +115,7 @@ def image_fingerprints(images_ds, *, id_prefix_len: int = 3):
         fp = np.empty(len(t), np.uint64)
         for shape, idxs in by_shape.items():
             idx = np.asarray(idxs, np.int64)
-            fp[idx] = ahash_stack(np.stack([pixels[i] for i in idxs]))
+            fp[idx] = hasher(np.stack([pixels[i] for i in idxs]))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "fp": pa.array(fp.view(np.int64))})
 
@@ -79,15 +125,17 @@ def image_fingerprints(images_ds, *, id_prefix_len: int = 3):
 
 def image_dup_pairs(images_ds, *, hamming_threshold: int = 3,
                     n_bands: int = 4, max_bucket_df: int = 256,
-                    id_prefix_len: int = 3) -> pa.Table:
+                    id_prefix_len: int = 3,
+                    method: str = "ahash") -> pa.Table:
     """Near-duplicate image pairs (a_id, b_id) with perceptual-hash
-    Hamming distance <= threshold — exact over the aHash fingerprints
+    Hamming distance <= threshold — exact over the chosen fingerprints
     (pigeonhole-complete banding + exact verify) up to the surfaced
     `max_bucket_df` cap, like the text SimHash sibling."""
     if n_bands <= hamming_threshold:
         raise ValueError("need n_bands > hamming_threshold for "
                          "pigeonhole-complete banding")
-    fps = image_fingerprints(images_ds, id_prefix_len=id_prefix_len)
+    fps = image_fingerprints(images_ds, id_prefix_len=id_prefix_len,
+                             method=method)
     return fp_hamming_pairs(fps, hamming_threshold=hamming_threshold,
                             n_bands=n_bands, max_bucket_df=max_bucket_df,
                             report_name="image_dup_pairs")

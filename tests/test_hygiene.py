@@ -209,6 +209,97 @@ def test_ahash_shift_invariance_and_reencode_robustness():
     assert h3.shape == (2,)
 
 
+def _brute_phash(img: np.ndarray) -> int:
+    """Textbook pHash: NN resample to 32x32, per-coefficient double
+    summation DCT-II (orthonormal), 8x8 low block, median threshold."""
+    import math
+    h, w = img.shape
+    x = np.empty((32, 32))
+    for r in range(32):
+        for c in range(32):
+            x[r, c] = float(img[(r * h) // 32, (c * w) // 32])
+    coef = np.empty((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for r in range(32):
+                for c in range(32):
+                    s += x[r, c] \
+                        * math.cos(math.pi * (2 * r + 1) * u / 64) \
+                        * math.cos(math.pi * (2 * c + 1) * v / 64)
+            au = math.sqrt((1 if u else 0.5) * 2 / 32)
+            av = math.sqrt((1 if v else 0.5) * 2 / 32)
+            coef[u, v] = au * av * s
+    flat = coef.ravel()
+    med = float(np.median(flat))
+    return sum(1 << i for i, c in enumerate(flat) if c > med)
+
+
+def test_phash_matches_textbook_dct():
+    from osm_cut_ray.stages.dedup import hamming64
+    from osm_cut_ray.sources.images import decode_image, encode_image
+    from osm_cut_ray.stages.image_dedup import ahash_stack, phash_stack
+    rng = np.random.default_rng(17)
+    imgs = [rng.integers(0, 256, (32, 32)).astype(np.uint8),
+            rng.integers(0, 256, (48, 40)).astype(np.uint8),
+            rng.integers(0, 256, (21, 13)).astype(np.uint8)]  # upsampled
+    for img in imgs:
+        got = int(phash_stack(img[None])[0])
+        assert got == _brute_phash(img), img.shape
+    # stacked call == per-image calls
+    sq = [i for i in imgs if i.shape == (32, 32)]
+    st = phash_stack(np.stack(sq))
+    assert [int(v) for v in st] == [_brute_phash(i) for i in sq]
+    # robustness: lossy re-encode stays within a few bits
+    img = imgs[0]
+    lossy = decode_image(encode_image(img, "fjpg"))[0]
+    d = hamming64(phash_stack(img[None]).view(np.int64),
+                  phash_stack(lossy[None]).view(np.int64))[0]
+    assert d <= 8
+    # discrimination pHash has and aHash lacks: a smooth gradient vs
+    # the same gradient with high-frequency texture riding on it —
+    # identical block means (aHash collides), different spectra
+    g = np.tile(np.linspace(40, 200, 32, dtype=np.float64), (32, 1))
+    tex = g.copy()
+    tex[:, ::2] += 12.0
+    tex[:, 1::2] -= 12.0
+    a = ahash_stack(np.stack([g.astype(np.uint8),
+                              np.clip(tex, 0, 255).astype(np.uint8)]))
+    p = phash_stack(np.stack([g.astype(np.uint8),
+                              np.clip(tex, 0, 255).astype(np.uint8)]))
+    da = hamming64(a[:1].view(np.int64), a[1:].view(np.int64))[0]
+    dp = hamming64(p[:1].view(np.int64), p[1:].view(np.int64))[0]
+    assert da <= 1          # aHash confuses them
+    assert dp >= 4          # pHash separates them
+
+
+def test_image_dup_pairs_phash_matches_brute(ray_session):
+    from osm_cut_ray.stages.dedup import hamming64
+    from osm_cut_ray.stages.image_dedup import image_dup_pairs, phash_stack
+    rng = np.random.default_rng(23)
+    base = [rng.integers(0, 256, (32, 32)).astype(np.uint8)
+            for _ in range(12)]
+    dups = [np.clip(p.astype(np.int16)
+                    + rng.integers(-1, 2, p.shape), 0, 255)
+            .astype(np.uint8) for p in base[:4]]
+    patterns = base + dups          # ids 12..15 duplicate ids 0..3
+    tbl = _image_table(patterns)
+    thr = 4
+    fps = phash_stack(np.stack(patterns)).view(np.int64)
+    exp = set()
+    for i in range(len(patterns)):
+        for j in range(i + 1, len(patterns)):
+            if hamming64(fps[i:i + 1], fps[j:j + 1])[0] <= thr:
+                exp.add((i, j))
+    got = image_dup_pairs(rd.from_arrow(tbl), hamming_threshold=thr,
+                          n_bands=8, method="phash")
+    got_pairs = set(zip(got["a_id"].to_pylist(), got["b_id"].to_pylist()))
+    assert got_pairs == exp
+    assert len(got_pairs & {(i, i + 12) for i in range(4)}) >= 2
+    with pytest.raises(ValueError, match="method"):
+        image_dup_pairs(rd.from_arrow(tbl), method="dhash")
+
+
 def test_image_dup_pairs_match_brute_force(ray_session):
     from osm_cut_ray.stages.dedup import hamming64
     from osm_cut_ray.stages.image_dedup import ahash_stack, image_dup_pairs
