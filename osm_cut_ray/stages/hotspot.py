@@ -139,6 +139,117 @@ def emerging_hotspots(points_ds, *, t0: float, t1: float,
     return bucketed_group_apply(rows, "cell", per_bucket)
 
 
+def morans_i(points_ds, *, res: int = 7, x_col: str = "lon",
+             y_col: str = "lat") -> dict:
+    """Global Moran's I spatial autocorrelation of hex-cell point
+    counts — the corpus-level companion to the local Gi* below. Same
+    universe rule: non-empty cells, binary ring-1 weights (no self),
+    restricted to non-empty neighbors.
+
+      I = (n / S0) * sum_ij w_ij z_i z_j / sum_i z_i^2,  z = x - xbar
+
+    plus the normality null E[I] = -1/(n-1) and variance
+    Var(I) = (n^2 S1 - n S2 + 3 S0^2) / ((n^2-1) S0^2) - E[I]^2 with
+    S1 = 2 S0 and S2 = 4 sum_i deg_i^2 (binary symmetric W), giving
+    z_norm = (I - E[I]) / sqrt(Var).
+
+    Bit-deterministic under any partitioning: the cross term expands
+    into PURE INT64 aggregates (sum x_i*nbrsum_i, sum deg_i*x_i,
+    sum nbrsum_i, sum deg_i, sum deg_i^2, sum x, sum x^2) — the repo's
+    int64-quantize-before-float-sums rule — and the float algebra
+    happens once on the driver. Shuffles touch count rows only.
+
+    -> dict(n_cells, s0, morans_i, e_i, var_i, z_norm); degenerate
+    universes (n < 2, S0 = 0 or zero variance) return NaN statistics.
+    """
+    import ray.data
+    from .join import bucketed_attach_column
+
+    counts = cell_counts(points_ds, res=res, x_col=x_col,
+                         y_col=y_col).materialize()
+    base = counts.aggregate(
+        ray.data.aggregate.Count(alias_name="n_cells"),
+        ray.data.aggregate.Sum("n", alias_name="sx"))
+    n_cells = int(base["n_cells"] or 0)
+    out_nan = {"n_cells": n_cells, "s0": 0, "morans_i": float("nan"),
+               "e_i": float("nan"), "var_i": float("nan"),
+               "z_norm": float("nan")}
+    if n_cells < 2:
+        return out_nan
+    sx = int(base["sx"])
+
+    def spread_nbrs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr = hex_neighbors(c)                      # (m, 6), no self
+        targets = np.concatenate([nbr[:, j] for j in range(6)])
+        return pa.table({"cell": pa.array(targets),
+                         "sx": pa.array(np.tile(x, 6)),
+                         "w": pa.array(np.ones(6 * len(c), np.int64))})
+
+    folded = _bucket_sums(
+        counts.map_batches(spread_nbrs, batch_format="pyarrow"),
+        ("sx", "w")).map_batches(
+            lambda t: t.rename_columns(["cell", "nbrsum", "deg"]),
+            batch_format="pyarrow")
+    # inner attach of the own count drops targets outside the universe
+    folded = bucketed_attach_column(
+        folded.materialize(), "cell", counts, "cell", "n")
+
+    def int_partials(t: pa.Table) -> pa.Table:
+        cols = ["a", "b", "c", "d", "e"]
+        if len(t) == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        ns = t["nbrsum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(x * ns), "b": pa.array(dg * x),
+                         "c": pa.array(ns), "d": pa.array(dg),
+                         "e": pa.array(dg * dg)})
+
+    agg = folded.map_batches(int_partials, batch_format="pyarrow")\
+        .aggregate(*[ray.data.aggregate.Sum(k, alias_name=k)
+                     for k in ("a", "b", "c", "d", "e")])
+    A = int(agg["a"] or 0)
+    B = int(agg["b"] or 0)
+    C = int(agg["c"] or 0)
+    S0 = int(agg["d"] or 0)
+    sum_deg2 = int(agg["e"] or 0)
+
+    sq = counts.map_batches(
+        lambda t: pa.table({"x2": pc_square(t["n"])}),
+        batch_format="pyarrow").aggregate(
+            ray.data.aggregate.Sum("x2", alias_name="x2"))
+    sx2 = int(sq["x2"] or 0)
+
+    n = n_cells
+    xbar = sx / n
+    cross = A - xbar * B - xbar * C + xbar * xbar * S0
+    denom = sx2 - n * xbar * xbar
+    if S0 == 0 or denom <= 0:
+        out_nan["s0"] = S0
+        return out_nan
+    i_val = (n / S0) * cross / denom
+    e_i = -1.0 / (n - 1)
+    s1 = 2.0 * S0
+    s2 = 4.0 * sum_deg2
+    var_i = ((n * n * s1 - n * s2 + 3.0 * S0 * S0)
+             / ((n * n - 1.0) * S0 * S0)) - e_i * e_i
+    z = (i_val - e_i) / np.sqrt(var_i) if var_i > 0 else float("nan")
+    return {"n_cells": n, "s0": S0, "morans_i": float(i_val),
+            "e_i": float(e_i), "var_i": float(var_i),
+            "z_norm": float(z)}
+
+
+def pc_square(arr: pa.ChunkedArray) -> pa.Array:
+    x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.array(x * x)
+
+
 def getis_ord_gi(points_ds, *, res: int = 7, x_col: str = "lon",
                  y_col: str = "lat"):
     """-> Dataset (cell, n, gi_z): Gi* z-score per non-empty cell

@@ -145,3 +145,80 @@ def test_getis_ord_degenerate(ray_session):
         "lon": pa.array([0.0]), "lat": pa.array([0.0])}))
     df = getis_ord_gi(one).to_pandas()
     assert len(df) == 1 and df["gi_z"][0] == 0.0 and df["n"][0] == 1
+
+
+def test_morans_i_matches_brute_and_separates(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.geometry.cells import hex_cell, hex_neighbors
+    from osm_cut_ray.stages.hotspot import morans_i
+
+    def brute(pts, res):
+        """Textbook Moran's I over the dense W matrix (symmetric
+        binary ring-1 weights, non-empty universe)."""
+        cells = hex_cell(pts[:, 0], pts[:, 1], res)
+        uc, cnt = np.unique(cells, return_counts=True)
+        pos = {int(c): i for i, c in enumerate(uc)}
+        n = len(uc)
+        W = np.zeros((n, n))
+        nbrs = hex_neighbors(uc)
+        for i in range(n):
+            for nb in nbrs[i].tolist():
+                j = pos.get(int(nb))
+                if j is not None:
+                    W[i, j] = 1.0
+        assert (W == W.T).all()          # symmetry precondition
+        z = cnt - cnt.mean()
+        S0 = W.sum()
+        I = (n / S0) * (z @ W @ z) / (z @ z)
+        EI = -1.0 / (n - 1)
+        S1 = 0.5 * ((W + W.T) ** 2).sum()
+        S2 = ((W.sum(axis=0) + W.sum(axis=1)) ** 2).sum()
+        var = ((n * n * S1 - n * S2 + 3 * S0 * S0)
+               / ((n * n - 1) * S0 * S0)) - EI * EI
+        return n, S0, I, EI, var, (I - EI) / np.sqrt(var)
+
+    rng = np.random.default_rng(41)
+    res = 6
+    # clustered corpus: two dense blobs on sparse background
+    pts = np.vstack([
+        rng.uniform([-5, -5], [5, 5], (1500, 2)),
+        rng.normal([1.0, 1.0], 0.05, (1200, 2)),
+        rng.normal([-2.0, -2.5], 0.05, (900, 2))])
+    ds = rd.from_arrow(pa.table({
+        "lon": pts[:, 0], "lat": pts[:, 1]})).repartition(5)
+    got = morans_i(ds, res=res)
+    n, S0, I, EI, var, z = brute(pts, res)
+    assert got["n_cells"] == n and got["s0"] == int(S0)
+    assert abs(got["morans_i"] - I) < 1e-9
+    assert abs(got["e_i"] - EI) < 1e-12
+    assert abs(got["var_i"] - var) < 1e-12
+    assert abs(got["z_norm"] - z) < 1e-9
+    assert got["morans_i"] > 0.2 and got["z_norm"] > 3.0  # clustered
+
+    # partitioning invariance (exact: int64 aggregates only)
+    ds2 = rd.from_arrow(pa.table({
+        "lon": pts[:, 0], "lat": pts[:, 1]})).repartition(13)
+    got2 = morans_i(ds2, res=res)
+    assert got2 == got
+
+    # dispersed (checkerboard-intensity) corpus scores NEGATIVE:
+    # alternate hex columns get 10x the points
+    from osm_cut_ray.geometry.cells import hex_cell_decode
+    base = rng.uniform([-3, -3], [3, 3], (4000, 2))
+    cells0 = hex_cell(base[:, 0], base[:, 1], res)
+    q = hex_cell_decode(cells0)[1]
+    keep = (q % 2 == 0) | (rng.random(len(base)) < 0.1)
+    disp = base[keep]
+    dds = rd.from_arrow(pa.table({
+        "lon": disp[:, 0], "lat": disp[:, 1]})).repartition(4)
+    gd = morans_i(dds, res=res)
+    bn, bS0, bI, bEI, bvar, bz = brute(disp, res)
+    assert abs(gd["morans_i"] - bI) < 1e-9
+    assert gd["morans_i"] < 0.0
+
+    # degenerate: single cell -> NaN stats
+    one = rd.from_arrow(pa.table({"lon": [0.001, 0.002],
+                                  "lat": [0.001, 0.0015]}))
+    g1 = morans_i(one, res=2)
+    assert g1["n_cells"] <= 1 or np.isnan(g1["morans_i"])
