@@ -740,6 +740,44 @@ def _synth_road_grid(cell_deg: float = 0.25):
     return build_segment_grid(ways, nodes, cell_deg=cell_deg)
 
 
+def _extra_vector_tiles(sf_dir: str):
+    """Vector-tile cut of the 20k-way synthetic road corpus at z=9:
+    way -> segment extraction (broadcast coordinate lookup), map-side
+    Liang-Barsky clip + quantize (zero shuffles), per-tile manifest
+    (one bucket pass)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.snap import way_segments
+    from osm_cut_ray.stages.vtile import (vector_tile_segments,
+                                          vector_tile_summary)
+
+    def synth_nodes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon, lat = _node_coords(ids)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def synth_ways(t: pa.Table) -> pa.Table:
+        wids = t["id"].to_numpy(zero_copy_only=False)
+        refs = [(np.arange(50, dtype=np.int64) + w * 10) % _GRID_N_NODES
+                for w in wids.tolist()]
+        return pa.table({
+            "id": pa.array(wids, pa.int64()),
+            "refs": pa.array([r.tolist() for r in refs],
+                             pa.list_(pa.int64()))})
+
+    nodes = rd.range(_GRID_N_NODES).map_batches(synth_nodes,
+                                                batch_format="pyarrow")
+    ways = rd.range(20_000).map_batches(synth_ways,
+                                        batch_format="pyarrow",
+                                        batch_size=2048)
+    segs = way_segments(ways, nodes)
+    vt = vector_tile_segments(segs, zoom=9).materialize()
+    return vector_tile_summary(vt)
+
+
 def _extra_snap_points(sf_dir: str):
     """Snap lineitem-derived points to the 20k-way synthetic road grid
     (SegmentGrid broadcast once, pure map-side probe)."""
@@ -1494,6 +1532,7 @@ EXTRA_SET = {
     "heavy_hitters_lineitem": _extra_heavy_hitters,
     "clip_ways_20k": _extra_clip_ways,
     "snap_points_1m": _extra_snap_points,
+    "vector_tiles_1m_z9": _extra_vector_tiles,
     "match_traj_200k": _extra_match_traj,
     "traj_staypoints_od_1m": _extra_traj_analytics,
     "traj_dedup_20k": _extra_traj_dedup,
