@@ -615,6 +615,44 @@ def _extra_funnel(sf_dir: str):
     return _as_ds(funnel_counts(ev, types))
 
 
+def _extra_cooccur(sf_dir: str):
+    """Item co-occurrence + PMI over events (item = the props JSON
+    'k' key): one user-bucket pair/marginal pass + one Sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.cooccur import cooccurrence
+
+    ev = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "props"]))
+
+    def extract(t: pa.Table) -> pa.Table:
+        item = pc.cast(pc.replace_substring_regex(
+            t["props"], r'^.*"k":\s*(\d+).*$', r"\1"), pa.int64())
+        return pa.table({"user_id": t["user_id"], "item": item})
+
+    rows = ev.map_batches(extract, batch_format="pyarrow")
+    return cooccurrence(rows, min_pair_count=2)
+
+
+def _extra_transitions(sf_dir: str):
+    """Event-type Markov transition matrix over events: one
+    user-bucket pair pass + a tiny string groupby."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.transitions import transition_matrix
+
+    ev = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+    return rd.from_arrow(transition_matrix(ev))
+
+
 def _extra_corpus_report(sf_dir: str):
     """One-pass corpus datasheet over documents (exact counts + HLL
     dup-rate + KLL length quantiles; slim sketch rows only)."""
@@ -1553,6 +1591,8 @@ EXTRA_SET = {
     "cut_multi_3x": _extra_cut_multi,
     "corpus_report_docs": _extra_corpus_report,
     "funnel_events": _extra_funnel,
+    "cooccur_events_pmi": _extra_cooccur,
+    "markov_transitions_events": _extra_transitions,
     "quantiles_by_key_lineitem": _extra_quantiles_by_key,
     "pii_redact_docs": _extra_pii,
     "quality_classifier_docs": _extra_classifier,
