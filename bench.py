@@ -1748,11 +1748,22 @@ def _diff_vs_previous(qtimes: dict) -> dict:
             # head-truncated fragment: salvage the flat "name": sec
             # pairs (bench query names never nest)
             import re
-            pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)',
-                               data["tail"])
-            src = {"queries": {k: float(v) for k, v in pairs
-                               if k not in ("value", "sf", "num_cpus",
-                                            "headline_rows")}}
+            # keep the FIRST occurrence per name: the per-query times
+            # precede the regressions/improvements RATIO dicts in the
+            # JSON line, and a later ratio (e.g. 0.27) overwriting a
+            # real time fabricates 10x phantom regressions
+            tail = data["tail"]
+            for marker in ('"regressions"', '"improvements"'):
+                cut = tail.find(marker)
+                if cut >= 0:
+                    tail = tail[:cut]
+            pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+            q: dict = {}
+            for k, v in pairs:
+                if k not in ("value", "sf", "num_cpus",
+                             "headline_rows"):
+                    q.setdefault(k, float(v))
+            src = {"queries": q}
     prev = src.get("queries") or {}
     regressions, improvements = {}, {}
     for k, v in qtimes.items():
