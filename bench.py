@@ -1201,6 +1201,38 @@ def _extra_density_tiles(sf_dir: str):
     return tile_pyramid_level(sm)
 
 
+def _extra_contour_density(sf_dir: str):
+    """2M points -> square-grid raster (0.25 deg) -> marching-squares
+    contours at three density levels: one slim count shuffle + one
+    tile-halo bucket pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.contour import (contour_segments,
+                                            rasterize_points)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = ids * np.int64(2654435761)
+        blob = ids % 50
+        lon0, lat0 = _node_coords(blob * 4001)
+        lon = np.where(ids % 5 == 0,
+                       ((h % 360000) / 1000.0) - 180.0,
+                       lon0 + ((h % 2000) / 1000.0 - 1.0) * 2.0)
+        lat = np.where(ids % 5 == 0,
+                       (((h // 7) % 180000) / 1000.0) - 90.0,
+                       lat0 + (((h // 11) % 2000) / 1000.0 - 1.0) * 2.0)
+        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = rd.range(2_000_000).map_batches(synth, batch_format="pyarrow")
+    cells = rasterize_points(pts, cell=0.25)
+    segs = contour_segments(cells, [5.0, 50.0, 200.0],
+                            tile=64).materialize()
+    assert segs.count() > 0
+    return segs
+
+
 def _extra_image_augment(sf_dir: str):
     """3x deterministic augmentation over 50k mixed-size images
     (decode -> stacked numpy flips/rots/crops -> re-encode)."""
@@ -1581,6 +1613,7 @@ EXTRA_SET = {
     "image_augment_50k": _extra_image_augment,
     "image_norm_stats_50k": _extra_channel_stats,
     "density_tiles_2m": _extra_density_tiles,
+    "contour_density_2m": _extra_contour_density,
     "retrieval_recall_50k": _extra_retrieval_eval,
     "hotspot_gi_2m": _extra_hotspot,
     "geo_report_200k": _extra_geo_report,
