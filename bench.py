@@ -904,6 +904,35 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_kalman_smooth(sf_dir: str):
+    """Kalman/RTS smoothing over 1M fixes (12.5k traces x 80): one
+    trajectory-bucket shuffle, recursions vectorized ACROSS the
+    bucket's trajectories."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.kalman import kalman_smooth
+
+    def fixes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        tid = ids // 80
+        step = (ids % 80).astype(np.float64)
+        lon0, lat0 = _node_coords((tid * 53) % _GRID_N_NODES)
+        return pa.table({
+            "traj_id": pa.array(tid, pa.int64()),
+            "ts": pa.array(step * 15.0),
+            "lon": pa.array(lon0 + step * 0.002
+                            + np.sin(ids * 0.9) * 0.01),
+            "lat": pa.array(lat0 + step * 0.001
+                            + np.cos(ids * 1.7) * 0.01)})
+
+    pts = rd.range(1_000_000).map_batches(fixes, batch_format="pyarrow")
+    sm = kalman_smooth(pts).materialize()
+    assert sm.count() == 1_000_000
+    return sm
+
+
 def _extra_traj_dedup(sf_dir: str):
     """Trajectory near-dup: 20k traces (10k routes each driven twice
     with GPS jitter), cell-shingle MinHash LSH + exact Frechet verify."""
@@ -1605,6 +1634,7 @@ EXTRA_SET = {
     "vector_tiles_1m_z9": _extra_vector_tiles,
     "match_traj_200k": _extra_match_traj,
     "traj_staypoints_od_1m": _extra_traj_analytics,
+    "kalman_smooth_1m": _extra_kalman_smooth,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
