@@ -904,6 +904,37 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_edit_join(sf_dir: str):
+    """Edit-distance join over 200k short strings (100k names, each
+    with one planted typo), d_max=1: deletion-variant hash emission
+    -> one key-bucket shuffle -> banded-DP verify."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.edit_join import edit_distance_pairs
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        base = ids // 2
+        out = []
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        for i, b in zip(ids.tolist(), base.tolist()):
+            h = b * 2654435761 % (1 << 62)
+            L = 8 + h % 5
+            chars = [letters[(h >> (5 * k)) % 26] for k in range(L)]
+            if i % 2 == 1:  # typo: substitute one position
+                chars[h % L] = letters[(h >> 40) % 26]
+            out.append("".join(chars))
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out)})
+
+    docs = rd.range(200_000).map_batches(synth, batch_format="pyarrow")
+    pairs = edit_distance_pairs(docs, d_max=1, max_df=64)
+    assert len(pairs) >= 90_000
+    return pairs
+
+
 def _extra_kalman_smooth(sf_dir: str):
     """Kalman/RTS smoothing over 1M fixes (12.5k traces x 80): one
     trajectory-bucket shuffle, recursions vectorized ACROSS the
@@ -1635,6 +1666,7 @@ EXTRA_SET = {
     "match_traj_200k": _extra_match_traj,
     "traj_staypoints_od_1m": _extra_traj_analytics,
     "kalman_smooth_1m": _extra_kalman_smooth,
+    "edit_join_200k": _extra_edit_join,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
