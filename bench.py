@@ -904,6 +904,42 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_cdc_dedup(sf_dir: str):
+    """Gear-CDC chunking over 128 MB of synthetic blobs (2k x 64 KB,
+    every 4th pair shares a half-blob region), dedup stats + overlap
+    pairs — chunking is pure map-side; shuffles carry 32 B/chunk."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.cdc import (blob_overlap_pairs,
+                                        cdc_chunk_blobs,
+                                        chunk_dedup_stats)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        bufs = []
+        for i in ids.tolist():
+            seed = i // 2 if i % 4 < 2 else i  # pairs share a seed
+            rng = np.random.default_rng(seed)
+            shared = rng.integers(0, 256, 32768, dtype=np.uint8)
+            own = np.random.default_rng(i + 10 ** 6) \
+                .integers(0, 256, 32768, dtype=np.uint8)
+            bufs.append(shared.tobytes() + own.tobytes())
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(bufs, pa.binary())})
+
+    blobs = rd.range(2000, override_num_blocks=64) \
+        .map_batches(synth, batch_format="pyarrow")
+    chunks = cdc_chunk_blobs(blobs, min_size=1024, avg_size=4096,
+                             max_size=16384).materialize()
+    stats = chunk_dedup_stats(chunks)
+    assert stats["dedup_ratio"] > 1.1  # 500 shared 32 KB halves
+    pairs = blob_overlap_pairs(chunks, min_shared=4, max_df=64)
+    assert len(pairs) >= 450
+    return chunks
+
+
 def _extra_edit_join(sf_dir: str):
     """Edit-distance join over 200k short strings (100k names, each
     with one planted typo), d_max=1: deletion-variant hash emission
@@ -1667,6 +1703,7 @@ EXTRA_SET = {
     "traj_staypoints_od_1m": _extra_traj_analytics,
     "kalman_smooth_1m": _extra_kalman_smooth,
     "edit_join_200k": _extra_edit_join,
+    "cdc_dedup_128mb": _extra_cdc_dedup,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
