@@ -904,6 +904,34 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_colocation(sf_dir: str):
+    """Co-location join over 1M fixes (20k users x 50, venue-
+    clustered): one (cell, timebin) bucket shuffle + one pair fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.colocate import colocation_pairs
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        uid = ids // 50
+        step = (ids % 50).astype(np.float64)
+        venue = uid % 2000
+        lon0, lat0 = _node_coords((venue * 97) % _GRID_N_NODES)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array((uid % 7) * 3600.0 + step * 30.0),
+            "lon": pa.array(lon0 + np.sin(ids * 1.3) * 0.004),
+            "lat": pa.array(lat0 + np.cos(ids * 0.7) * 0.004)})
+
+    pts = rd.range(1_000_000).map_batches(synth, batch_format="pyarrow")
+    pairs = colocation_pairs(pts, eps=0.01, tau=120.0,
+                             max_cell_pairs=2_000_000).materialize()
+    assert pairs.count() > 0
+    return pairs
+
+
 def _extra_cdc_dedup(sf_dir: str):
     """Gear-CDC chunking over 128 MB of synthetic blobs (2k x 64 KB,
     every 4th pair shares a half-blob region), dedup stats + overlap
@@ -1704,6 +1732,7 @@ EXTRA_SET = {
     "kalman_smooth_1m": _extra_kalman_smooth,
     "edit_join_200k": _extra_edit_join,
     "cdc_dedup_128mb": _extra_cdc_dedup,
+    "colocation_1m": _extra_colocation,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
