@@ -904,6 +904,46 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_corpus_diff(sf_dir: str):
+    """Snapshot diff over 2 x 1M rows with nested tags (5% modified,
+    5% added/removed): vectorized Arrow row hashes + one id-bucket
+    classify shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.diff import diff_corpora
+
+    def synth(side):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            if side == 1:
+                ids = ids + 50_000  # 50k removed, 50k added
+            v = ids * np.int64(2654435761)
+            mod = (side == 1) & (ids % 20 == 3)
+            lat = (v % 180000) / 1000.0 - 90.0 + mod * 0.5
+            keys = pa.array(["highway"] * len(ids))
+            vals = pa.array(
+                np.where(ids % 3 == 0, "primary", "service"))
+            offs = pa.array(np.arange(len(ids) + 1, dtype=np.int32))
+            tags = pa.MapArray.from_arrays(offs, keys, vals)
+            return pa.table({"id": pa.array(ids, pa.int64()),
+                             "lat": pa.array(lat),
+                             "tags": tags})
+        return fn
+
+    old = rd.range(1_000_000).map_batches(synth(0),
+                                          batch_format="pyarrow")
+    new = rd.range(1_000_000).map_batches(synth(1),
+                                          batch_format="pyarrow")
+    out = diff_corpora(old, new).materialize()
+    from collections import Counter
+    counts = Counter(r["change"] for r in out.take_all())
+    assert counts["added"] == 50_000 and counts["removed"] == 50_000
+    assert counts["modified"] == 47_500
+    return out
+
+
 def _extra_colocation(sf_dir: str):
     """Co-location join over 1M fixes (20k users x 50, venue-
     clustered): one (cell, timebin) bucket shuffle + one pair fold."""
@@ -1733,6 +1773,7 @@ EXTRA_SET = {
     "edit_join_200k": _extra_edit_join,
     "cdc_dedup_128mb": _extra_cdc_dedup,
     "colocation_1m": _extra_colocation,
+    "corpus_diff_1m": _extra_corpus_diff,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
