@@ -234,6 +234,48 @@ def _cmd_export_wds(args) -> int:
     return 0
 
 
+def _cmd_diff(args) -> int:
+    """osmium derive-changes analog over two parquet snapshots."""
+    import glob
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from .sources.tables import strip_schema_metadata
+    from .stages.diff import diff_corpora
+
+    def load(pats):
+        paths = sorted(p for pat in pats for p in glob.glob(pat))
+        if not paths:
+            print(f"no inputs matched {pats}", file=sys.stderr)
+            return None
+        return strip_schema_metadata(rd.read_parquet(paths))
+
+    old = load([args.old])
+    new = load([args.new])
+    if old is None or new is None:
+        return 2
+    out = diff_corpora(old, new, id_col=args.id_col,
+                       keep_unchanged=args.keep_unchanged)
+    if args.output:
+        out.write_parquet(args.output)
+        print(f"diff written to {args.output}")
+    from collections import Counter
+    counts = Counter(r["change"] for r in
+                     out.select_columns(["change"]).take_all())
+    for k in ("added", "removed", "modified", "unchanged"):
+        if counts.get(k):
+            print(f"{k}: {counts[k]}")
+    ray.shutdown()
+    return 0
+
+
 def _cmd_layout(args) -> int:
     import glob
 
@@ -541,6 +583,17 @@ def main(argv=None) -> int:
     ly.add_argument("--lat-col", default="lat")
     ly.add_argument("--rows-per-group", type=int, default=4096)
     ly.set_defaults(fn=_cmd_layout)
+    dm = sub.add_parser(
+        "diff",
+        help="classify added/removed/modified rows between two "
+             "parquet snapshots (osmium derive-changes analog)")
+    dm.add_argument("old", help="old snapshot parquet path/glob")
+    dm.add_argument("new", help="new snapshot parquet path/glob")
+    dm.add_argument("--id-col", default="id")
+    dm.add_argument("--output", default=None,
+                    help="write (id, change) parquet here")
+    dm.add_argument("--keep-unchanged", action="store_true")
+    dm.set_defaults(fn=_cmd_diff)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -357,3 +357,28 @@ def test_cli_cut_way_tag_filter(tmp_path):
     assert r2.returncode == 0, r2.stderr[-800:]
     t2 = out2.read_text()
     assert '<way id="1"' in t2 and '<way id="2"' not in t2
+
+
+def test_cli_diff(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    old = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array([10, 20, 30])})
+    new = pa.table({"id": pa.array([2, 3, 4], pa.int64()),
+                    "v": pa.array([20, 99, 40])})
+    po = str(tmp_path / "old.parquet")
+    pn = str(tmp_path / "new.parquet")
+    pq.write_table(old, po)
+    pq.write_table(new, pn)
+    out = str(tmp_path / "changes")
+    r = _run(["diff", po, pn, "--output", out])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "added: 1" in r.stdout and "removed: 1" in r.stdout
+    assert "modified: 1" in r.stdout
+    got = pq.read_table(out).to_pylist() if os.path.isfile(out) else \
+        __import__("pyarrow.dataset", fromlist=["dataset"]) \
+        .dataset(out).to_table().to_pylist()
+    changes = {row["id"]: row["change"] for row in got}
+    assert changes == {1: "removed", 3: "modified", 4: "added"}
