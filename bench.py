@@ -904,6 +904,39 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_cell_forecast(sf_dir: str):
+    """Holt-Winters per-cell forecast over 2M events, 48 bins with
+    daily seasonality (period 8): one cell-bucket shuffle, recursions
+    vectorized across cells."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.forecast import cell_forecast
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = ids * np.int64(2654435761)
+        blob = ids % 3000
+        lon0, lat0 = _node_coords(blob * 4001)
+        # seasonal event times: denser in "daytime" bins
+        day = (h % 6).astype(np.float64)
+        slot = ((h // 7) % 8).astype(np.float64)
+        frac = ((h // 11) % 1000) / 1000.0
+        return pa.table({
+            "lon": pa.array(lon0 + ((h % 2000) / 1000.0 - 1) * 0.05),
+            "lat": pa.array(lat0 + (((h // 13) % 2000) / 1000.0 - 1)
+                            * 0.05),
+            "ts": pa.array((day * 8 + slot + frac) * 100.0)})
+
+    pts = rd.range(2_000_000).map_batches(synth, batch_format="pyarrow")
+    out = cell_forecast(pts, t0=0.0, t1=4800.0, interval=100.0,
+                        horizon=8, alpha=0.4, beta=0.1, gamma=0.3,
+                        season_len=8).materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_corpus_diff(sf_dir: str):
     """Snapshot diff over 2 x 1M rows with nested tags (5% modified,
     5% added/removed): vectorized Arrow row hashes + one id-bucket
@@ -1774,6 +1807,7 @@ EXTRA_SET = {
     "cdc_dedup_128mb": _extra_cdc_dedup,
     "colocation_1m": _extra_colocation,
     "corpus_diff_1m": _extra_corpus_diff,
+    "cell_forecast_2m": _extra_cell_forecast,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
