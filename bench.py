@@ -904,6 +904,34 @@ def _extra_traj_analytics(sf_dir: str):
     return od_matrix(pts, res=6, gap_thresh=600.0)
 
 
+def _extra_terrain(sf_dir: str):
+    """Horn slope/aspect/hillshade over a 4M-cell synthetic DEM
+    (2000x2000 ridged surface): tile-halo exchange + vectorized
+    stencil."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.terrain import terrain_attributes
+
+    W = 2000
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        ix = ids // W
+        iy = ids % W
+        z = (np.sin(ix * 0.01) * 200.0 + np.cos(iy * 0.013) * 150.0
+             + np.sin((ix + iy) * 0.004) * 400.0)
+        return pa.table({"ix": pa.array(ix), "iy": pa.array(iy),
+                         "value": pa.array(z)})
+
+    cells = rd.range(W * W).map_batches(synth, batch_format="pyarrow")
+    out = terrain_attributes(cells, cell_size=30.0,
+                             tile=128).materialize()
+    assert out.count() == W * W
+    return out
+
+
 def _extra_cell_forecast(sf_dir: str):
     """Holt-Winters per-cell forecast over 2M events, 48 bins with
     daily seasonality (period 8): one cell-bucket shuffle, recursions
@@ -1808,6 +1836,7 @@ EXTRA_SET = {
     "colocation_1m": _extra_colocation,
     "corpus_diff_1m": _extra_corpus_diff,
     "cell_forecast_2m": _extra_cell_forecast,
+    "terrain_dem_4m": _extra_terrain,
     "traj_dedup_20k": _extra_traj_dedup,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
