@@ -1629,6 +1629,24 @@ def _extra_text_cross_dedup(sf_dir: str):
     return text_cross_dup_filter(new, idx, mode="anti")
 
 
+def _extra_rake_keywords(sf_dir: str):
+    """RAKE per-doc keyphrases over the documents table (zero
+    shuffles) + corpus top-50 fold (one phrase-hash bucket pass)."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.keywords import (corpus_keywords,
+                                             rake_keywords)
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])).materialize()
+    per_doc = rake_keywords(docs, top_k=8).materialize()
+    assert per_doc.count() > 0
+    top = corpus_keywords(docs, top_k=50, per_doc_k=8)
+    assert len(top) > 0
+    return per_doc
+
+
 def _extra_lm_score(sf_dir: str):
     """Hashed bigram-LM fit over documents (one slim count pass +
     exact groupby-sum reduce) then map-side cross-entropy scoring of
@@ -1821,6 +1839,7 @@ EXTRA_SET = {
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
     "lm_score_docs": _extra_lm_score,
+    "rake_keywords_docs": _extra_rake_keywords,
     "text_cross_dedup": _extra_text_cross_dedup,
     "seq_pack_docs": _extra_seq_pack,
     "seq_materialize_docs": _extra_seq_materialize,
