@@ -1842,6 +1842,32 @@ def _extra_triangle_stats(sf_dir: str):
     return out
 
 
+def _extra_kcore(sf_dir: str):
+    """k-core decomposition (H-index fixpoint) on the same 1M-edge
+    ring+hub graph as triangle_stats_1m; cost = rounds x (one attach
+    + one fold) over 2-int64 rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.kcore import core_numbers
+
+    n = 200_000
+    i = np.arange(n, dtype=np.int64)
+    ring_src = np.concatenate([i, i])
+    ring_dst = np.concatenate([(i + 1) % n, (i + 2) % n])
+    rng = np.random.default_rng(7)
+    hub_src = (rng.zipf(1.8, 600_000) % n).astype(np.int64)
+    hub_dst = rng.integers(0, n, 600_000).astype(np.int64)
+    t = pa.table({
+        "src": pa.array(np.concatenate([ring_src, hub_src])),
+        "dst": pa.array(np.concatenate([ring_dst, hub_dst]))})
+    ds = rd.from_arrow(t).repartition(64)
+    out = core_numbers(ds).materialize()
+    assert out.count() == n
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -1859,6 +1885,7 @@ def _extra_route_sssp_distributed(sf_dir: str):
 EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
     "triangle_stats_1m": _extra_triangle_stats,
+    "kcore_1m": _extra_kcore,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
