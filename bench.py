@@ -1868,6 +1868,30 @@ def _extra_kcore(sf_dir: str):
     return out
 
 
+def _extra_linkpred(sf_dir: str):
+    """Link-prediction features (CN/AA/RA/Jaccard) on a 100k-node,
+    400k-edge bounded-degree graph; wedge volume ~ sum deg^2."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.linkpred import link_features
+
+    n = 100_000
+    i = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(11)
+    rnd_src = rng.integers(0, n, 200_000).astype(np.int64)
+    rnd_dst = rng.integers(0, n, 200_000).astype(np.int64)
+    t = pa.table({
+        "src": pa.array(np.concatenate([i, i, rnd_src])),
+        "dst": pa.array(np.concatenate(
+            [(i + 1) % n, (i + 2) % n, rnd_dst]))})
+    ds = rd.from_arrow(t).repartition(64)
+    out = link_features(ds).materialize()
+    assert out.count() > n  # ring alone yields >= n 2-hop pairs
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -1886,6 +1910,7 @@ EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
+    "linkpred_400k": _extra_linkpred,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
