@@ -1892,6 +1892,32 @@ def _extra_linkpred(sf_dir: str):
     return out
 
 
+def _extra_interval_join(sf_dir: str):
+    """1M x 1M interval-overlap join (grid-bucketed, exactly-once
+    left-edge emission) over short random sessions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.interval_join import interval_join
+
+    rng = np.random.default_rng(23)
+    n = 1_000_000
+    sa = rng.uniform(0, 1_000_000.0, n)
+    sb = rng.uniform(0, 1_000_000.0, n)
+    ta = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                   "start": pa.array(sa),
+                   "end": pa.array(sa + rng.uniform(0, 2.0, n))})
+    tb = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                   "start": pa.array(sb),
+                   "end": pa.array(sb + rng.uniform(0, 2.0, n))})
+    out = interval_join(rd.from_arrow(ta).repartition(64),
+                        rd.from_arrow(tb).repartition(64))
+    out = out.materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -1911,6 +1937,7 @@ EXTRA_SET = {
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
     "linkpred_400k": _extra_linkpred,
+    "interval_join_1m": _extra_interval_join,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
