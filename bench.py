@@ -1918,6 +1918,37 @@ def _extra_interval_join(sf_dir: str):
     return out
 
 
+def _extra_rolling_anomaly(sf_dir: str):
+    """Rolling median/MAD robust z-scores over the events table:
+    per-user value series, window 20 — one bucketed shuffle +
+    sliding-window kernel."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.anomaly import rolling_anomalies
+
+    ev = read_table(os.path.join(sf_dir, "events.parquet"),
+                    columns=["ts", "user_id", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[s]").astype(np.int64) \
+            .astype(np.float64)
+        return pa.table({
+            "user": t["user_id"],
+            "t": pa.array(ts),
+            "x": t["value"]})
+
+    out = rolling_anomalies(
+        ev.map_batches(slim, batch_format="pyarrow"),
+        key_col="user", ts_col="t", val_col="x", window=20)
+    out = out.materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -1938,6 +1969,7 @@ EXTRA_SET = {
     "kcore_1m": _extra_kcore,
     "linkpred_400k": _extra_linkpred,
     "interval_join_1m": _extra_interval_join,
+    "rolling_anomaly_events": _extra_rolling_anomaly,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
