@@ -1949,6 +1949,23 @@ def _extra_rolling_anomaly(sf_dir: str):
     return out
 
 
+def _extra_skyline(sf_dir: str):
+    """3-criteria skyline over lineitem (min price, min tax, max
+    discount): per-block BNL frontier, shrink rounds, exact merge."""
+    import ray.data as rd
+
+    from osm_cut_ray.stages.skyline import skyline
+    from osm_cut_ray.sources.tables import read_table
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_tax", "l_discount"])
+    out = skyline(li, {"l_extendedprice": "min", "l_tax": "min",
+                       "l_discount": "max"}).materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -1970,6 +1987,7 @@ EXTRA_SET = {
     "linkpred_400k": _extra_linkpred,
     "interval_join_1m": _extra_interval_join,
     "rolling_anomaly_events": _extra_rolling_anomaly,
+    "skyline_lineitem": _extra_skyline,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
