@@ -1966,6 +1966,38 @@ def _extra_skyline(sf_dir: str):
     return out
 
 
+def _extra_weighted_sample(sf_dir: str):
+    """Per-supplier weighted lineitem sample (quantity-weighted
+    priority sampling, k=20): slim projection, one bucketed fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.wsample import weighted_sample_per_key
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_suppkey", "l_quantity"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "supp": t["l_suppkey"],
+            "rid": pa.array(ok * 8 + ln),
+            "w": pa.compute.cast(t["l_quantity"], pa.float64())})
+
+    out = weighted_sample_per_key(
+        li.map_batches(slim, batch_format="pyarrow"),
+        key_col="supp", id_col="rid", weight_col="w", k=20, seed=3)
+    out = out.materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -1988,6 +2020,7 @@ EXTRA_SET = {
     "interval_join_1m": _extra_interval_join,
     "rolling_anomaly_events": _extra_rolling_anomaly,
     "skyline_lineitem": _extra_skyline,
+    "weighted_sample_lineitem": _extra_weighted_sample,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
