@@ -1998,6 +1998,22 @@ def _extra_weighted_sample(sf_dir: str):
     return out
 
 
+def _extra_exact_quantiles(sf_dir: str):
+    """Exact distributed quantiles (4-round radix selection, zero
+    shuffles) of l_extendedprice, 7 ranks in shared passes."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.quantile import quantiles
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_extendedprice"]).materialize()
+    out = quantiles(li, "l_extendedprice",
+                    [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0])
+    assert out.num_rows == 7
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2021,6 +2037,7 @@ EXTRA_SET = {
     "rolling_anomaly_events": _extra_rolling_anomaly,
     "skyline_lineitem": _extra_skyline,
     "weighted_sample_lineitem": _extra_weighted_sample,
+    "exact_quantiles_lineitem": _extra_exact_quantiles,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
