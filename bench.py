@@ -2014,6 +2014,34 @@ def _extra_exact_quantiles(sf_dir: str):
     return out
 
 
+def _extra_changepoints(sf_dir: str):
+    """PELT mean-shift changepoints over 2,000 synthetic series x
+    500 points (1M rows, one bucketed shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.changepoint import changepoints
+
+    rng = np.random.default_rng(13)
+    n_keys, n_pts = 2_000, 500
+    x = rng.normal(0, 1, (n_keys, n_pts))
+    # 2 shifts per series
+    x[:, 150:] += rng.normal(0, 6, (n_keys, 1))
+    x[:, 350:] += rng.normal(0, 6, (n_keys, 1))
+    t = pa.table({
+        "k": pa.array(np.repeat(np.arange(n_keys, dtype=np.int64),
+                                n_pts)),
+        "t": pa.array(np.tile(np.arange(n_pts, dtype=np.float64),
+                              n_keys)),
+        "v": pa.array(x.ravel())})
+    out = changepoints(rd.from_arrow(t).repartition(64),
+                       key_col="k", ts_col="t", val_col="v")
+    out = out.materialize()
+    assert out.count() > n_keys  # ~2 cps per series expected
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2038,6 +2066,7 @@ EXTRA_SET = {
     "skyline_lineitem": _extra_skyline,
     "weighted_sample_lineitem": _extra_weighted_sample,
     "exact_quantiles_lineitem": _extra_exact_quantiles,
+    "changepoints_1m": _extra_changepoints,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
