@@ -2042,6 +2042,24 @@ def _extra_changepoints(sf_dir: str):
     return out
 
 
+def _extra_linreg(sf_dir: str):
+    """Per-part OLS (quantity vs extendedprice) over lineitem:
+    decimal-exact partial sums, one tiny-partial fold."""
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.regression import linreg_per_key
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+    out = linreg_per_key(li, key_col="l_partkey",
+                         x_col="l_quantity",
+                         y_col="l_extendedprice").materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2067,6 +2085,7 @@ EXTRA_SET = {
     "weighted_sample_lineitem": _extra_weighted_sample,
     "exact_quantiles_lineitem": _extra_exact_quantiles,
     "changepoints_1m": _extra_changepoints,
+    "linreg_lineitem": _extra_linreg,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
