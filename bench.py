@@ -2060,6 +2060,43 @@ def _extra_linreg(sf_dir: str):
     return out
 
 
+def _extra_feature_scores(sf_dir: str):
+    """Chi2/MI token-vs-label scoring over documents (label = doc
+    length decile): vectorized token explode, one feature fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.feature_score import feature_label_scores
+
+    docs = read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        texts = pd.Series(t["text"].to_pylist()).astype(str)
+        toks = texts.str.lower().str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        lab = np.minimum(lens // 50, 9)
+        flat = toks.explode()
+        keep = flat.notna()
+        flat = flat[keep]
+        labs = np.repeat(lab, np.where(lens > 0, lens, 0))
+        feats = pd.util.hash_array(
+            flat.to_numpy(object)).astype(np.int64) % (1 << 20)
+        return pa.table({
+            "feat": pa.array(feats),
+            "lab": pa.array(labs)})
+
+    out = feature_label_scores(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        feature_col="feat", label_col="lab")
+    out = out.materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2086,6 +2123,7 @@ EXTRA_SET = {
     "exact_quantiles_lineitem": _extra_exact_quantiles,
     "changepoints_1m": _extra_changepoints,
     "linreg_lineitem": _extra_linreg,
+    "feature_scores_docs": _extra_feature_scores,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
