@@ -2097,6 +2097,30 @@ def _extra_feature_scores(sf_dir: str):
     return out
 
 
+def _extra_betweenness(sf_dir: str):
+    """Sampled betweenness (512 Brandes sources over a 20k-node
+    small-world graph): per-chunk map tasks, quantized reduction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.betweenness import betweenness
+
+    n = 20_000
+    i = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(29)
+    shortcuts_src = rng.integers(0, n, 20_000).astype(np.int64)
+    shortcuts_dst = rng.integers(0, n, 20_000).astype(np.int64)
+    t = pa.table({
+        "src": pa.array(np.concatenate([i, shortcuts_src])),
+        "dst": pa.array(np.concatenate([(i + 1) % n,
+                                        shortcuts_dst]))})
+    out = betweenness(rd.from_arrow(t).repartition(16),
+                      n_sources=512, seed=1).materialize()
+    assert out.count() == n
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2124,6 +2148,7 @@ EXTRA_SET = {
     "changepoints_1m": _extra_changepoints,
     "linreg_lineitem": _extra_linreg,
     "feature_scores_docs": _extra_feature_scores,
+    "betweenness_20k": _extra_betweenness,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
