@@ -2121,6 +2121,28 @@ def _extra_betweenness(sf_dir: str):
     return out
 
 
+def _extra_snm_blocking(sf_dir: str):
+    """Sorted-neighborhood blocking over 1M synthetic name records
+    (window 8): exact-quantile range buckets + boundary stitch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.blocking import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(41)
+    n = 1_000_000
+    a = rng.integers(0, 26, (n, 6))
+    keys = ["".join(chr(97 + c) for c in row) for row in a]
+    t = pa.table({"rid": pa.array(np.arange(n, dtype=np.int64)),
+                  "name": pa.array(keys, pa.string())})
+    out = sorted_neighborhood_pairs(
+        rd.from_arrow(t).repartition(64), id_col="rid",
+        key_col="name", window=8).materialize()
+    assert out.count() >= (8 - 1) * (n - 8)
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2149,6 +2171,7 @@ EXTRA_SET = {
     "linreg_lineitem": _extra_linreg,
     "feature_scores_docs": _extra_feature_scores,
     "betweenness_20k": _extra_betweenness,
+    "snm_blocking_1m": _extra_snm_blocking,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,

@@ -34,8 +34,8 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 def uniform_hash(ids: np.ndarray, seed: int) -> np.ndarray:
     """splitmix64(id + seed*golden) -> uniform open (0,1),
     bit-deterministic."""
-    z = ids.astype(np.uint64) + np.uint64(seed) * _GOLD
     with np.errstate(over="ignore"):
+        z = ids.astype(np.uint64) + np.uint64(seed) * _GOLD
         z = (z ^ (z >> np.uint64(30))) * _SM1
         z = (z ^ (z >> np.uint64(27))) * _SM2
         z = z ^ (z >> np.uint64(31))
