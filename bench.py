@@ -2143,6 +2143,67 @@ def _extra_snm_blocking(sf_dir: str):
     return out
 
 
+def _extra_winsorize(sf_dir: str):
+    """Per-supplier winsorization of lineitem extendedprice at the
+    exact [0.05, 0.95] quantiles: slim projection, one bucket fold."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.winsorize import winsorize_per_key
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_suppkey", "l_extendedprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "supp": t["l_suppkey"],
+            "rid": pa.array(ok * 8 + ln),
+            "v": pa.compute.cast(t["l_extendedprice"],
+                                 pa.float64())})
+
+    out = winsorize_per_key(
+        li.map_batches(slim, batch_format="pyarrow"),
+        key_col="supp", id_col="rid", val_col="v",
+        q_lo=0.05, q_hi=0.95).materialize()
+    assert out.count() > 0
+    return out
+
+
+def _extra_phonetic_block(sf_dir: str):
+    """Soundex-key sorted-neighborhood blocking over 200k synthetic
+    names: phonetic encode in map_batches, then the SNM pair pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.functions.phonetic import soundex_array
+    from osm_cut_ray.stages.blocking import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(47)
+    n = 200_000
+    a = rng.integers(0, 26, (n, 7))
+    names = ["".join(chr(97 + c) for c in row) for row in a]
+    t = pa.table({"rid": pa.array(np.arange(n, dtype=np.int64)),
+                  "name": pa.array(names, pa.string())})
+
+    def encode(b: pa.Table) -> pa.Table:
+        keys = soundex_array(b["name"].to_pylist())
+        return b.append_column("pkey", pa.array(keys, pa.string()))
+
+    enc = rd.from_arrow(t).repartition(32) \
+        .map_batches(encode, batch_format="pyarrow")
+    out = sorted_neighborhood_pairs(
+        enc, id_col="rid", key_col="pkey", window=6).materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2172,6 +2233,8 @@ EXTRA_SET = {
     "feature_scores_docs": _extra_feature_scores,
     "betweenness_20k": _extra_betweenness,
     "snm_blocking_1m": _extra_snm_blocking,
+    "winsorize_lineitem": _extra_winsorize,
+    "phonetic_block_200k": _extra_phonetic_block,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
