@@ -2204,6 +2204,31 @@ def _extra_phonetic_block(sf_dir: str):
     return out
 
 
+def _extra_kmeans(sf_dir: str):
+    """Full-corpus distributed Lloyd over 200k x 32-d synthetic
+    embeddings (k=16, 5 rounds): exact-int64 assignment + partial
+    sums, one broadcast per round, zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    n, d, k = 200_000, 32, 16
+    centers = rng.normal(0, 8, (k, d))
+    mat = centers[rng.integers(0, k, n)] + rng.normal(0, 1, (n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(64).materialize()
+    fit = kmeans_fit(ds, k=k, n_iter=5, seed=3)
+    assert fit["n"] == n
+    out = kmeans_assign(ds, fit["centroids"]).materialize()
+    assert out.count() == n
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2235,6 +2260,7 @@ EXTRA_SET = {
     "snm_blocking_1m": _extra_snm_blocking,
     "winsorize_lineitem": _extra_winsorize,
     "phonetic_block_200k": _extra_phonetic_block,
+    "kmeans_200k": _extra_kmeans,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
