@@ -2204,6 +2204,21 @@ def _extra_phonetic_block(sf_dir: str):
     return out
 
 
+def _extra_acf(sf_dir: str):
+    """Per-user ACF (24 lags) over the events value series: slim
+    projection, one bucket shuffle, per-key O(n*L) dots."""
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.acf import acf_per_key
+
+    ev = read_table(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "ts", "user_id", "value"])
+    out = acf_per_key(ev, key_col="user_id", id_col="event_id",
+                      ts_col="ts", val_col="value",
+                      max_lag=24).materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_kmeans(sf_dir: str):
     """Full-corpus distributed Lloyd over 200k x 32-d synthetic
     embeddings (k=16, 5 rounds): exact-int64 assignment + partial
@@ -2261,6 +2276,7 @@ EXTRA_SET = {
     "winsorize_lineitem": _extra_winsorize,
     "phonetic_block_200k": _extra_phonetic_block,
     "kmeans_200k": _extra_kmeans,
+    "acf_events": _extra_acf,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
