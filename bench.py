@@ -2204,6 +2204,40 @@ def _extra_phonetic_block(sf_dir: str):
     return out
 
 
+def _extra_entity_resolution(sf_dir: str):
+    """E2E entity resolution over 300k names (10k planted dup
+    groups): phonetic-key SNM blocking -> banded edit verify ->
+    union-find clustering."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.pipelines.entity_resolution import \
+        resolve_entities
+
+    rng = np.random.default_rng(23)
+    names = []
+    vowels = "aeiou"
+    cons = "bcdfgjklmnprstvz"
+    for _ in range(10_000):
+        base = "".join(
+            (cons[c] if i % 2 == 0 else vowels[c % 5])
+            for i, c in enumerate(rng.integers(0, 16, 9)))
+        names.append(base)
+        names.append(base[:5] + "e" + base[6:])   # 1-edit variant
+    for _ in range(280_000):
+        names.append("".join(
+            chr(97 + c) for c in rng.integers(0, 26, 9)))
+    ids = np.arange(len(names), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids),
+        "name": pa.array(names, pa.string())})).repartition(64)
+    got = resolve_entities(ds, window=6, d_max=2,
+                           max_pairs=20_000_000)
+    assert got["clusters"].num_rows >= 19_000
+    return got["pairs"]
+
+
 def _extra_acf(sf_dir: str):
     """Per-user ACF (24 lags) over the events value series: slim
     projection, one bucket shuffle, per-key O(n*L) dots."""
@@ -2277,6 +2311,7 @@ EXTRA_SET = {
     "phonetic_block_200k": _extra_phonetic_block,
     "kmeans_200k": _extra_kmeans,
     "acf_events": _extra_acf,
+    "entity_resolution_300k": _extra_entity_resolution,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
