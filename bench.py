@@ -2204,6 +2204,29 @@ def _extra_phonetic_block(sf_dir: str):
     return out
 
 
+def _extra_geo_split(sf_dir: str):
+    """Blocked spatial CV split of 2M points with buffer exclusion:
+    one vectorized map pass, zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.geo_split import spatial_split
+
+    rng = np.random.default_rng(29)
+    n = 2_000_000
+    t = pa.table({
+        "pid": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(rng.uniform(-30, 30, n)),
+        "lat": pa.array(rng.uniform(-20, 20, n))})
+    out = spatial_split(
+        rd.from_arrow(t).repartition(64), id_col="pid",
+        lon_col="lon", lat_col="lat", cell_deg=0.5, n_folds=5,
+        buffer=0.2).materialize()
+    assert out.count() == n
+    return out
+
+
 def _extra_entity_resolution(sf_dir: str):
     """E2E entity resolution over 300k names (10k planted dup
     groups): phonetic-key SNM blocking -> banded edit verify ->
@@ -2312,6 +2335,7 @@ EXTRA_SET = {
     "kmeans_200k": _extra_kmeans,
     "acf_events": _extra_acf,
     "entity_resolution_300k": _extra_entity_resolution,
+    "geo_split_2m": _extra_geo_split,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
