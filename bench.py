@@ -2204,6 +2204,38 @@ def _extra_phonetic_block(sf_dir: str):
     return out
 
 
+def _extra_asof(sf_dir: str):
+    """As-of join: every event matched to the latest prior reading
+    of a synthetic 100k-row per-user reference series (one bucket
+    shuffle, per-key searchsorted)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.asof_join import asof_join
+
+    ev = read_table(os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_id", "ts", "user_id"])
+    users = ev.groupby("user_id").count().to_pandas()["user_id"] \
+        .to_numpy(np.int64)
+    rng = np.random.default_rng(31)
+    n = 100_000
+    right = pa.table({
+        "user_id": pa.array(rng.choice(users, n)),
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "rts": pa.array(rng.integers(1_500_000_000_000_000,
+                                     1_800_000_000_000_000, n)),
+        "v": pa.array(rng.normal(0, 1, n))})
+    out = asof_join(
+        ev, rd.from_arrow(right).repartition(32), key_col="user_id",
+        left_id_col="event_id", left_ts_col="ts",
+        right_id_col="rid", right_ts_col="rts",
+        value_col="v").materialize()
+    assert out.count() == ev.count()
+    return out
+
+
 def _extra_geo_split(sf_dir: str):
     """Blocked spatial CV split of 2M points with buffer exclusion:
     one vectorized map pass, zero shuffles."""
@@ -2336,6 +2368,7 @@ EXTRA_SET = {
     "acf_events": _extra_acf,
     "entity_resolution_300k": _extra_entity_resolution,
     "geo_split_2m": _extra_geo_split,
+    "asof_join_events": _extra_asof,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
