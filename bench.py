@@ -2204,6 +2204,37 @@ def _extra_phonetic_block(sf_dir: str):
     return out
 
 
+def _extra_global_rank(sf_dir: str):
+    """Global rank/percentile/decile of lineitem extendedprice:
+    exact-quantile range buckets, one data shuffle + tiny offsets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.rank import global_rank
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "rid": pa.array(ok * 8 + ln),
+            "v": pa.compute.cast(t["l_extendedprice"],
+                                 pa.float64())})
+
+    out = global_rank(
+        li.map_batches(slim, batch_format="pyarrow"),
+        id_col="rid", val_col="v", n_buckets=64,
+        ntile_k=10).materialize()
+    assert out.count() > 0
+    return out
+
+
 def _extra_asof(sf_dir: str):
     """As-of join: every event matched to the latest prior reading
     of a synthetic 100k-row per-user reference series (one bucket
@@ -2369,6 +2400,7 @@ EXTRA_SET = {
     "entity_resolution_300k": _extra_entity_resolution,
     "geo_split_2m": _extra_geo_split,
     "asof_join_events": _extra_asof,
+    "global_rank_lineitem": _extra_global_rank,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
