@@ -2364,6 +2364,32 @@ def _extra_kmeans(sf_dir: str):
     return out
 
 
+def _extra_pca(sf_dir: str):
+    """Distributed exact PCA fit + projection over 300k x 48-d
+    synthetic embeddings: one partial pass (decimal-exact Gram),
+    driver eigh, broadcast map-side transform — zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.pca import pca_fit, pca_transform
+
+    rng = np.random.default_rng(23)
+    n, d = 300_000, 48
+    basis = np.linalg.qr(rng.normal(0, 1, (d, d)))[0]
+    scales = np.geomspace(10.0, 0.1, d)
+    mat = rng.normal(0, 1, (n, d)) * scales @ basis.T
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(64).materialize()
+    fit = pca_fit(ds, n_components=8)
+    assert fit["n"] == n
+    out = pca_transform(ds, fit).materialize()
+    assert out.count() == n
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2396,6 +2422,7 @@ EXTRA_SET = {
     "winsorize_lineitem": _extra_winsorize,
     "phonetic_block_200k": _extra_phonetic_block,
     "kmeans_200k": _extra_kmeans,
+    "pca_300k": _extra_pca,
     "acf_events": _extra_acf,
     "entity_resolution_300k": _extra_entity_resolution,
     "geo_split_2m": _extra_geo_split,
