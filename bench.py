@@ -2390,6 +2390,39 @@ def _extra_pca(sf_dir: str):
     return out
 
 
+def _extra_raster_cc(sf_dir: str):
+    """Distributed connected-component labeling over ~2M foreground
+    cells (random blobs + tile-spanning snakes on a 16k^2 domain):
+    one tile shuffle + capped boundary stitch + map-side relabel."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.raster_cc import raster_components
+
+    rng = np.random.default_rng(37)
+    xs, ys = [], []
+    for _ in range(2_000):
+        cx, cy = rng.integers(0, 16_000, 2)
+        w, h = rng.integers(8, 45, 2)
+        gx, gy = np.meshgrid(np.arange(cx, cx + w),
+                             np.arange(cy, cy + h))
+        xs.append(gx.ravel())
+        ys.append(gy.ravel())
+    for s in range(20):                      # long snakes across tiles
+        sx = np.arange(0, 16_000)
+        xs.append(sx)
+        ys.append((sx // 13 % 61) + 16_100 + 70 * s)
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    t = pa.table({"x": pa.array(x.astype(np.int64)),
+                  "y": pa.array(y.astype(np.int64))})
+    out = raster_components(
+        rd.from_arrow(t).repartition(64), tile_bits=9).materialize()
+    assert out.count() > 1_000_000
+    return out
+
+
 def _extra_route_sssp_distributed(sf_dir: str):
     """Forced-distributed SSSP on a 10k-node grid with spatial
     buckets: rounds track tile crossings (the planet-scale path)."""
@@ -2423,6 +2456,7 @@ EXTRA_SET = {
     "phonetic_block_200k": _extra_phonetic_block,
     "kmeans_200k": _extra_kmeans,
     "pca_300k": _extra_pca,
+    "raster_cc_2m": _extra_raster_cc,
     "acf_events": _extra_acf,
     "entity_resolution_300k": _extra_entity_resolution,
     "geo_split_2m": _extra_geo_split,
