@@ -1162,6 +1162,47 @@ def _extra_traj_dedup(sf_dir: str):
     return pairs
 
 
+def _extra_dtw(sf_dir: str):
+    """DTW route near-dup over the same 20k-trace corpus as
+    traj_dedup_20k, but the re-drive is SPEED-WARPED (every other fix
+    repeated) — the case Frechet-as-sum misses and DTW absorbs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.dtw import trajectory_dtw_pairs
+
+    def fixes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        tid = ids // 20
+        route = tid // 2
+        raw = (ids % 20).astype(np.float64)
+        # 15-waypoint routes, 20 fixes each: the base dwells at the
+        # last waypoint, the re-drive covers the same waypoints at
+        # 3/4 speed — repeats warp on at zero cost, no waypoint is
+        # skipped, so DTW ~ jitter * matched pairs only
+        base_step = np.minimum(raw, 14.0)
+        warp_step = np.minimum(np.floor(raw * 0.75), 14.0)
+        step = np.where(tid % 2 == 1, warp_step, base_step)
+        jit = (tid % 2).astype(np.float64) * 0.0004
+        lon0, lat0 = _node_coords(route * 20)
+        ph = route * 20 + step
+        return pa.table({
+            "traj_id": pa.array(tid, pa.int64()),
+            "ts": pa.array(raw),
+            "lon": pa.array(lon0 + step * 0.03
+                            + np.sin(ph * 0.9) * 0.01 + jit),
+            "lat": pa.array(lat0 + np.cos(ph * 1.7) * 0.01 + jit)})
+
+    pts = rd.range(400_000).map_batches(fixes, batch_format="pyarrow")
+    # constant 0.0004-deg jitter x ~30 matched steps ~ 0.017 DTW sum;
+    # distinct routes are anchor-separated -> DTW in the tens
+    pairs = trajectory_dtw_pairs(pts, dtw_threshold=0.05, res=7,
+                                 n_bands=32)
+    assert pairs.num_rows >= 9_900, pairs.num_rows
+    return pairs
+
+
 def _extra_dbscan(sf_dir: str):
     """Grid DBSCAN over 500k points: 20k planted density blobs (~25
     pts each) + 4% uniform noise; two replicate+shuffle passes + a
@@ -2489,6 +2530,7 @@ EXTRA_SET = {
     "cell_forecast_2m": _extra_cell_forecast,
     "terrain_dem_4m": _extra_terrain,
     "traj_dedup_20k": _extra_traj_dedup,
+    "dtw_dedup_20k": _extra_dtw,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
     "geofence_points_1m": _extra_geofence,

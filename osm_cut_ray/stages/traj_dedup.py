@@ -178,6 +178,25 @@ def trajectory_dup_pairs(points_ds, *, frechet_threshold: float,
     band can be missed — standard MinHash recall); every RETURNED pair
     is exact. Capped band buckets are surfaced via a printed drop
     report (CAP_SENTINEL_ID rows from `pairs_from_key_rows`)."""
+    return _lsh_verified_pairs(
+        points_ds, threshold=frechet_threshold, metric=discrete_frechet,
+        out_col="frechet", report_name="trajectory_dup_pairs", res=res,
+        shingle_k=shingle_k, n_perm=n_perm, n_bands=n_bands, seed=seed,
+        max_df=max_df, traj_col=traj_col, ts_col=ts_col, x_col=x_col,
+        y_col=y_col)
+
+
+def _lsh_verified_pairs(points_ds, *, threshold: float, metric,
+                        out_col: str, report_name: str, res: int,
+                        shingle_k: int, n_perm: int, n_bands: int,
+                        seed: int, max_df: int, traj_col: str,
+                        ts_col: str, x_col: str, y_col: str
+                        ) -> pa.Table:
+    """Shared LSH-candidates + exact-verify scaffold: cell-shingle
+    MinHash banding for candidate pairs, then `metric(xa, ya, xb, yb,
+    threshold) -> float` per pair (early-abandon allowed: any return
+    > threshold is treated as a reject). Used by the Frechet
+    (`trajectory_dup_pairs`) and DTW (`stages/dtw.py`) verifiers."""
     from .dedup import pairs_from_key_rows
 
     rows = _band_rows_from_points(
@@ -188,7 +207,7 @@ def trajectory_dup_pairs(points_ds, *, frechet_threshold: float,
                                max_df=max_df).materialize()
     empty = pa.table({"a_id": pa.array([], pa.int64()),
                       "b_id": pa.array([], pa.int64()),
-                      "frechet": pa.array([], pa.float64())})
+                      out_col: pa.array([], pa.float64())})
     if cand.count() == 0:
         return empty
     n_capped = 0
@@ -202,7 +221,7 @@ def trajectory_dup_pairs(points_ds, *, frechet_threshold: float,
     cand = cand.map_batches(drop_sent, batch_format="pyarrow") \
         .materialize()
     if n_capped:
-        print(f"trajectory_dup_pairs: {n_capped} band buckets over "
+        print(f"{report_name}: {n_capped} band buckets over "
               f"max_df={max_df} dropped (raise max_df to include)")
     if cand.count() == 0:
         return empty
@@ -244,15 +263,15 @@ def trajectory_dup_pairs(points_ds, *, frechet_threshold: float,
             pa_ = np.asarray(axy[i], np.float64)
             pb_ = np.asarray(bxy[i], np.float64)
             na, nb = len(pa_) // 2, len(pb_) // 2
-            f = discrete_frechet(pa_[:na], pa_[na:], pb_[:nb],
-                                 pb_[nb:], threshold=frechet_threshold)
-            if f <= frechet_threshold:
+            f = metric(pa_[:na], pa_[na:], pb_[:nb], pb_[nb:],
+                       threshold)
+            if f <= threshold:
                 keep_a.append(int(a[i]))
                 keep_b.append(int(b[i]))
                 keep_f.append(f)
         return pa.table({"a_id": pa.array(keep_a, pa.int64()),
                          "b_id": pa.array(keep_b, pa.int64()),
-                         "frechet": pa.array(keep_f, pa.float64())})
+                         out_col: pa.array(keep_f, pa.float64())})
 
     verified = cand.map_batches(verify, batch_format="pyarrow")
     parts = [p for p in verified.iter_batches(batch_size=None,
@@ -264,4 +283,4 @@ def trajectory_dup_pairs(points_ds, *, frechet_threshold: float,
         .drop_duplicates(["a_id", "b_id"]).sort_values(["a_id", "b_id"])
     return pa.table({"a_id": df["a_id"].astype(np.int64),
                      "b_id": df["b_id"].astype(np.int64),
-                     "frechet": df["frechet"].astype(np.float64)})
+                     out_col: df[out_col].astype(np.float64)})
