@@ -1203,6 +1203,70 @@ def _extra_dtw(sf_dir: str):
     return pairs
 
 
+def _extra_nms_images(sf_dir: str):
+    """Per-image NMS: 600k boxes over 20k images (30 each, clustered
+    so ~half suppress), exact greedy kernel per image."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.nms import nms_per_image
+
+    def boxes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        img = ids // 30
+        k = ids % 30
+        # 10 object sites per image; 3 detector firings per site
+        site = k % 10
+        sx = (site % 5).astype(np.float64) * 3.0
+        sy = (site // 5).astype(np.float64) * 3.0
+        jx = ((ids * 2654435761) % 1000).astype(np.float64) / 2000.0
+        jy = ((ids * 40503) % 1000).astype(np.float64) / 2000.0
+        return pa.table({
+            "image_id": pa.array(img, pa.int64()),
+            "box_id": pa.array(ids, pa.int64()),
+            "x0": pa.array(sx + jx), "y0": pa.array(sy + jy),
+            "x1": pa.array(sx + jx + 1.0), "y1": pa.array(sy + jy + 1.0),
+            "score": pa.array(
+                ((ids * 97) % 100).astype(np.float64) / 100.0)})
+
+    ds = rd.range(600_000).map_batches(boxes, batch_format="pyarrow")
+    out = nms_per_image(ds, iou_threshold=0.4)
+    n = out.count()
+    assert 200_000 <= n < 600_000, n
+    return n
+
+
+def _extra_nms_canvas(sf_dir: str):
+    """Single-canvas distributed NMS: 1M boxes on one mosaic, 50k
+    cluster sites, priority-MIS fixpoint rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.nms import nms_canvas
+
+    def boxes(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        site = ids // 20
+        sx = (site % 250).astype(np.float64) * 4.0
+        sy = (site // 250).astype(np.float64) * 4.0
+        jx = ((ids * 2654435761) % 1200).astype(np.float64) / 1000.0
+        jy = ((ids * 40503) % 1200).astype(np.float64) / 1000.0
+        return pa.table({
+            "box_id": pa.array(ids, pa.int64()),
+            "x0": pa.array(sx + jx), "y0": pa.array(sy + jy),
+            "x1": pa.array(sx + jx + 1.0), "y1": pa.array(sy + jy + 1.0),
+            "score": pa.array(
+                ((ids * 97) % 1000).astype(np.float64) / 1000.0)})
+
+    ds = rd.range(1_000_000).map_batches(boxes, batch_format="pyarrow")
+    out = nms_canvas(ds, iou_threshold=0.4, cell_size=2.5)
+    n = out.count()
+    assert 50_000 <= n < 1_000_000, n
+    return n
+
+
 def _extra_dbscan(sf_dir: str):
     """Grid DBSCAN over 500k points: 20k planted density blobs (~25
     pts each) + 4% uniform noise; two replicate+shuffle passes + a
@@ -2531,6 +2595,8 @@ EXTRA_SET = {
     "terrain_dem_4m": _extra_terrain,
     "traj_dedup_20k": _extra_traj_dedup,
     "dtw_dedup_20k": _extra_dtw,
+    "nms_images_600k": _extra_nms_images,
+    "nms_canvas_1m": _extra_nms_canvas,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
     "geofence_points_1m": _extra_geofence,
