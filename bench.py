@@ -1973,6 +1973,32 @@ def _extra_kcore(sf_dir: str):
     return out
 
 
+def _extra_hits(sf_dir: str):
+    """HITS hubs/authorities (20 iterations) on the same 1.4M-edge
+    ring+zipf graph as kcore_1m; cost = 2 broadcast pulls/iteration,
+    zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.hits import hits
+
+    n = 200_000
+    i = np.arange(n, dtype=np.int64)
+    ring_src = np.concatenate([i, i])
+    ring_dst = np.concatenate([(i + 1) % n, (i + 2) % n])
+    rng = np.random.default_rng(7)
+    hub_src = (rng.zipf(1.8, 600_000) % n).astype(np.int64)
+    hub_dst = rng.integers(0, n, 600_000).astype(np.int64)
+    t = pa.table({
+        "src": pa.array(np.concatenate([ring_src, hub_src])),
+        "dst": pa.array(np.concatenate([ring_dst, hub_dst]))})
+    ds = rd.from_arrow(t).repartition(64)
+    out = hits(ds, n_iter=20).materialize()
+    assert out.count() == n
+    return out
+
+
 def _extra_linkpred(sf_dir: str):
     """Link-prediction features (CN/AA/RA/Jaccard) on a 100k-node,
     400k-edge bounded-degree graph; wedge volume ~ sum deg^2."""
@@ -2546,6 +2572,7 @@ EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
+    "hits_1m": _extra_hits,
     "linkpred_400k": _extra_linkpred,
     "interval_join_1m": _extra_interval_join,
     "rolling_anomaly_events": _extra_rolling_anomaly,
