@@ -1267,6 +1267,42 @@ def _extra_nms_canvas(sf_dir: str):
     return n
 
 
+def _extra_hilbert_sort(sf_dir: str):
+    """Hilbert-curve compaction sort over 2M clustered points (one
+    sort shuffle); asserts the block-locality win that makes
+    row-group bbox pruning effective."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.geometry.hilbert import hilbert_sort
+
+    def pts(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon0, lat0 = _node_coords(ids * 7)
+        jx = ((ids * 2654435761) % 997).astype(np.float64) / 997.0
+        jy = ((ids * 40503) % 991).astype(np.float64) / 991.0
+        return pa.table({"pid": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lon0 + jx),
+                         "lat": pa.array(lat0 + jy)})
+
+    ds = rd.range(2_000_000).map_batches(pts, batch_format="pyarrow")
+    out = hilbert_sort(ds, order=16).materialize()
+    assert out.count() == 2_000_000
+    # spot-check locality on a sample of contiguous blocks
+    import itertools
+    areas = []
+    for b in itertools.islice(
+            out.iter_batches(batch_size=20_000,
+                             batch_format="pyarrow"), 10):
+        lon = b["lon"].to_numpy()
+        lat = b["lat"].to_numpy()
+        areas.append((lon.max() - lon.min()) * (lat.max() - lat.min()))
+    # the corpus bbox is ~360x180; 1%-of-corpus blocks must be tiny
+    assert max(areas) < 360 * 180 / 50, areas
+    return out
+
+
 def _extra_dbscan(sf_dir: str):
     """Grid DBSCAN over 500k points: 20k planted density blobs (~25
     pts each) + 4% uniform noise; two replicate+shuffle passes + a
@@ -2624,6 +2660,7 @@ EXTRA_SET = {
     "dtw_dedup_20k": _extra_dtw,
     "nms_images_600k": _extra_nms_images,
     "nms_canvas_1m": _extra_nms_canvas,
+    "hilbert_sort_2m": _extra_hilbert_sort,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
     "geofence_points_1m": _extra_geofence,
