@@ -26,11 +26,11 @@ def _cmd_cut(args) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     import ray.data as rd
-    from .geometry.polygon import PolygonIndex, parse_poly_file
+    from .geometry.polygon import PolygonIndex, load_polygon_rings
     from .pipelines.cut import cut, cut_auto
     from .sources.osm_xml import load_osm_xml
 
-    poly = PolygonIndex.compile(parse_poly_file(args.polygon))
+    poly = PolygonIndex.compile(load_polygon_rings(args.polygon))
 
     pip_nodes = None
     if os.path.isdir(args.input):  # parquet layout: nodes/ ways/ relations/
@@ -178,8 +178,8 @@ def _cmd_curate_images(args) -> int:
         return 2
     poly = None
     if args.polygon:
-        from .geometry.polygon import PolygonIndex, parse_poly_file
-        poly = PolygonIndex.compile(parse_poly_file(args.polygon))
+        from .geometry.polygon import PolygonIndex, load_polygon_rings
+        poly = PolygonIndex.compile(load_polygon_rings(args.polygon))
     report = curate_images(
         paths, args.output, polygon=poly,
         hamming_threshold=args.hamming_threshold,
@@ -315,10 +315,10 @@ def _cmd_clip(args) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     import ray.data as rd
-    from .geometry.polygon import parse_poly_file
+    from .geometry.polygon import load_polygon_rings
     from .stages.clip import clip_ways
 
-    rings = parse_poly_file(args.polygon)
+    rings = load_polygon_rings(args.polygon)
     if os.path.isdir(args.input):
         nodes = rd.read_parquet(os.path.join(args.input, "nodes"),
                                 columns=["id", "lon", "lat"])
@@ -346,11 +346,11 @@ def _cmd_cut_multi(args) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     import ray.data as rd
-    from .geometry.polygon import PolygonIndex, parse_poly_file
+    from .geometry.polygon import PolygonIndex, load_polygon_rings
     from .pipelines.cut_multi import cut_multi
     from .sources.sink import SINK_REGISTRY, write_cut_result
 
-    polys = [PolygonIndex.compile(parse_poly_file(p))
+    polys = [PolygonIndex.compile(load_polygon_rings(p))
              for p in args.polygons]
     if os.path.isdir(args.input):
         nodes = rd.read_parquet(os.path.join(args.input, "nodes"))

@@ -289,3 +289,59 @@ def parse_poly_text(text: str) -> list[tuple[str, list[tuple[float, float]]]]:
 def parse_poly_file(path: str) -> list[tuple[str, list[tuple[float, float]]]]:
     with open(path, encoding="utf-8") as f:
         return parse_poly_text(f.read())
+
+
+def parse_geojson_text(text: str
+                       ) -> list[tuple[str, list[tuple[float, float]]]]:
+    """Parse GeoJSON (RFC 7946) polygonal geometry into the same ring
+    list as `parse_poly_text`: each Polygon's exterior ring becomes an
+    include ring, its interior rings become exclude rings (identical
+    even-odd semantics to the .poly `!name` sections). Accepts
+    Polygon, MultiPolygon, GeometryCollection, Feature and
+    FeatureCollection wrappers; extra position elements (altitude)
+    are ignored; non-polygonal geometries RAISE — an extract boundary
+    must be areal."""
+    import json
+
+    rings: list[tuple[str, list[tuple[float, float]]]] = []
+
+    def add_polygon(coords):
+        for k, ring in enumerate(coords):
+            pts = [(float(p[0]), float(p[1])) for p in ring]
+            rings.append(("include" if k == 0 else "exclude", pts))
+
+    def walk(obj):
+        t = obj.get("type")
+        if t == "FeatureCollection":
+            for f in obj.get("features", []):
+                walk(f)
+        elif t == "Feature":
+            geom = obj.get("geometry")
+            if geom is not None:
+                walk(geom)
+        elif t == "GeometryCollection":
+            for g in obj.get("geometries", []):
+                walk(g)
+        elif t == "Polygon":
+            add_polygon(obj["coordinates"])
+        elif t == "MultiPolygon":
+            for poly in obj["coordinates"]:
+                add_polygon(poly)
+        else:
+            raise ValueError(
+                f"GeoJSON geometry type {t!r} is not polygonal — an "
+                "extract boundary needs Polygon/MultiPolygon")
+
+    walk(json.loads(text))
+    return rings
+
+
+def load_polygon_rings(path: str
+                       ) -> list[tuple[str, list[tuple[float, float]]]]:
+    """Load extract-boundary rings from a file, dispatching on
+    extension: .geojson/.json -> GeoJSON, anything else -> Osmosis
+    .poly."""
+    if path.lower().endswith((".geojson", ".json")):
+        with open(path, encoding="utf-8") as f:
+            return parse_geojson_text(f.read())
+    return parse_poly_file(path)
