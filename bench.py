@@ -148,6 +148,32 @@ def _extra_image_resize(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def _extra_image_filter(sf_dir: str):
+    """Filter throughput: 50k mixed-size images through equalize +
+    Sobel-magnitude stages back to back (decode -> stacked kernel ->
+    re-encode each)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import images_batch_from_keys
+    from osm_cut_ray.stages.image_filter import ImageFilterStage
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    out = corpus.map_batches(ImageFilterStage("equalize"),
+                             batch_format="pyarrow", batch_size=1024) \
+        .map_batches(ImageFilterStage("sobel_mag"),
+                     batch_format="pyarrow", batch_size=1024) \
+        .map_batches(lambda t: t.select(["image_id", "w", "h"]),
+                     batch_format="pyarrow")
+    assert out.count() == 50_000
+    return out
+
+
 def _extra_curate(sf_dir: str):
     """Composed corpus curation end-to-end (exact dup + MinHash near-dup
     + decontamination decision passes, then the resumable per-shard
@@ -2661,6 +2687,7 @@ EXTRA_SET = {
     "nms_images_600k": _extra_nms_images,
     "nms_canvas_1m": _extra_nms_canvas,
     "hilbert_sort_2m": _extra_hilbert_sort,
+    "image_filter_50k": _extra_image_filter,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
     "geofence_points_1m": _extra_geofence,
