@@ -2336,6 +2336,32 @@ def _extra_snm_blocking(sf_dir: str):
     return out
 
 
+def _extra_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of lineitem extendedprice by
+    partkey (high-cardinality key): int64-quantized exact sums, one
+    small groupby + one bucketed attach."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.target_encode import target_encode
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_partkey", "l_extendedprice"])
+    out = target_encode(li, key_col="l_partkey",
+                        target_col="l_extendedprice", m=10.0)
+    res = out.map_batches(
+        lambda t: pa.table({"n": pa.array([len(t)], pa.int64()),
+                            "s": pa.array([float(np.sum(
+                                t["te"].to_numpy(zero_copy_only=False)
+                            ))])}),
+        batch_format="pyarrow").materialize()
+    n = sum(b["n"][0].as_py() for b in res.iter_batches(
+        batch_size=None, batch_format="pyarrow") if b.num_rows)
+    assert n == li.count(), n
+    return n
+
+
 def _extra_winsorize(sf_dir: str):
     """Per-supplier winsorization of lineitem extendedprice at the
     exact [0.05, 0.95] quantiles: slim projection, one bucket fold."""
@@ -2647,6 +2673,7 @@ EXTRA_SET = {
     "betweenness_20k": _extra_betweenness,
     "snm_blocking_1m": _extra_snm_blocking,
     "winsorize_lineitem": _extra_winsorize,
+    "target_encode_lineitem": _extra_target_encode,
     "phonetic_block_200k": _extra_phonetic_block,
     "kmeans_200k": _extra_kmeans,
     "pca_300k": _extra_pca,
