@@ -1293,6 +1293,43 @@ def _extra_nms_canvas(sf_dir: str):
     return n
 
 
+def _extra_apply_change(sf_dir: str):
+    """osmium apply-changes analog: 200k-row change (replace/delete/
+    create mix) applied to a 2M-node base — one broadcast of the
+    touched-id set, map-side filter, aligned union; zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.osm_change import apply_change
+
+    def base(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon, lat = _node_coords(ids)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat),
+                         "version": pa.array(
+                             np.ones(len(ids), np.int64))})
+
+    ds = rd.range(2_000_000).map_batches(base, batch_format="pyarrow")
+    cid = np.arange(200_000, dtype=np.int64) * 11  # 10% hit rate-ish
+    lon, lat = _node_coords(cid + 7)
+    ops = np.where(cid % 3 == 0, "delete", "modify").astype(object)
+    change = pa.table({
+        "id": pa.array(cid), "lon": pa.array(lon),
+        "lat": pa.array(lat),
+        "version": pa.array(np.full(len(cid), 2, np.int64)),
+        "op": pa.array(ops.tolist(), pa.large_string()),
+        "seq": pa.array(np.arange(len(cid), dtype=np.int64))})
+    out = apply_change(ds, change)
+    n = out.count()
+    in_base = cid < 2_000_000
+    n_del = int((in_base & (cid % 3 == 0)).sum())
+    n_create = int((~in_base & (cid % 3 != 0)).sum())
+    assert n == 2_000_000 - n_del + n_create, n
+    return n
+
+
 def _extra_hilbert_sort(sf_dir: str):
     """Hilbert-curve compaction sort over 2M clustered points (one
     sort shuffle); asserts the block-locality win that makes
@@ -2714,6 +2751,7 @@ EXTRA_SET = {
     "nms_images_600k": _extra_nms_images,
     "nms_canvas_1m": _extra_nms_canvas,
     "hilbert_sort_2m": _extra_hilbert_sort,
+    "apply_change_2m": _extra_apply_change,
     "image_filter_50k": _extra_image_filter,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,

@@ -234,6 +234,40 @@ def _cmd_export_wds(args) -> int:
     return 0
 
 
+def _cmd_apply_change(args) -> int:
+    """osmium apply-changes analog: base corpus + .osc -> updated
+    OSM XML (elements sorted by id per kind, deterministic)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from .sources.osm_change import apply_osc
+    from .sources.osm_xml import load_osm_xml, write_osm_xml
+
+    if os.path.isdir(args.input):
+        nodes = rd.read_parquet(os.path.join(args.input, "nodes"))
+        ways = rd.read_parquet(os.path.join(args.input, "ways"))
+        rels = rd.read_parquet(os.path.join(args.input, "relations"))
+    else:
+        work = tempfile.mkdtemp(prefix="osmchg_", dir="/tmp")
+        nodes, ways, rels = load_osm_xml(args.input, work)
+    nodes, ways, rels = apply_osc(nodes, ways, rels, args.change)
+
+    def rows(ds):
+        return ds.sort("id").iter_rows()
+
+    total = write_osm_xml(args.output, rows(nodes), rows(ways),
+                          rows(rels))
+    print(f"wrote xml to {args.output} ({total} elements)")
+    return 0
+
+
 def _cmd_diff(args) -> int:
     """osmium derive-changes analog over two parquet snapshots."""
     import glob
@@ -583,6 +617,14 @@ def main(argv=None) -> int:
     ly.add_argument("--lat-col", default="lat")
     ly.add_argument("--rows-per-group", type=int, default=4096)
     ly.set_defaults(fn=_cmd_layout)
+    ac = sub.add_parser(
+        "apply-change",
+        help="apply an OsmChange (.osc) diff to a corpus "
+             "(osmium apply-changes analog)")
+    ac.add_argument("input", help="base OSM XML file or parquet dir")
+    ac.add_argument("change", help=".osc change file")
+    ac.add_argument("output", help="output OSM XML path")
+    ac.set_defaults(fn=_cmd_apply_change)
     dm = sub.add_parser(
         "diff",
         help="classify added/removed/modified rows between two "
