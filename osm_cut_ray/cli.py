@@ -30,23 +30,34 @@ def _cmd_cut(args) -> int:
     from .pipelines.cut import cut, cut_auto
     from .sources.osm_xml import load_osm_xml
 
-    poly = PolygonIndex.compile(load_polygon_rings(args.polygon))
+    is_rel = args.polygon.startswith("rel:")
+    poly = None if is_rel \
+        else PolygonIndex.compile(load_polygon_rings(args.polygon))
 
     pip_nodes = None
     if os.path.isdir(args.input):  # parquet layout: nodes/ ways/ relations/
-        from .stages.pip import read_points_pruned
         nodes = rd.read_parquet(os.path.join(args.input, "nodes"))
         ways = rd.read_parquet(os.path.join(args.input, "ways"))
         rels = rd.read_parquet(os.path.join(args.input, "relations"))
+        work = None
+    else:
+        work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
+        nodes, ways, rels = load_osm_xml(args.input, work)
+
+    if is_rel:
+        # boundary-relation cut (osmium extract -p <relation> analog):
+        # assemble the multipolygon from the corpus itself
+        from .stages.multipolygon import boundary_rings
+        poly = PolygonIndex.compile(
+            boundary_rings(nodes, ways, rels,
+                           int(args.polygon[4:])))
+    if os.path.isdir(args.input):
+        from .stages.pip import read_points_pruned
         # bbox-pruned PIP scan (row-group stats pushdown); `nodes`
         # stays unpruned for the back-join/payload phases
         pip_nodes = read_points_pruned(
             os.path.join(args.input, "nodes"), poly,
             columns=["id", "lon", "lat"])
-        work = None
-    else:
-        work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
-        nodes, ways, rels = load_osm_xml(args.input, work)
 
     if args.way_tag:
         # osmium --tag-filter analog: select ways by tag BEFORE the
@@ -474,7 +485,10 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("cut", help="polygon-cut an OSM corpus")
     c.add_argument("input", help="OSM XML file or parquet directory")
-    c.add_argument("polygon", help="Osmosis .poly file")
+    c.add_argument("polygon",
+                   help="Osmosis .poly file, GeoJSON file, or "
+                        "rel:<id> (assemble the boundary from a "
+                        "multipolygon relation in the corpus)")
     c.add_argument("output", help="output .osm path (xml) or directory")
     c.add_argument("--non-complete", action="store_true",
                    help="drop referenced-but-outside objects "
