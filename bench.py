@@ -1330,6 +1330,33 @@ def _extra_apply_change(sf_dir: str):
     return n
 
 
+def _extra_decompose(sf_dir: str):
+    """Classical seasonal decomposition of 100k weekly series (28
+    points each, period 7): one bucket shuffle, per-key vectorized
+    MA + phase means."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.decompose import decompose_per_key
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        key = ids // 28
+        step = (ids % 28).astype(np.float64)
+        season = np.sin((step % 7) * 0.9) * 5.0
+        noise = ((ids * 2654435761) % 1000).astype(np.float64) / 500.0
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "ts": pa.array(step),
+            "value": pa.array(step * 0.3 + season + noise)})
+
+    ds = rd.range(2_800_000).map_batches(rows, batch_format="pyarrow")
+    out = decompose_per_key(ds, period=7)
+    assert out.count() == 2_800_000
+    return out
+
+
 def _extra_hilbert_sort(sf_dir: str):
     """Hilbert-curve compaction sort over 2M clustered points (one
     sort shuffle); asserts the block-locality win that makes
@@ -2752,6 +2779,7 @@ EXTRA_SET = {
     "nms_canvas_1m": _extra_nms_canvas,
     "hilbert_sort_2m": _extra_hilbert_sort,
     "apply_change_2m": _extra_apply_change,
+    "seasonal_decompose_2_8m": _extra_decompose,
     "image_filter_50k": _extra_image_filter,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
