@@ -1330,6 +1330,36 @@ def _extra_apply_change(sf_dir: str):
     return n
 
 
+def _extra_welch(sf_dir: str):
+    """Welch A/B readout: 4M metric rows across 2k experiments,
+    decimal-exact moment partials + one slim fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.abtest import welch_t
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        exp = ids % 2000
+        var = (ids // 2000) % 2
+        noise = ((ids * 2654435761) % 100_000).astype(np.float64) \
+            / 10_000.0
+        lift = (exp % 5 == 0) & (var == 1)
+        return pa.table({
+            "exp_id": pa.array(exp, pa.int64()),
+            "variant": pa.array(var, pa.int64()),
+            "metric": pa.array(noise + lift * 2.0)})
+
+    ds = rd.range(4_000_000).map_batches(rows, batch_format="pyarrow")
+    got = welch_t(ds)
+    assert got.num_rows == 2000, got.num_rows
+    t = got["t"].to_numpy(zero_copy_only=False)
+    exp = got["exp_id"].to_numpy(zero_copy_only=False)
+    assert (np.abs(t[exp % 5 == 0]) > 8).all()
+    return got
+
+
 def _extra_decompose(sf_dir: str):
     """Classical seasonal decomposition of 100k weekly series (28
     points each, period 7): one bucket shuffle, per-key vectorized
@@ -2780,6 +2810,7 @@ EXTRA_SET = {
     "hilbert_sort_2m": _extra_hilbert_sort,
     "apply_change_2m": _extra_apply_change,
     "seasonal_decompose_2_8m": _extra_decompose,
+    "welch_abtest_4m": _extra_welch,
     "image_filter_50k": _extra_image_filter,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
