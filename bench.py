@@ -1330,6 +1330,48 @@ def _extra_apply_change(sf_dir: str):
     return n
 
 
+def _extra_video_dedup(sf_dir: str):
+    """Video near-dup: 30k clips (10k of them trimmed re-uploads),
+    one decode pass -> frame-hash shingle LSH -> best-shift verify."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.video_dedup import video_dup_pairs
+
+    def mk(frames: np.ndarray) -> bytes:
+        n, w, _ = frames.shape
+        return (b"FVID" + int(w).to_bytes(4, "little")
+                + int(n).to_bytes(4, "little")
+                + zlib.compress(frames.tobytes(), 1))
+
+    def clips(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i in ids:
+            base = int(i) // 3
+            kind = int(i) % 3
+            # distinct random content per (group, original); the stub
+            # gradient pattern aHash-collides across keys, so random
+            # frames model real per-clip content
+            frames = np.random.default_rng(base * 2 + min(kind, 1)) \
+                .integers(0, 256, (8, 16, 16)).astype(np.uint8)
+            if kind == 2:  # trimmed re-upload of the group's first
+                frames = np.random.default_rng(base * 2) \
+                    .integers(0, 256, (8, 16, 16)).astype(np.uint8)[2:]
+            out.append(mk(frames))
+        return pa.table({"video_id": pa.array(ids, pa.int64()),
+                         "video": pa.array(out, pa.binary())})
+
+    ds = rd.range(30_000).map_batches(clips, batch_format="pyarrow",
+                                      batch_size=1024)
+    pairs = video_dup_pairs(ds, sim_threshold=0.9)
+    assert pairs.num_rows >= 10_000, pairs.num_rows
+    return pairs
+
+
 def _extra_welch(sf_dir: str):
     """Welch A/B readout: 4M metric rows across 2k experiments,
     decimal-exact moment partials + one slim fold."""
@@ -2811,6 +2853,7 @@ EXTRA_SET = {
     "apply_change_2m": _extra_apply_change,
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
+    "video_dedup_30k": _extra_video_dedup,
     "image_filter_50k": _extra_image_filter,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
