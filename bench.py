@@ -1330,6 +1330,67 @@ def _extra_apply_change(sf_dir: str):
     return n
 
 
+def _extra_audio_fp(sf_dir: str):
+    """Audio fingerprint dedup: 6k melodies (2k trimmed+re-gained
+    re-uploads), constellation hashes -> offset-vote match."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.audio_fp import audio_dup_pairs
+
+    def _enc(pcm):
+        return (b"FAUD" + (8000).to_bytes(4, "little")
+                + len(pcm).to_bytes(4, "little")
+                + zlib.compress(pcm.astype(np.int16).tobytes(), 1))
+
+    def synth(seed: int) -> np.ndarray:
+        # NON-stationary melody (10 random tone segments): stationary
+        # mixes make constellations non-discriminative (every frame
+        # repeats the same peaks), melodies are what the scheme is for
+        rng = np.random.default_rng(seed)
+        # random tone lengths: a fixed segment grid makes offsets
+        # cohere ACROSS tracks (false offset-votes); jittered
+        # boundaries decohere them
+        lens = rng.integers(380, 820, 12)
+        lens = (lens * 6000 // lens.sum()).astype(np.int64)
+        lens[-1] += 6000 - lens.sum()
+        seg = np.repeat(rng.uniform(100, 3500, 12), lens)
+        x = np.sin(2 * np.pi * np.cumsum(seg) / 8000.0) \
+            + 0.3 * np.sin(2 * np.pi * np.cumsum(seg * 2.1) / 8000.0)
+        x += rng.normal(0, 0.01, 6000)
+        return np.clip(x / np.abs(x).max() * 20000, -32768,
+                       32767).astype(np.int16)
+
+    def tracks(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i in ids:
+            base = int(i) // 3
+            kind = int(i) % 3
+            if kind < 2:
+                pcm = synth(base * 2 + kind)
+            else:  # trimmed re-gain of the group's first
+                pcm = (synth(base * 2)[768:] * 0.7).astype(np.int16)
+            out.append(_enc(pcm))
+        return pa.table({"audio_id": pa.array(ids, pa.int64()),
+                         "audio": pa.array(out, pa.binary())})
+
+    ds = rd.range(6_000).map_batches(tracks, batch_format="pyarrow",
+                                     batch_size=512)
+    # discriminative-hash settings (Shazam practice): hot hashes past
+    # 16 tracks are motifs, 3 occurrences per (hash, track) suffice
+    pairs = audio_dup_pairs(ds, min_votes=20, max_df=16,
+                            max_per_track=3)
+    got = set(zip(pairs["a_id"].to_pylist(), pairs["b_id"].to_pylist()))
+    planted = {(b * 3, b * 3 + 2) for b in range(2_000)}
+    assert len(planted & got) >= 1_950, len(planted & got)
+    assert pairs.num_rows <= 4_000, pairs.num_rows
+    return pairs
+
+
 def _extra_video_dedup(sf_dir: str):
     """Video near-dup: 30k clips (10k of them trimmed re-uploads),
     one decode pass -> frame-hash shingle LSH -> best-shift verify."""
@@ -2854,6 +2915,7 @@ EXTRA_SET = {
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
     "video_dedup_30k": _extra_video_dedup,
+    "audio_fp_dedup_6k": _extra_audio_fp,
     "image_filter_50k": _extra_image_filter,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
