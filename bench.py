@@ -1293,6 +1293,37 @@ def _extra_nms_canvas(sf_dir: str):
     return n
 
 
+def _extra_pbf_roundtrip(sf_dir: str):
+    """PBF write+read throughput: 300k dense nodes + 20k ways through
+    the from-scratch spec codec, then a parallel parquet re-read."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from osm_cut_ray.sources.osm_pbf import load_osm_pbf, write_osm_pbf
+
+    ids = np.arange(300_000, dtype=np.int64) + 1
+    lon, lat = _node_coords(ids)
+    nodes = ({"id": int(i), "lon": float(x), "lat": float(y),
+              "version": 1,
+              "tags": [("k", "v")] if i % 10 == 0 else []}
+             for i, x, y in zip(ids, lon, lat))
+    ways = ({"id": int(w + 1),
+             "node_ids": [int(w * 15 + k + 1) for k in range(15)],
+             "version": 1, "tags": []}
+            for w in range(20_000))
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        path = os.path.join(d, "bench.osm.pbf")
+        n = write_osm_pbf(path, nodes, ways, iter(()))
+        assert n == 320_000, n
+        nds, wds, rds_ = load_osm_pbf(path, os.path.join(d, "pq"))
+        assert nds.count() == 300_000 and wds.count() == 20_000
+        assert rds_.count() == 0
+    return n
+
+
 def _extra_apply_change(sf_dir: str):
     """osmium apply-changes analog: 200k-row change (replace/delete/
     create mix) applied to a 2M-node base — one broadcast of the
@@ -2912,6 +2943,7 @@ EXTRA_SET = {
     "nms_canvas_1m": _extra_nms_canvas,
     "hilbert_sort_2m": _extra_hilbert_sort,
     "apply_change_2m": _extra_apply_change,
+    "pbf_roundtrip_320k": _extra_pbf_roundtrip,
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
     "video_dedup_30k": _extra_video_dedup,

@@ -40,6 +40,10 @@ def _cmd_cut(args) -> int:
         ways = rd.read_parquet(os.path.join(args.input, "ways"))
         rels = rd.read_parquet(os.path.join(args.input, "relations"))
         work = None
+    elif args.input.endswith(".pbf"):
+        from .sources.osm_pbf import load_osm_pbf
+        work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
+        nodes, ways, rels = load_osm_pbf(args.input, work)
     else:
         work = tempfile.mkdtemp(prefix="osmcut_", dir="/tmp")
         nodes, ways, rels = load_osm_xml(args.input, work)
@@ -484,7 +488,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_cut_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("cut", help="polygon-cut an OSM corpus")
-    c.add_argument("input", help="OSM XML file or parquet directory")
+    c.add_argument("input", help="OSM XML file, .osm.pbf file, or parquet directory")
     c.add_argument("polygon",
                    help="Osmosis .poly file, GeoJSON file, or "
                         "rel:<id> (assemble the boundary from a "
