@@ -283,6 +283,41 @@ def _cmd_apply_change(args) -> int:
     return 0
 
 
+def _load_corpus(path: str):
+    """XML file / .pbf file / parquet dir -> (nodes, ways, rels)."""
+    import ray.data as rd
+    if os.path.isdir(path):
+        return (rd.read_parquet(os.path.join(path, "nodes")),
+                rd.read_parquet(os.path.join(path, "ways")),
+                rd.read_parquet(os.path.join(path, "relations")))
+    if path.endswith(".pbf"):
+        from .sources.osm_pbf import load_osm_pbf
+        return load_osm_pbf(path,
+                            tempfile.mkdtemp(prefix="osmld_",
+                                             dir="/tmp"))
+    from .sources.osm_xml import load_osm_xml
+    return load_osm_xml(path, tempfile.mkdtemp(prefix="osmld_",
+                                               dir="/tmp"))
+
+
+def _cmd_derive_change(args) -> int:
+    """osmium derive-changes analog: old + new corpus -> .osc."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .sources.osm_change import derive_osc
+    counts = derive_osc(_load_corpus(args.old), _load_corpus(args.new),
+                        args.output)
+    print(f"wrote osc to {args.output} (create={counts['create']}, "
+          f"modify={counts['modify']}, delete={counts['delete']})")
+    return 0
+
+
 def _cmd_diff(args) -> int:
     """osmium derive-changes analog over two parquet snapshots."""
     import glob
@@ -635,6 +670,16 @@ def main(argv=None) -> int:
     ly.add_argument("--lat-col", default="lat")
     ly.add_argument("--rows-per-group", type=int, default=4096)
     ly.set_defaults(fn=_cmd_layout)
+    dc = sub.add_parser(
+        "derive-change",
+        help="diff two corpus versions into an OsmChange (.osc) "
+             "file (osmium derive-changes analog)")
+    dc.add_argument("old", help="old corpus: OSM XML, .pbf or "
+                                "parquet dir")
+    dc.add_argument("new", help="new corpus: OSM XML, .pbf or "
+                                "parquet dir")
+    dc.add_argument("output", help="output .osc path")
+    dc.set_defaults(fn=_cmd_derive_change)
     ac = sub.add_parser(
         "apply-change",
         help="apply an OsmChange (.osc) diff to a corpus "

@@ -140,6 +140,100 @@ def apply_change(base_ds, change: pa.Table, *,
     return kept.union(add)
 
 
+def _fetch_rows(ds, ids: np.ndarray, cap: int) -> pa.Table | None:
+    """Broadcast id-set filter + bounded driver collect (full rows)."""
+    import ray
+
+    if len(ids) == 0:
+        return None
+    ids = np.unique(ids)
+    ref = ray.put(ids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        have = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(want, have), len(want) - 1)
+        return t.filter(pa.array(want[pos] == have))
+
+    parts = [b for b in ds.map_batches(filt, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return None
+    out = pa.concat_tables(parts)
+    if out.num_rows > cap:
+        raise RuntimeError(
+            f"derive_osc: {out.num_rows} changed rows exceed the "
+            f"driver cap {cap} — that delta is a re-ingest")
+    return out
+
+
+def derive_osc(old, new, out_path: str, *,
+               max_broadcast_changes: int = 50_000_000
+               ) -> dict[str, int]:
+    """osmium derive-changes analog: diff two corpus versions (each a
+    (nodes, ways, relations) Dataset triple) and write the OsmChange
+    file that turns `old` into `new` — `apply_osc(old, out) == new`
+    exactly (pinned round-trip). Diff classification is the
+    vectorized row-hash diff (`stages/diff.py`, one slim shuffle per
+    kind); only the CHANGED rows are fetched (broadcast id filter,
+    capped driver collect). Returns per-section element counts."""
+    from ..stages.diff import diff_corpora
+    from .osm_xml import element_lines
+
+    sections: dict[str, list[tuple[str, dict]]] = {
+        "create": [], "modify": [], "delete": []}
+    for kind, ods, nds in (("node", old[0], new[0]),
+                           ("way", old[1], new[1]),
+                           ("relation", old[2], new[2])):
+        ch = diff_corpora(ods, nds)
+        rows = [b for b in ch.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+                if b.num_rows]
+        if not rows:
+            continue
+        tab = pa.concat_tables(rows)
+        if tab.num_rows > max_broadcast_changes:
+            raise RuntimeError(
+                f"derive_osc: {tab.num_rows} changed ids exceed "
+                f"max_broadcast_changes — that delta is a re-ingest")
+        ids = tab["id"].to_numpy(zero_copy_only=False)
+        chg = tab["change"].to_numpy(zero_copy_only=False)
+        by = {"added": ids[chg == "added"],
+              "modified": ids[chg == "modified"],
+              "removed": ids[chg == "removed"]}
+        fresh = _fetch_rows(nds, np.concatenate(
+            [by["added"], by["modified"]]), max_broadcast_changes)
+        if fresh is not None:
+            added = set(by["added"].tolist())
+            for r in fresh.to_pylist():
+                sec = "create" if r["id"] in added else "modify"
+                sections[sec].append((kind, r))
+        gone = _fetch_rows(ods, by["removed"], max_broadcast_changes)
+        if gone is not None:
+            for r in gone.to_pylist():
+                sections["delete"].append((kind, r))
+
+    kind_rank = {"node": 0, "way": 1, "relation": 2}
+    counts = {}
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<osmChange version="0.6" generator="osm_cut_ray">\n')
+        for sec in ("create", "modify", "delete"):
+            elems = sorted(sections[sec],
+                           key=lambda kr: (kind_rank[kr[0]],
+                                           kr[1]["id"]))
+            counts[sec] = len(elems)
+            if not elems:
+                continue
+            f.write(f"<{sec}>\n")
+            for kind, row in elems:
+                f.write("\n".join(element_lines(kind, row)) + "\n")
+            f.write(f"</{sec}>\n")
+        f.write("</osmChange>\n")
+    return counts
+
+
 def apply_osc(nodes, ways, rels, osc_path: str, *,
               max_broadcast_changes: int = 50_000_000):
     """Apply a .osc file to the three base Datasets -> new

@@ -179,6 +179,34 @@ def _tags_xml(row: dict, indent: str) -> list[str]:
     return out
 
 
+def element_lines(kind: str, row: dict) -> list[str]:
+    """One element's XML lines (byte-identical to the streaming
+    writer's output; shared with the OsmChange serializer)."""
+    if kind == "node":
+        extra = [("lat", _fmt_num(row["lat"])),
+                 ("lon", _fmt_num(row["lon"]))]
+        head = f'  <node {_attrs(row, extra)}'
+        tags = _tags_xml(row, "    ")
+        if tags:
+            return [head + ">", *tags, "  </node>"]
+        return [head + "/>"]
+    if kind == "way":
+        return [f'  <way {_attrs(row, [])}>',
+                *(f'    <nd ref="{int(ref)}"/>'
+                  for ref in row["node_ids"]),
+                *_tags_xml(row, "    "),
+                "  </way>"]
+    if kind == "relation":
+        return [f'  <relation {_attrs(row, [])}>',
+                *(f'    <member type={quoteattr(m["type"])} '
+                  f'ref="{int(m["ref"])}" '
+                  f'role={quoteattr(m.get("role") or "")}/>'
+                  for m in row["members"]),
+                *_tags_xml(row, "    "),
+                "  </relation>"]
+    raise ValueError(f"unknown element kind: {kind}")
+
+
 class OsmXmlStreamWriter:
     """Incremental buffered OSM XML writer (the reference's
     1,000-element writer buffer, osm_writer.erl:30,72-88): rows are
@@ -207,45 +235,11 @@ class OsmXmlStreamWriter:
         """Serialize dict rows of one kind; returns rows written."""
         buf = self._buf
         n = 0
-        if kind == "node":
-            for row in rows:
-                extra = [("lat", _fmt_num(row["lat"])),
-                         ("lon", _fmt_num(row["lon"]))]
-                head = f'  <node {_attrs(row, extra)}'
-                tags = _tags_xml(row, "    ")
-                if tags:
-                    buf.append(head + ">")
-                    buf.extend(tags)
-                    buf.append("  </node>")
-                else:
-                    buf.append(head + "/>")
-                n += 1
-                if len(buf) >= self.buffer_elements:
-                    self._flush()
-        elif kind == "way":
-            for row in rows:
-                buf.append(f'  <way {_attrs(row, [])}>')
-                for ref in row["node_ids"]:
-                    buf.append(f'    <nd ref="{int(ref)}"/>')
-                buf.extend(_tags_xml(row, "    "))
-                buf.append("  </way>")
-                n += 1
-                if len(buf) >= self.buffer_elements:
-                    self._flush()
-        elif kind == "relation":
-            for row in rows:
-                buf.append(f'  <relation {_attrs(row, [])}>')
-                for m in row["members"]:
-                    buf.append(f'    <member type={quoteattr(m["type"])} '
-                               f'ref="{int(m["ref"])}" '
-                               f'role={quoteattr(m.get("role") or "")}/>')
-                buf.extend(_tags_xml(row, "    "))
-                buf.append("  </relation>")
-                n += 1
-                if len(buf) >= self.buffer_elements:
-                    self._flush()
-        else:
-            raise ValueError(f"unknown element kind: {kind}")
+        for row in rows:
+            buf.extend(element_lines(kind, row))
+            n += 1
+            if len(buf) >= self.buffer_elements:
+                self._flush()
         self.count += n
         return n
 
