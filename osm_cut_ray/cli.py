@@ -31,8 +31,19 @@ def _cmd_cut(args) -> int:
     from .sources.osm_xml import load_osm_xml
 
     is_rel = args.polygon.startswith("rel:")
-    poly = None if is_rel \
-        else PolygonIndex.compile(load_polygon_rings(args.polygon))
+    if is_rel:
+        poly = None
+    elif args.polygon.startswith("bbox:"):
+        # osmium extract -b LEFT,BOTTOM,RIGHT,TOP analog
+        x0, y0, x1, y1 = (float(v) for v in
+                          args.polygon[5:].split(","))
+        if not (x1 > x0 and y1 > y0):
+            raise SystemExit("bbox: needs minlon,minlat,maxlon,maxlat"
+                             " with max > min")
+        poly = PolygonIndex.compile([("include", [
+            (x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])])
+    else:
+        poly = PolygonIndex.compile(load_polygon_rings(args.polygon))
 
     pip_nodes = None
     if os.path.isdir(args.input):  # parquet layout: nodes/ ways/ relations/
@@ -525,7 +536,8 @@ def main(argv=None) -> int:
     c = sub.add_parser("cut", help="polygon-cut an OSM corpus")
     c.add_argument("input", help="OSM XML file, .osm.pbf file, or parquet directory")
     c.add_argument("polygon",
-                   help="Osmosis .poly file, GeoJSON file, or "
+                   help="Osmosis .poly file, GeoJSON file, "
+                        "bbox:minlon,minlat,maxlon,maxlat, or "
                         "rel:<id> (assemble the boundary from a "
                         "multipolygon relation in the corpus)")
     c.add_argument("output", help="output .osm path (xml) or directory")

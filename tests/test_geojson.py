@@ -126,3 +126,31 @@ def test_cut_cli_accepts_geojson(tmp_path, ray_session):
     # unreferenced -> dropped
     assert b'id="1"' in outs[0] and b'id="4"' not in outs[0]
     assert b'id="2"' in outs[0]
+
+
+def test_cut_cli_accepts_bbox(tmp_path, ray_session):
+    """cut bbox:... == cut with the equivalent .poly square."""
+    import subprocess
+    import sys
+
+    xml = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="t">
+  <node id="1" lat="1.0" lon="1.0" version="1"/>
+  <node id="2" lat="5.0" lon="5.0" version="1"/>
+</osm>
+"""
+    src = tmp_path / "in.osm"
+    src.write_text(xml)
+    sq = [(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 3.0), (0.0, 0.0)]
+    (tmp_path / "a.poly").write_text(_poly_text([("include", sq)]))
+    outs = []
+    for boundary in (str(tmp_path / "a.poly"), "bbox:0,0,3,3"):
+        out = tmp_path / f"out_{len(outs)}.osm"
+        r = subprocess.run(
+            [sys.executable, "-m", "osm_cut_ray.cli", "cut",
+             str(src), boundary, str(out)],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+    assert b'id="1"' in outs[0] and b'id="2"' not in outs[0]
