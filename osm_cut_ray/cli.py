@@ -445,8 +445,52 @@ def _cmd_cut_multi(args) -> int:
     from .pipelines.cut_multi import cut_multi
     from .sources.sink import SINK_REGISTRY, write_cut_result
 
-    polys = [PolygonIndex.compile(load_polygon_rings(p))
-             for p in args.polygons]
+    if args.config:
+        # osmium extract -c config.json analog: extracts[] with
+        # output + bbox (array or left/bottom/right/top object) or
+        # polygon (file_name in any supported format, or inline
+        # GeoJSON-Polygon coordinates)
+        import json
+        with open(args.config, encoding="utf-8") as f:
+            cfg = json.load(f)
+        base = os.path.dirname(os.path.abspath(args.config))
+        names, rings_list = [], []
+        for ext in cfg["extracts"]:
+            names.append(ext["output"])
+            if "bbox" in ext:
+                bb = ext["bbox"]
+                if isinstance(bb, dict):
+                    x0, y0 = bb["left"], bb["bottom"]
+                    x1, y1 = bb["right"], bb["top"]
+                else:
+                    x0, y0, x1, y1 = bb
+                rings_list.append([("include", [
+                    (x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                    (x0, y0)])])
+            elif "polygon" in ext:
+                pg = ext["polygon"]
+                if isinstance(pg, dict) and "file_name" in pg:
+                    fp = pg["file_name"]
+                    if not os.path.isabs(fp):
+                        fp = os.path.join(base, fp)
+                    rings_list.append(load_polygon_rings(fp))
+                else:  # inline GeoJSON Polygon coordinates
+                    rings_list.append([
+                        ("include" if k == 0 else "exclude",
+                         [(float(p[0]), float(p[1])) for p in ring])
+                        for k, ring in enumerate(pg)])
+            else:
+                raise SystemExit(
+                    f"extract {ext['output']!r} needs bbox or polygon")
+        polys = [PolygonIndex.compile(r) for r in rings_list]
+        out_names = [os.path.splitext(n)[0] for n in names]
+    else:
+        if not args.polygons:
+            raise SystemExit("pass --polygon ... or --config")
+        polys = [PolygonIndex.compile(load_polygon_rings(p))
+                 for p in args.polygons]
+        out_names = [os.path.splitext(os.path.basename(p))[0]
+                     for p in args.polygons]
     if os.path.isdir(args.input):
         nodes = rd.read_parquet(os.path.join(args.input, "nodes"))
         ways = rd.read_parquet(os.path.join(args.input, "ways"))
@@ -459,7 +503,7 @@ def _cmd_cut_multi(args) -> int:
                         complete=not args.non_complete)
     os.makedirs(args.output, exist_ok=True)
     for i, res in enumerate(results):
-        name = os.path.splitext(os.path.basename(args.polygons[i]))[0]
+        name = out_names[i]
         out = os.path.join(args.output,
                            f"{name}.osm" if args.format == "xml"
                            else name)
@@ -566,7 +610,11 @@ def main(argv=None) -> int:
     cm.add_argument("output", help="output directory (one file/dir "
                                    "per region, named after its .poly)")
     cm.add_argument("--polygon", dest="polygons", action="append",
-                    required=True, help="Osmosis .poly file (repeat)")
+                    default=None,
+                    help="boundary file: .poly or GeoJSON (repeat)")
+    cm.add_argument("--config", default=None,
+                    help="osmium-style extract config JSON "
+                         "(extracts[] with output + bbox/polygon)")
     cm.add_argument("--non-complete", action="store_true")
     cm.add_argument("--format", choices=["xml", "parquet"],
                     default="xml")
