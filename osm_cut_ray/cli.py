@@ -311,6 +311,28 @@ def _load_corpus(path: str):
                                                dir="/tmp"))
 
 
+def _cmd_export_geojson(args) -> int:
+    """osmium export analog: corpus -> GeoJSON FeatureCollection."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .sources.geojson_export import write_geojson
+    from .stages.locate import add_locations_to_ways
+
+    nodes, ways, _rels = _load_corpus(args.input)
+    located = add_locations_to_ways(
+        nodes, ways, ignore_missing=args.ignore_missing_nodes)
+    n = write_geojson(args.output, nodes, located,
+                      tagged_nodes_only=not args.all_nodes)
+    print(f"wrote geojson to {args.output} ({n} features)")
+    return 0
+
+
 def _cmd_derive_change(args) -> int:
     """osmium derive-changes analog: old + new corpus -> .osc."""
     import ray
@@ -730,6 +752,16 @@ def main(argv=None) -> int:
     ly.add_argument("--lat-col", default="lat")
     ly.add_argument("--rows-per-group", type=int, default=4096)
     ly.set_defaults(fn=_cmd_layout)
+    eg = sub.add_parser(
+        "export-geojson",
+        help="export a corpus as GeoJSON (tagged-node Points + way "
+             "LineStrings; osmium export analog)")
+    eg.add_argument("input", help="OSM XML, .pbf or parquet dir")
+    eg.add_argument("output", help="output .geojson path")
+    eg.add_argument("--all-nodes", action="store_true",
+                    help="emit untagged nodes too")
+    eg.add_argument("--ignore-missing-nodes", action="store_true")
+    eg.set_defaults(fn=_cmd_export_geojson)
     dc = sub.add_parser(
         "derive-change",
         help="diff two corpus versions into an OsmChange (.osc) "
