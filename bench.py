@@ -1362,7 +1362,7 @@ def _extra_apply_change(sf_dir: str):
 
 
 def _extra_audio_fp(sf_dir: str):
-    """Audio fingerprint dedup: 6k melodies (2k trimmed+re-gained
+    """Audio fingerprint dedup: 4.2k melodies (1.4k trimmed+re-gained
     re-uploads), constellation hashes -> offset-vote match."""
     import zlib
 
@@ -1409,16 +1409,16 @@ def _extra_audio_fp(sf_dir: str):
         return pa.table({"audio_id": pa.array(ids, pa.int64()),
                          "audio": pa.array(out, pa.binary())})
 
-    ds = rd.range(6_000).map_batches(tracks, batch_format="pyarrow",
+    ds = rd.range(4_200).map_batches(tracks, batch_format="pyarrow",
                                      batch_size=512)
     # discriminative-hash settings (Shazam practice): hot hashes past
     # 16 tracks are motifs, 3 occurrences per (hash, track) suffice
     pairs = audio_dup_pairs(ds, min_votes=20, max_df=16,
                             max_per_track=3)
     got = set(zip(pairs["a_id"].to_pylist(), pairs["b_id"].to_pylist()))
-    planted = {(b * 3, b * 3 + 2) for b in range(2_000)}
-    assert len(planted & got) >= 1_950, len(planted & got)
-    assert pairs.num_rows <= 4_000, pairs.num_rows
+    planted = {(b * 3, b * 3 + 2) for b in range(1_400)}
+    assert len(planted & got) >= 1_360, len(planted & got)
+    assert pairs.num_rows <= 2_800, pairs.num_rows
     return pairs
 
 
@@ -2947,7 +2947,7 @@ EXTRA_SET = {
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
     "video_dedup_30k": _extra_video_dedup,
-    "audio_fp_dedup_6k": _extra_audio_fp,
+    "audio_fp_dedup_4k": _extra_audio_fp,
     "image_filter_50k": _extra_image_filter,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,

@@ -186,17 +186,57 @@ def audio_dup_pairs(audio_ds, *, min_votes: int = 12,
                       "votes": pa.array([], pa.int64())})
     if votes.count() == 0:
         return empty
-    counted = votes.groupby(["a_id", "b_id", "off"]).aggregate(
-        ray.data.aggregate.Count(alias_name="v"))
-    best = counted.groupby(["a_id", "b_id"]).aggregate(
-        ray.data.aggregate.Max(on="v", alias_name="votes"))
-    parts = [b for b in best.iter_batches(batch_size=None,
-                                          batch_format="pyarrow")
+
+    # one pair-routed bucket fold replaces two raw multi-key groupbys
+    # (the repo's bucket-hash sum pattern — measured 3-4x on the raw
+    # sort shuffles): map-side (a, b, off) pre-combine, then count +
+    # per-pair max + threshold inside the bucket, since the routing
+    # key co-locates every vote of a pair
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64()),
+                             "off": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "pk": pa.array([], pa.int64())})
+        df = t.select(["a_id", "b_id", "off"]).to_pandas()
+        agg = df.groupby(["a_id", "b_id", "off"],
+                         as_index=False).size()
+        a = agg["a_id"].to_numpy(np.int64)
+        b = agg["b_id"].to_numpy(np.int64)
+        pk = (a * np.int64(-0x61C8864680B583EB)) \
+            ^ (b * np.int64(0x2545F4914F6CDD1D))
+        return pa.table({"a_id": pa.array(a),
+                         "b_id": pa.array(b),
+                         "off": pa.array(agg["off"]
+                                         .to_numpy(np.int64)),
+                         "v": pa.array(agg["size"]
+                                       .to_numpy(np.int64)),
+                         "pk": pa.array(pk)})
+
+    def best_fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        agg = g.groupby(["a_id", "b_id", "off"],
+                        as_index=False)["v"].sum()
+        best = agg.groupby(["a_id", "b_id"], as_index=False)["v"] \
+            .max()
+        best = best[best["v"] >= min_votes]
+        return pa.table({
+            "a_id": pa.array(best["a_id"].to_numpy(np.int64)),
+            "b_id": pa.array(best["b_id"].to_numpy(np.int64)),
+            "votes": pa.array(best["v"].to_numpy(np.int64))})
+
+    folded = bucketed_group_apply(
+        votes.map_batches(combine, batch_format="pyarrow"), "pk",
+        best_fold)
+    parts = [b for b in folded.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
              if b.num_rows]
     if not parts:
         return empty
-    df = pa.concat_tables(parts).to_pandas()
-    df = df[df["votes"] >= min_votes].sort_values(["a_id", "b_id"])
+    df = pa.concat_tables(parts).to_pandas() \
+        .sort_values(["a_id", "b_id"])
     return pa.table({"a_id": df["a_id"].astype(np.int64),
                      "b_id": df["b_id"].astype(np.int64),
                      "votes": df["votes"].astype(np.int64)})

@@ -1,0 +1,108 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+A_XML = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="t">
+  <node id="1" lat="1.0" lon="1.0" version="1"/>
+  <node id="2" lat="2.0" lon="2.0" version="2">
+    <tag k="amenity" v="cafe"/>
+  </node>
+  <node id="3" lat="3.0" lon="3.0" version="1"/>
+  <way id="10" version="1"><nd ref="1"/><nd ref="2"/></way>
+  <relation id="20" version="1">
+    <member type="way" ref="10" role="outer"/>
+    <member type="relation" ref="21" role="sub"/>
+  </relation>
+  <relation id="21" version="1">
+    <member type="node" ref="3" role=""/>
+  </relation>
+</osm>
+"""
+
+B_XML = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="t">
+  <node id="2" lat="2.9" lon="2.9" version="1"/>
+  <node id="4" lat="4.0" lon="4.0" version="1"/>
+  <way id="10" version="3"><nd ref="2"/><nd ref="4"/></way>
+</osm>
+"""
+
+
+def _corpus(tmp_path, xml, name):
+    from osm_cut_ray.sources.osm_xml import load_osm_xml
+    p = tmp_path / f"{name}.osm"
+    p.write_text(xml)
+    return load_osm_xml(str(p), str(tmp_path / f"w_{name}"))
+
+
+def _rows(ds):
+    out = []
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        out.extend(b.to_pylist())
+    return sorted(out, key=lambda r: r["id"])
+
+
+def test_merge_corpora_version_and_source_precedence(tmp_path,
+                                                     ray_session):
+    from osm_cut_ray.stages.osm_tools import merge_corpora
+
+    an, aw, ar = _corpus(tmp_path, A_XML, "a")
+    bn, bw, br = _corpus(tmp_path, B_XML, "b")
+    nodes = _rows(merge_corpora([an, bn]))
+    assert [r["id"] for r in nodes] == [1, 2, 3, 4]
+    # node 2: A has version 2 > B's version 1 -> A wins despite order
+    n2 = nodes[1]
+    assert n2["lat"] == 2.0 and n2["tags"] == [("amenity", "cafe")]
+    ways = _rows(merge_corpora([aw, bw]))
+    assert ways[0]["version"] == 3  # B's way 10 wins on version
+    assert ways[0]["node_ids"] == [2, 4]
+    # equal versions: LATER source wins
+    ways2 = _rows(merge_corpora([bw, bw]))
+    assert len(ways2) == 1 and ways2[0]["node_ids"] == [2, 4]
+
+
+def test_extract_by_ids_recursive(tmp_path, ray_session):
+    from osm_cut_ray.stages.osm_tools import extract_by_ids
+
+    n, w, r = _corpus(tmp_path, A_XML, "a")
+    kn, kw, kr = extract_by_ids(n, w, r, rel_ids=[20])
+    # relation 20 pulls way 10 (-> nodes 1, 2) and nested relation 21
+    # (-> node 3)
+    assert [x["id"] for x in _rows(kr)] == [20, 21]
+    assert [x["id"] for x in _rows(kw)] == [10]
+    assert [x["id"] for x in _rows(kn)] == [1, 2, 3]
+    # a plain node seed pulls just itself
+    kn2, kw2, kr2 = extract_by_ids(n, w, r, node_ids=[3])
+    assert [x["id"] for x in _rows(kn2)] == [3]
+    assert kw2.count() == 0 and kr2.count() == 0
+
+
+def test_renumber_preserves_referential_integrity(tmp_path,
+                                                  ray_session):
+    from osm_cut_ray.stages.osm_tools import renumber_corpus
+
+    # shift ids far from dense so the remap is visible
+    xml = A_XML.replace('id="1"', 'id="1001"') \
+        .replace('id="2"', 'id="2002"') \
+        .replace('id="3"', 'id="3003"') \
+        .replace('ref="1"', 'ref="1001"') \
+        .replace('ref="2"', 'ref="2002"') \
+        .replace('ref="3"', 'ref="3003"') \
+        .replace('id="10"', 'id="510"').replace('ref="10"', 'ref="510"') \
+        .replace('id="20"', 'id="620"') \
+        .replace('id="21"', 'id="621"').replace('ref="21"', 'ref="621"')
+    n, w, r = _corpus(tmp_path, xml, "shifted")
+    rn, rw, rr = renumber_corpus(n, w, r)
+    nodes = _rows(rn)
+    assert [x["id"] for x in nodes] == [1, 2, 3]
+    # old ascending order preserved: 1001 -> 1, 2002 -> 2, 3003 -> 3
+    assert nodes[0]["lat"] == 1.0 and nodes[2]["lat"] == 3.0
+    ways = _rows(rw)
+    assert ways[0]["id"] == 1 and ways[0]["node_ids"] == [1, 2]
+    rels = _rows(rr)
+    assert [x["id"] for x in rels] == [1, 2]
+    mem = rels[0]["members"]
+    assert mem[0] == {"type": "way", "ref": 1, "role": "outer"}
+    assert mem[1] == {"type": "relation", "ref": 2, "role": "sub"}
+    assert rels[1]["members"][0]["ref"] == 3  # node 3003 -> 3
