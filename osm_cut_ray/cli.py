@@ -311,6 +311,46 @@ def _load_corpus(path: str):
                                                dir="/tmp"))
 
 
+def _cmd_osm_tool(args) -> int:
+    """merge / getid / renumber: corpus-maintenance verbs sharing the
+    sorted-XML output path."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .sources.osm_xml import write_osm_xml
+
+    if args.cmd == "merge":
+        from .stages.osm_tools import merge_corpora
+        corpora = [_load_corpus(p) for p in args.inputs]
+        nodes = merge_corpora([c[0] for c in corpora])
+        ways = merge_corpora([c[1] for c in corpora])
+        rels = merge_corpora([c[2] for c in corpora])
+    elif args.cmd == "getid":
+        from .stages.osm_tools import extract_by_ids
+        seeds = {"n": [], "w": [], "r": []}
+        for tok in args.ids:
+            seeds[tok[0]].append(int(tok[1:]))
+        nodes, ways, rels = extract_by_ids(
+            *_load_corpus(args.input), node_ids=seeds["n"],
+            way_ids=seeds["w"], rel_ids=seeds["r"])
+    else:  # renumber
+        from .stages.osm_tools import renumber_corpus
+        nodes, ways, rels = renumber_corpus(*_load_corpus(args.input))
+
+    def rows(ds):
+        return ds.sort("id").iter_rows()
+
+    total = write_osm_xml(args.output, rows(nodes), rows(ways),
+                          rows(rels))
+    print(f"wrote xml to {args.output} ({total} elements)")
+    return 0
+
+
 def _cmd_export_geojson(args) -> int:
     """osmium export analog: corpus -> GeoJSON FeatureCollection."""
     import ray
@@ -752,6 +792,27 @@ def main(argv=None) -> int:
     ly.add_argument("--lat-col", default="lat")
     ly.add_argument("--rows-per-group", type=int, default=4096)
     ly.set_defaults(fn=_cmd_layout)
+    mg = sub.add_parser("merge", help="merge K corpora, highest "
+                                      "(version, input order) wins "
+                                      "(osmium merge analog)")
+    mg.add_argument("inputs", nargs="+",
+                    help="OSM XML/.pbf files or parquet dirs")
+    mg.add_argument("output", help="output OSM XML path")
+    mg.set_defaults(fn=_cmd_osm_tool)
+    gi = sub.add_parser("getid", help="extract objects by id with "
+                                      "recursive reference completion "
+                                      "(osmium getid -r analog)")
+    gi.add_argument("input", help="OSM XML/.pbf file or parquet dir")
+    gi.add_argument("output", help="output OSM XML path")
+    gi.add_argument("ids", nargs="+",
+                    help="seed ids: n<id> w<id> r<id>")
+    gi.set_defaults(fn=_cmd_osm_tool)
+    rn = sub.add_parser("renumber", help="remap ids to dense 1..N "
+                                         "per kind (osmium renumber "
+                                         "analog)")
+    rn.add_argument("input", help="OSM XML/.pbf file or parquet dir")
+    rn.add_argument("output", help="output OSM XML path")
+    rn.set_defaults(fn=_cmd_osm_tool)
     eg = sub.add_parser(
         "export-geojson",
         help="export a corpus as GeoJSON (tagged-node Points + way "

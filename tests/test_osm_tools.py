@@ -106,3 +106,43 @@ def test_renumber_preserves_referential_integrity(tmp_path,
     assert mem[0] == {"type": "way", "ref": 1, "role": "outer"}
     assert mem[1] == {"type": "relation", "ref": 2, "role": "sub"}
     assert rels[1]["members"][0]["ref"] == 3  # node 3003 -> 3
+
+
+def test_osm_tool_cli_verbs(tmp_path, ray_session):
+    import subprocess
+    import sys
+
+    (tmp_path / "a.osm").write_text(A_XML)
+    (tmp_path / "b.osm").write_text(B_XML)
+
+    merged = tmp_path / "m.osm"
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_cut_ray.cli", "merge",
+         str(tmp_path / "a.osm"), str(tmp_path / "b.osm"),
+         str(merged)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    txt = merged.read_text()
+    assert 'id="4"' in txt                      # B-only node arrives
+    assert txt.count("<node") == 4
+    assert 'lat="2"' in txt and 'lat="2.9"' not in txt  # A's v2 wins
+
+    got = tmp_path / "g.osm"
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_cut_ray.cli", "getid",
+         str(tmp_path / "a.osm"), str(got), "r20"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    txt = got.read_text()
+    assert txt.count("<node") == 3 and txt.count("<relation") == 2
+
+    ren = tmp_path / "r.osm"
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_cut_ray.cli", "renumber",
+         str(tmp_path / "b.osm"), str(ren)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    txt = ren.read_text()
+    assert '<node id="1" ' in txt and '<node id="2" ' in txt
+    assert '<way id="1" ' in txt
+    assert '<nd ref="1"/>' in txt and '<nd ref="2"/>' in txt
