@@ -1464,6 +1464,46 @@ def _extra_video_dedup(sf_dir: str):
     return pairs
 
 
+def _extra_select_budget(sf_dir: str):
+    """Budgeted top-rank selection over lineitem (quality = discount,
+    weight = quantity, 30% budget): one slim sort + summary pass +
+    broadcast-cutoff filter."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.sources.tables import read_table
+    from osm_cut_ray.stages.select_budget import select_by_budget
+
+    li = read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_discount", "l_quantity"])
+
+    def rid(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "id": pa.array(ok * 8 + ln),
+            "score": pa.array(t["l_discount"]
+                              .to_numpy(zero_copy_only=False)
+                              .astype(np.float64)),
+            "w": pa.array(t["l_quantity"]
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.float64))})
+
+    ds = li.map_batches(rid, batch_format="pyarrow").materialize()
+    import ray.data
+    total = float(ds.aggregate(ray.data.aggregate.Sum(on="w"))
+                  ["sum(w)"])
+    sel, rep = select_by_budget(ds, score_col="score",
+                                weight_col="w", budget=total * 0.3)
+    n = sel.count()
+    assert 0 < n < ds.count(), n
+    assert rep["kept_weight"] <= total * 0.3 < rep["kept_weight"] + 51
+    return n
+
+
 def _extra_welch(sf_dir: str):
     """Welch A/B readout: 4M metric rows across 2k experiments,
     decimal-exact moment partials + one slim fold."""
@@ -2946,6 +2986,7 @@ EXTRA_SET = {
     "pbf_roundtrip_320k": _extra_pbf_roundtrip,
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
+    "select_budget_lineitem": _extra_select_budget,
     "video_dedup_30k": _extra_video_dedup,
     "audio_fp_dedup_4k": _extra_audio_fp,
     "image_filter_50k": _extra_image_filter,
