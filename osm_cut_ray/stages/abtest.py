@@ -148,3 +148,39 @@ def welch_t(exp_ds, *, exp_col: str = "exp_id",
         "mean_b": pa.array(out["mean_b"], pa.float64()),
         "t": pa.array(out["t"], pa.float64()),
         "df": pa.array(out["df"], pa.float64())})
+
+
+def normal_p(t: np.ndarray) -> np.ndarray:
+    """Two-sided normal-approximation p-value for Welch t (valid for
+    large df; no scipy in this container — the t-distribution tail
+    converges to the normal's at the experiment sizes A/B readouts
+    have). p = erfc(|t| / sqrt(2))."""
+    import math
+    t = np.asarray(t, np.float64)
+    return np.array([math.erfc(abs(x) / math.sqrt(2.0)) for x in t])
+
+
+def bh_adjust(p: np.ndarray) -> np.ndarray:
+    """Benjamini-Hochberg adjusted p-values (step-up FDR): sort
+    ascending, q_(i) = min over j >= i of p_(j) * m / j, clipped to
+    1 — the standard published procedure."""
+    p = np.asarray(p, np.float64)
+    m = len(p)
+    if m == 0:
+        return p.copy()
+    order = np.argsort(p, kind="stable")
+    ranked = p[order] * m / np.arange(1, m + 1)
+    q = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(m)
+    out[order] = np.clip(q, 0.0, 1.0)
+    return out
+
+
+def welch_t_adjusted(exp_ds, **kw) -> pa.Table:
+    """`welch_t` plus `p` (normal approximation) and `p_bh`
+    (Benjamini-Hochberg across the experiment family)."""
+    tab = welch_t(exp_ds, **kw)
+    p = normal_p(tab["t"].to_numpy(zero_copy_only=False)) \
+        if tab.num_rows else np.zeros(0)
+    return tab.append_column("p", pa.array(p, pa.float64())) \
+        .append_column("p_bh", pa.array(bh_adjust(p), pa.float64()))

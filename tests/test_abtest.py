@@ -97,3 +97,60 @@ def test_welch_t_detects_planted_effect(ray_session):
         "metric": pa.array([2.0] * 6)}))
     g2 = welch_t(ds2)
     assert g2["t"][0].as_py() == 0.0 and g2["df"][0].as_py() == 4.0
+
+
+def test_normal_p_and_bh_adjust():
+    import math
+
+    from osm_cut_ray.stages.abtest import bh_adjust, normal_p
+
+    # published normal two-sided tail values
+    got = normal_p(np.array([0.0, 1.959963985, 2.575829304]))
+    assert abs(got[0] - 1.0) < 1e-12
+    assert abs(got[1] - 0.05) < 1e-9
+    assert abs(got[2] - 0.01) < 1e-9
+    # BH worked example: the textbook step-up on a known vector
+    p = np.array([0.01, 0.04, 0.03, 0.005])
+    q = bh_adjust(p)
+    # sorted p: .005 .01 .03 .04 -> ranked m/j: .02 .02 .04 .04
+    exp = {0.005: 0.02, 0.01: 0.02, 0.03: 0.04, 0.04: 0.04}
+    for pi, qi in zip(p, q):
+        assert abs(qi - exp[float(pi)]) < 1e-12
+    # brute O(m^2) definition on random vectors
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        p = rng.uniform(0, 1, int(rng.integers(1, 40)))
+        q = bh_adjust(p)
+        m = len(p)
+        order = np.argsort(p, kind="stable")
+        for rank0, idx in enumerate(order):
+            j = rank0 + 1
+            brute = min(min(p[order[k]] * m / (k + 1)
+                            for k in range(rank0, m)), 1.0)
+            assert abs(q[idx] - brute) < 1e-12
+
+
+def test_welch_t_adjusted(ray_session):
+    import ray.data as rd
+
+    from osm_cut_ray.stages.abtest import welch_t_adjusted
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(2000):
+        rows.append((0, 0, float(rng.normal(10.0, 2.0))))
+        rows.append((0, 1, float(rng.normal(11.0, 2.0))))
+        rows.append((1, 0, float(rng.normal(10.0, 2.0))))
+        rows.append((1, 1, float(rng.normal(10.0, 2.0))))
+    arr = np.array(rows)
+    ds = rd.from_arrow(pa.table({
+        "exp_id": arr[:, 0].astype(np.int64),
+        "variant": arr[:, 1].astype(np.int64),
+        "metric": arr[:, 2]}))
+    got = welch_t_adjusted(ds)
+    by = {got["exp_id"][i].as_py():
+          (got["p"][i].as_py(), got["p_bh"][i].as_py())
+          for i in range(got.num_rows)}
+    assert by[0][0] < 1e-6 and by[0][1] < 1e-6   # real lift
+    assert by[1][0] > 0.001                      # null survives
+    assert by[1][1] >= by[1][0]                  # BH never shrinks
