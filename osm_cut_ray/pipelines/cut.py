@@ -207,7 +207,17 @@ def cut(nodes: Dataset, ways: Dataset, relations: Dataset,
                                   polygon, id_col=id_col,
                                   lon_col=lon_col, lat_col=lat_col,
                                   concurrency=pip_concurrency)
+    return cut_from_inside_ids(nodes, ways, relations, inside_ids,
+                               complete=complete, id_col=id_col)
 
+
+def cut_from_inside_ids(nodes: Dataset, ways: Dataset,
+                        relations: Dataset, inside_ids: np.ndarray, *,
+                        complete: bool = True, id_col: str = "id"
+                        ) -> CutResult:
+    """Phases 2-4 of the cut given ANY inside-node id set — the
+    polygon cut's selector is one instance; corridor extraction
+    (pipelines/corridor.py) supplies a distance-based set instead."""
     # --- phase 2: ways (J1 + J2/M8) ---
     way_pairs = J.explode(ways.select_columns([id_col, "node_ids"])
                           .map_batches(lambda t: t.rename_columns(
