@@ -1464,6 +1464,56 @@ def _extra_video_dedup(sf_dir: str):
     return pairs
 
 
+def _extra_corridor(sf_dir: str):
+    """Corridor cut: 1M nodes, a 2k-segment 'railway' polyline,
+    extract within 0.05 deg — grid build + one map-side distance
+    scan + the shared cut membership phases."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.pipelines.corridor import cut_corridor
+
+    tags_type = pa.map_(pa.large_string(), pa.large_string())
+
+    def nodes_batch(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lon, lat = _node_coords(ids * 3 + 7)
+        # rail nodes: ids 1..2001 along a diagonal line
+        rail = ids <= 2001
+        rl = (ids - 1).astype(np.float64) * 0.02
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "lon": pa.array(np.where(rail, rl, lon)),
+            "lat": pa.array(np.where(rail, rl * 0.5, lat)),
+            "version": pa.array(np.ones(len(ids), np.int64)),
+            "tags": pa.array([None] * len(ids), tags_type)})
+
+    nodes = rd.range(1_000_000).map_batches(
+        lambda t: nodes_batch(t.set_column(
+            0, "id", pa.array(t["id"].to_numpy(
+                zero_copy_only=False) + 1))),
+        batch_format="pyarrow")
+    ways = rd.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "node_ids": pa.array([list(range(1, 2002))],
+                             pa.list_(pa.int64())),
+        "version": pa.array([1], pa.int64()),
+        "tags": pa.array([[("railway", "rail")]], tags_type)}))
+    rels = rd.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "members": pa.array([], pa.list_(pa.struct(
+            [("type", pa.large_string()), ("ref", pa.int64()),
+             ("role", pa.large_string())]))),
+        "version": pa.array([], pa.int64()),
+        "tags": pa.array([], tags_type)}))
+    res = cut_corridor(nodes, ways, rels, dist_deg=0.05,
+                       way_tag="railway")
+    n = res.nodes.count()
+    assert n >= 2001, n
+    return n
+
+
 def _extra_select_budget(sf_dir: str):
     """Budgeted top-rank selection over lineitem (quality = discount,
     weight = quantity, 30% budget): one slim sort + summary pass +
@@ -2987,6 +3037,7 @@ EXTRA_SET = {
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
     "select_budget_lineitem": _extra_select_budget,
+    "corridor_cut_1m": _extra_corridor,
     "video_dedup_30k": _extra_video_dedup,
     "audio_fp_dedup_4k": _extra_audio_fp,
     "image_filter_50k": _extra_image_filter,
