@@ -351,6 +351,30 @@ def _cmd_osm_tool(args) -> int:
     return 0
 
 
+def _cmd_tag_stats(args) -> int:
+    """taginfo-style tag frequency readout for one element kind."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .stages.tag_stats import tag_stats
+    corpus = _load_corpus(args.input)
+    ds = {"nodes": corpus[0], "ways": corpus[1],
+          "relations": corpus[2]}[args.kind]
+    tab = tag_stats(ds, top_k=args.top_k,
+                    by_value=not args.keys_only)
+    for r in tab.to_pylist():
+        if args.keys_only:
+            print(f"{r['n']:>12}  {r['key']}")
+        else:
+            print(f"{r['n']:>12}  {r['key']}={r['value']}")
+    return 0
+
+
 def _cmd_export_geojson(args) -> int:
     """osmium export analog: corpus -> GeoJSON FeatureCollection."""
     import ray
@@ -813,6 +837,14 @@ def main(argv=None) -> int:
     rn.add_argument("input", help="OSM XML/.pbf file or parquet dir")
     rn.add_argument("output", help="output OSM XML path")
     rn.set_defaults(fn=_cmd_osm_tool)
+    ts_ = sub.add_parser("tag-stats", help="taginfo-style tag "
+                                           "frequency readout")
+    ts_.add_argument("input", help="OSM XML/.pbf file or parquet dir")
+    ts_.add_argument("--kind", choices=["nodes", "ways", "relations"],
+                     default="ways")
+    ts_.add_argument("--top-k", type=int, default=30)
+    ts_.add_argument("--keys-only", action="store_true")
+    ts_.set_defaults(fn=_cmd_tag_stats)
     eg = sub.add_parser(
         "export-geojson",
         help="export a corpus as GeoJSON (tagged-node Points + way "

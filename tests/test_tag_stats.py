@@ -55,3 +55,29 @@ def test_tag_stats_empty(ray_session):
 
     got = tag_stats(_ds(rd, [None, None]), top_k=5)
     assert got.num_rows == 0
+
+
+def test_tag_stats_cli(tmp_path, ray_session):
+    import subprocess
+    import sys
+
+    xml = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="t">
+  <node id="1" lat="1.0" lon="1.0" version="1"/>
+  <way id="10" version="1"><nd ref="1"/>
+    <tag k="highway" v="primary"/></way>
+  <way id="11" version="1"><nd ref="1"/>
+    <tag k="highway" v="primary"/><tag k="oneway" v="yes"/></way>
+</osm>
+"""
+    src = tmp_path / "in.osm"
+    src.write_text(xml)
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_cut_ray.cli", "tag-stats",
+         str(src)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln.strip() for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines[0].endswith("highway=primary") and \
+        lines[0].startswith("2")
+    assert lines[1].endswith("oneway=yes")
