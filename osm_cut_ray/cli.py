@@ -334,6 +334,11 @@ def _cmd_osm_tool(args) -> int:
         from .stages.osm_tools import extract_by_ids
         seeds = {"n": [], "w": [], "r": []}
         for tok in args.ids:
+            if len(tok) < 2 or tok[0] not in seeds \
+                    or not tok[1:].lstrip("-").isdigit():
+                raise SystemExit(
+                    f"getid: bad id {tok!r} — expected n<id>, w<id> "
+                    "or r<id> (e.g. n123 w45 r6)")
             seeds[tok[0]].append(int(tok[1:]))
         nodes, ways, rels = extract_by_ids(
             *_load_corpus(args.input), node_ids=seeds["n"],

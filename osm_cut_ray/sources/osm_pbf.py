@@ -62,6 +62,16 @@ def _zigzag(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+def _s64(v: int) -> int:
+    """Sign-extend a plain (non-zigzag) varint read as unsigned.
+
+    proto int32/int64 fields encode negatives as 10-byte two's
+    complement varints; without this, -1e9 decodes as ~1.8e19 and a
+    spec-valid negative lat/lon offset silently corrupts coordinates
+    (ADVICE r4)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _fields(buf: bytes):
     """Iterate (field_number, wire_type, value) over one message.
     value is int for varint fields, bytes for length-delimited."""
@@ -157,11 +167,11 @@ def _parse_info(buf: bytes, strings: list[str],
         if fn == 1:
             meta["version"] = int(v)
         elif fn == 2:
-            meta["timestamp"] = _ts(int(v) * date_gran)
+            meta["timestamp"] = _ts(_s64(int(v)) * date_gran)
         elif fn == 3:
-            meta["changeset"] = int(v)
+            meta["changeset"] = _s64(int(v))
         elif fn == 4:
-            meta["uid"] = int(v)
+            meta["uid"] = _s64(int(v))
         elif fn == 5:
             meta["user"] = strings[int(v)]
     return meta
@@ -233,7 +243,7 @@ def _parse_way(buf: bytes, strings: list[str],
     keys = vals = None
     for fn, _, v in _fields(buf):
         if fn == 1:
-            row["id"] = int(v)
+            row["id"] = _s64(int(v))
         elif fn == 2:
             keys = _packed_varints(v, zigzag=False)
         elif fn == 3:
@@ -258,7 +268,7 @@ def _parse_relation(buf: bytes, strings: list[str],
     keys = vals = roles = memids = types = None
     for fn, _, v in _fields(buf):
         if fn == 1:
-            row["id"] = int(v)
+            row["id"] = _s64(int(v))
         elif fn == 2:
             keys = _packed_varints(v, zigzag=False)
         elif fn == 3:
@@ -337,9 +347,9 @@ def parse_osm_pbf(path: str):
             elif fn == 18:
                 date_gran = int(v)
             elif fn == 19:
-                lat_off = int(v)
+                lat_off = _s64(int(v))
             elif fn == 20:
-                lon_off = int(v)
+                lon_off = _s64(int(v))
         for grp in groups:
             nodes: list[dict] = []
             ways: list[dict] = []

@@ -55,9 +55,15 @@ def welch_t(exp_ds, *, exp_col: str = "exp_id",
         e = t[exp_col].to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[variant_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if ((v < 0) | (v > 1)).any():
+            bad = np.unique(v[(v < 0) | (v > 1)])[:5].tolist()
+            raise ValueError(
+                f"welch_t: variant values must be 0 (A) or 1 (B); "
+                f"got {bad} — a multi-arm experiment would silently "
+                "merge arms into the wrong group (ADVICE r4)")
         q = np.rint(t[metric_col].to_numpy(zero_copy_only=False)
                     .astype(np.float64) * scale).astype(np.int64)
-        key = e * 2 + (v & 1)
+        key = e * 2 + v
         order = np.argsort(key, kind="stable")
         key, q = key[order], q[order]
         starts = np.concatenate(

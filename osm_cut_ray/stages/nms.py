@@ -51,6 +51,12 @@ def greedy_nms(x0, y0, x1, y1, score, ids,
     y0 = np.asarray(y0, np.float64)
     x1 = np.asarray(x1, np.float64)
     y1 = np.asarray(y1, np.float64)
+    if (x1 <= x0).any() or (y1 <= y0).any():
+        # a zero-area box makes IoU 0/0 = NaN, and NaN comparisons
+        # then suppress unrelated boxes (ADVICE r4) — validate the
+        # documented precondition instead of silently corrupting.
+        raise ValueError("greedy_nms: degenerate box (x1<=x0 or "
+                         "y1<=y0) — boxes must have positive area")
     ids = np.asarray(ids, np.int64)
     order = np.lexsort((ids, -np.asarray(score, np.float64)))
     area = (x1 - x0) * (y1 - y0)
@@ -124,8 +130,16 @@ def nms_canvas(boxes_ds, *, iou_threshold: float, cell_size: float,
     returning a partial result."""
     import ray.data
 
-    slim = boxes_ds.map_batches(
-        lambda t: pa.table({
+    def _slim(t: pa.Table) -> pa.Table:
+        bx0 = t[x0_col].to_numpy(zero_copy_only=False)
+        bx1 = t[x1_col].to_numpy(zero_copy_only=False)
+        by0 = t[y0_col].to_numpy(zero_copy_only=False)
+        by1 = t[y1_col].to_numpy(zero_copy_only=False)
+        if (bx1 <= bx0).any() or (by1 <= by0).any():
+            raise ValueError(
+                "nms_canvas: degenerate box (x1<=x0 or y1<=y0) — "
+                "IoU would be NaN and suppress unrelated boxes")
+        return pa.table({
             "box_id": pa.array(
                 t[id_col].to_numpy(zero_copy_only=False)
                 .astype(np.int64)),
@@ -141,8 +155,9 @@ def nms_canvas(boxes_ds, *, iou_threshold: float, cell_size: float,
                               .to_numpy(zero_copy_only=False)
                               .astype(np.float64)),
             "state": pa.array(
-                np.zeros(len(t), np.int8))}),
-        batch_format="pyarrow")
+                np.zeros(len(t), np.int8))})
+
+    slim = boxes_ds.map_batches(_slim, batch_format="pyarrow")
     slim, n = solidify(slim)
     empty = pa.table({"box_id": pa.array([], pa.int64()),
                       "x0": pa.array([], pa.float64()),

@@ -192,11 +192,22 @@ def _id_maps(nodes, ways, rels, max_broadcast_ids: int):
 
 
 def renumber_corpus(nodes, ways, rels, *,
-                    max_broadcast_ids: int = 50_000_000):
+                    max_broadcast_ids: int = 50_000_000,
+                    on_unknown: str = "raise"):
     """osmium renumber analog: ids become dense 1..N per kind in
     ascending old-id order; way node refs and relation member refs
-    rewrite consistently. -> (nodes, ways, rels)."""
+    rewrite consistently. -> (nodes, ways, rels).
+
+    Dangling refs (ids absent from the corpus): `on_unknown="raise"`
+    (default) fails loudly like `osmium renumber` without the object;
+    `"shift"` remaps an unknown old id to N + old_id, which can never
+    alias a renumbered 1..N id (ADVICE r4: keeping the OLD id could
+    silently collide with a new dense id and point at a DIFFERENT
+    object)."""
     import ray
+
+    if on_unknown not in ("raise", "shift"):
+        raise ValueError("on_unknown must be 'raise' or 'shift'")
 
     n_map, w_map, r_map = _id_maps(nodes, ways, rels,
                                    max_broadcast_ids)
@@ -204,14 +215,23 @@ def renumber_corpus(nodes, ways, rels, *,
             "relation": ray.put(r_map)}
 
     def lookup(old: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
-        if len(sorted_ids) == 0:
-            return np.zeros(len(old), np.int64)
-        pos = np.minimum(np.searchsorted(sorted_ids, old),
-                         len(sorted_ids) - 1)
-        out = pos + 1
-        # unknown refs keep their old id (osmium leaves dangling refs
-        # to --check-refs; we preserve rather than corrupt)
-        return np.where(sorted_ids[pos] == old, out, old)
+        n = len(sorted_ids)
+        if n == 0:
+            known = np.zeros(len(old), bool)
+            out = np.zeros(len(old), np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(sorted_ids, old), n - 1)
+            known = sorted_ids[pos] == old
+            out = pos + 1
+        if known.all():
+            return out
+        if on_unknown == "raise":
+            bad = np.asarray(old)[~known]
+            raise RuntimeError(
+                f"renumber_corpus: {len(bad)} dangling ref(s) not in "
+                f"the corpus (e.g. {bad[:5].tolist()}); pass "
+                "on_unknown='shift' to remap them past N")
+        return np.where(known, out, n + old)
 
     def map_nodes(t: pa.Table) -> pa.Table:
         ids = ray.get(refs["node"])

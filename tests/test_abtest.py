@@ -154,3 +154,18 @@ def test_welch_t_adjusted(ray_session):
     assert by[0][0] < 1e-6 and by[0][1] < 1e-6   # real lift
     assert by[1][0] > 0.001                      # null survives
     assert by[1][1] >= by[1][0]                  # BH never shrinks
+
+
+def test_welch_t_rejects_multiarm_variants(ray_session):
+    """ADVICE r4: `v & 1` silently folded variant 2 into arm A; the
+    stage must raise on any variant outside {0, 1}."""
+    import pytest
+    import ray
+
+    from osm_cut_ray.stages.abtest import welch_t
+
+    ds = ray.data.from_items(
+        [{"exp_id": 1, "variant": v % 3, "metric": float(v)}
+         for v in range(30)])
+    with pytest.raises(Exception, match="variant values must be"):
+        welch_t(ds)

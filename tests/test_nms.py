@@ -153,3 +153,24 @@ def test_nms_canvas_cell_size_validated(ray_session):
     with pytest.raises(RuntimeError, match="cell_size"):
         nms_canvas(_canvas_ds(rd, boxes), iou_threshold=0.5,
                    cell_size=1.05)
+
+
+def test_nms_rejects_degenerate_boxes(ray_session):
+    """ADVICE r4: a zero-area box gives IoU 0/0 = NaN, and NaN
+    comparisons suppress unrelated boxes — both entry points must
+    validate the positive-area precondition."""
+    import numpy as np
+    import pytest
+    import ray
+
+    from osm_cut_ray.stages.nms import greedy_nms, nms_canvas
+
+    with pytest.raises(ValueError, match="degenerate"):
+        greedy_nms(np.array([0.0, 1.0]), np.array([0.0, 1.0]),
+                   np.array([0.0, 2.0]), np.array([1.0, 2.0]),
+                   np.array([0.9, 0.8]), np.array([1, 2]), 0.5)
+    rows = [{"box_id": 1, "x0": 0.0, "y0": 0.0, "x1": 0.0,
+             "y1": 1.0, "score": 0.9}]
+    with pytest.raises(Exception, match="degenerate"):
+        nms_canvas(ray.data.from_items(rows), cell_size=4.0,
+                   iou_threshold=0.5).materialize()

@@ -146,3 +146,40 @@ def test_osm_tool_cli_verbs(tmp_path, ray_session):
     assert '<node id="1" ' in txt and '<node id="2" ' in txt
     assert '<way id="1" ' in txt
     assert '<nd ref="1"/>' in txt and '<nd ref="2"/>' in txt
+
+
+def test_renumber_dangling_refs_raise_and_shift(tmp_path,
+                                                ray_session):
+    """ADVICE r4: a dangling ref must never silently alias a new
+    dense id. Default raises; on_unknown='shift' maps old -> N+old."""
+    import pytest
+    from osm_cut_ray.stages.osm_tools import renumber_corpus
+
+    # way 10 references node 999 which is absent; nodes are 1001/2002/
+    # 3003 so under the OLD behavior 999 would collide-free here, but
+    # a corpus with node 999 missing and 3 nodes renumbered 1..3 can
+    # alias — the contract is now explicit.
+    xml = A_XML.replace('<nd ref="2"/>', '<nd ref="2"/><nd ref="999"/>')
+    n, w, r = _corpus(tmp_path, xml, "dangling")
+    # the worker-side RuntimeError surfaces wrapped in RayTaskError
+    with pytest.raises(Exception, match="dangling"):
+        _rows(renumber_corpus(n, w, r)[1])
+    rn, rw, rr = renumber_corpus(n, w, r, on_unknown="shift")
+    ways = _rows(rw)
+    # 3 known nodes -> 1..3; unknown 999 -> 3 + 999 = 1002
+    assert ways[0]["node_ids"] == [1, 2, 1002]
+    ids = {x["id"] for x in _rows(rn)}
+    assert 1002 not in ids and ids == {1, 2, 3}
+
+
+def test_getid_cli_rejects_malformed_tokens(tmp_path):
+    import subprocess
+    import sys
+    p = tmp_path / "a.osm"
+    p.write_text(A_XML)
+    r = subprocess.run(
+        [sys.executable, "-m", "osm_cut_ray.cli", "getid", str(p),
+         str(tmp_path / "o.osm"), "x5"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "bad id" in (r.stderr + r.stdout)

@@ -189,3 +189,47 @@ def test_cut_from_pbf_matches_cut_from_xml(tmp_path, ray_session):
         outs.append(out.read_bytes())
     assert outs[0] == outs[1]
     assert b'id="3"' in outs[0] and b'id="4"' not in outs[0]
+
+
+def test_negative_offsets_and_signed_info_sign_extend(tmp_path):
+    """proto int64 plain varints encode negatives as 10-byte two's
+    complement; lat/lon offsets (PrimitiveBlock 19/20), Info
+    changeset/uid and way/relation ids must sign-extend (ADVICE r4:
+    -1e9 read unsigned decodes as ~1.8e19 -> wrong-region cut)."""
+    from osm_cut_ray.sources.osm_pbf import parse_osm_pbf
+
+    def sv(fn, x):  # signed plain varint field
+        return _vi(fn, x & ((1 << 64) - 1))
+
+    st = [b"", b"bob"]
+    stable = b"".join(_ld(1, s) for s in st)
+    # one dense node: raw lat 1.0 deg, raw lon 2.0 deg at gran 100
+    dense = _ld(1, _v(_zz(10))) \
+        + _ld(8, _v(_zz(10_000_000))) \
+        + _ld(9, _v(_zz(20_000_000)))
+    info = _vi(1, 2) + sv(3, -7) + sv(4, -3) + _vi(5, 1)
+    way = sv(1, -77) + _ld(4, info) + _ld(8, _v(_zz(10)))
+    rel = sv(1, -99) + _ld(8, _v(1)) \
+        + _ld(9, _v(_zz(-77) & ((1 << 64) - 1))) + _ld(10, _v(1))
+    group = _ld(2, dense) + _ld(3, way) + _ld(4, rel)
+    # negative offsets: lat -0.5 deg, lon -0.25 deg (nanodegrees)
+    block = _ld(1, stable) + _ld(2, group) + _vi(17, 100) \
+        + _vi(18, 1000) + sv(19, -500_000_000) + sv(20, -250_000_000)
+    z = zlib.compress(block)
+    blob = _vi(2, len(block)) + _ld(3, z)
+    bh = _ld(1, b"OSMData") + _vi(3, len(blob))
+    p = tmp_path / "neg.osm.pbf"
+    p.write_bytes(struct.pack(">i", len(bh)) + bh + blob)
+
+    got = {"node": [], "way": [], "relation": []}
+    for kind, tbl in parse_osm_pbf(str(p)):
+        got[kind].extend(tbl.to_pylist())
+    n = got["node"][0]
+    assert abs(n["lat"] - 0.5) < 1e-9    # 1.0 + (-0.5)
+    assert abs(n["lon"] - 1.75) < 1e-9   # 2.0 + (-0.25)
+    w = got["way"][0]
+    assert w["id"] == -77
+    assert w["changeset"] == -7 and w["uid"] == -3
+    r = got["relation"][0]
+    assert r["id"] == -99
+    assert r["members"][0]["ref"] == -77
