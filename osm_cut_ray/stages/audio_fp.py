@@ -51,27 +51,31 @@ def landmarks(pcm: np.ndarray, *, peaks_per_frame: int = 3,
                         .repeat(n_frames, 0), -mag), axis=1)[:, :k]
     order.sort(axis=1)  # peaks in ascending bin order per frame
     # flatten to (t, f) landmark list in time-major order
-    ts = np.repeat(np.arange(n_frames, dtype=np.int64), k)
+    k_eff = order.shape[1]  # == k while the rFFT has >= k bins
+    ts = np.repeat(np.arange(n_frames, dtype=np.int64), k_eff)
     fs = order.ravel().astype(np.int64)
-    hashes, t1s = [], []
     n = len(ts)
-    for i in range(n):
-        made = 0
-        for j in range(i + 1, n):
-            dt = ts[j] - ts[i]
-            if dt < 1:
-                continue
-            if dt > max_dt:
-                break
-            h = (np.uint64(fs[i]) << np.uint64(32)) \
-                | (np.uint64(fs[j]) << np.uint64(12)) \
-                | np.uint64(dt)
-            hashes.append(h)
-            t1s.append(ts[i])
-            made += 1
-            if made >= fanout:
-                break
-    return (np.asarray(hashes, np.uint64), np.asarray(t1s, np.int64))
+    # Each landmark pairs with the first `fanout` landmarks of frames
+    # t+1 .. t+max_dt in time-major order (the i/j scan's skip-dt<1 /
+    # break-dt>max_dt / fanout-truncation rules). Every frame holds
+    # exactly k_eff landmarks, so that window is index-computable:
+    # it starts at (t+1)*k_eff and ends at min((t+1+max_dt)*k_eff, n)
+    # — vectorized with a repeat + cumcount fanout truncation, hashes
+    # bit-identical to the former Python double loop (r4 verdict #2).
+    j0 = (ts + 1) * k_eff
+    j1 = np.minimum((ts + 1 + max_dt) * k_eff, n)
+    cnt = np.clip(j1 - j0, 0, fanout)
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    src = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    off = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    dst = np.repeat(j0, cnt) + off
+    dt = (ts[dst] - ts[src]).astype(np.uint64)
+    hashes = (fs[src].astype(np.uint64) << np.uint64(32)) \
+        | (fs[dst].astype(np.uint64) << np.uint64(12)) | dt
+    return (hashes, ts[src])
 
 
 def audio_dup_pairs(audio_ds, *, min_votes: int = 12,

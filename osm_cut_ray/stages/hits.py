@@ -59,15 +59,26 @@ def _renorm(raw: np.ndarray) -> np.ndarray:
     return out
 
 
-def hits(edges_ds, *, n_iter: int = 30,
+def hits(edges_ds, *, n_iter: int = 30, engine: str = "auto",
          max_broadcast_nodes: int = 50_000_000):
     """-> Dataset (node, authority, hub), float64, each score family
     summing to ~1. Directed edges (src endorses dst): authorities
     collect score from their in-neighbors' hub scores, hubs from
     their out-neighbors' authority scores, renormalized each
-    half-step."""
+    half-step.
+
+    engine: auto | broadcast | shuffle. Past `max_broadcast_nodes`,
+    broadcast RAISES while auto falls to the all-shuffle loop
+    (`stages/score_flow.py:hits_shuffle`), BIT-FOR-BIT equal; the
+    auto driver collection is incrementally capped so it never holds
+    more than the cap on the driver."""
     import ray.data
 
+    if engine not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "shuffle":
+        from .score_flow import hits_shuffle
+        return hits_shuffle(edges_ds, n_iter=n_iter, scale=_SCALE)
     edges_ds = edges_ds.materialize()
 
     def node_partial(t: pa.Table) -> pa.Table:
@@ -76,22 +87,31 @@ def hits(edges_ds, *, n_iter: int = 30,
         return pa.table({"node": pa.array(
             np.unique(np.concatenate([src, dst])))})
 
-    parts = [bt for bt in edges_ds.map_batches(
-        node_partial, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow") if bt.num_rows]
-    if not parts:
+    from .score_flow import merge_partials_capped
+
+    merged = merge_partials_capped(
+        ((bt["node"].to_numpy(zero_copy_only=False),
+          np.zeros(bt.num_rows, np.int64))
+         for bt in edges_ds.map_batches(
+             node_partial, batch_format="pyarrow").iter_batches(
+             batch_size=None, batch_format="pyarrow")
+         if bt.num_rows), max_broadcast_nodes)
+    if merged is None:
+        if engine == "broadcast":
+            raise ValueError(
+                f"node count exceeds max_broadcast_nodes="
+                f"{max_broadcast_nodes} for the per-iteration score "
+                "broadcast; use engine='auto'/'shuffle' or shard by "
+                "component first")
+        from .score_flow import hits_shuffle
+        return hits_shuffle(edges_ds, n_iter=n_iter, scale=_SCALE)
+    node_ids = merged[0]
+    n = len(node_ids)
+    if n == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "authority": pa.array([], pa.float64()),
             "hub": pa.array([], pa.float64())}))
-    node_ids = np.unique(
-        pa.concat_tables(parts)["node"].to_numpy(zero_copy_only=False)
-        .astype(np.int64))
-    n = len(node_ids)
-    if n > max_broadcast_nodes:
-        raise ValueError(
-            f"{n} nodes exceed max_broadcast_nodes for the per-"
-            "iteration score broadcast; shard by component first")
 
     def pull(score_ref, from_col: str, to_col: str) -> np.ndarray:
         """One broadcast half-step: raw[to] = sum over edges of

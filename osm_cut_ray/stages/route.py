@@ -480,6 +480,7 @@ _PR_SCALE = 1_000_000_000_000  # int64 fixed point, 1e-12 rank units
 
 
 def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
+             engine: str = "auto",
              max_broadcast_nodes: int = 50_000_000):
     """PageRank over the directed edge list -> Dataset (node, rank)
     with float64 rank summing to ~1. Fixed-point-int64 power
@@ -489,11 +490,22 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
     bit-deterministic under any partitioning WITHOUT a shuffle. The
     rank vector is broadcast per iteration (ray.put) and the partial
     pulls are the same order as that broadcast, both governed by
-    `max_broadcast_nodes` (16 B/node, RAISES); past the cap, shard the
-    graph by component (`way_components`) first. Dangling + teleport +
+    `max_broadcast_nodes` (16 B/node). Dangling + teleport +
     truncation mass is redistributed uniformly each iteration (keeps
     total mass exact, matching the published formulation at float
-    tolerance)."""
+    tolerance).
+
+    engine: auto | broadcast | shuffle. Past the node cap, broadcast
+    RAISES while auto falls to the all-shuffle loop
+    (`stages/score_flow.py:pagerank_shuffle`), which is BIT-FOR-BIT
+    equal; the auto driver collection is incrementally capped so it
+    never holds more than the cap on the driver."""
+    if engine not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "shuffle":
+        from .score_flow import pagerank_shuffle
+        return pagerank_shuffle(edges_ds, damping=damping,
+                                n_iter=n_iter, scale=_PR_SCALE)
     edges_ds = edges_ds.materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -506,24 +518,31 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             "deg": pa.array(np.concatenate(
                 [cnt, np.zeros(len(extra), np.int64)]))})
 
-    parts = [bt for bt in edges_ds.map_batches(
-        deg_partial, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow") if bt.num_rows]
-    if not parts:
+    from .score_flow import merge_partials_capped
+
+    merged = merge_partials_capped(
+        ((bt["node"].to_numpy(zero_copy_only=False),
+          bt["deg"].to_numpy(zero_copy_only=False))
+         for bt in edges_ds.map_batches(
+             deg_partial, batch_format="pyarrow").iter_batches(
+             batch_size=None, batch_format="pyarrow")
+         if bt.num_rows), max_broadcast_nodes)
+    if merged is None:
+        if engine == "broadcast":
+            raise ValueError(
+                f"node count exceeds max_broadcast_nodes="
+                f"{max_broadcast_nodes} for the per-iteration rank "
+                "broadcast; use engine='auto'/'shuffle' or shard by "
+                "component first")
+        from .score_flow import pagerank_shuffle
+        return pagerank_shuffle(edges_ds, damping=damping,
+                                n_iter=n_iter, scale=_PR_SCALE)
+    node_ids, outdeg = merged
+    n = len(node_ids)
+    if n == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "rank": pa.array([], pa.float64())}))
-    merged = pa.concat_tables(parts)
-    mk = merged["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mv = merged["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
-    node_ids, inv = np.unique(mk, return_inverse=True)
-    n = len(node_ids)
-    if n > max_broadcast_nodes:
-        raise ValueError(
-            f"{n} nodes exceed max_broadcast_nodes for the per-"
-            "iteration rank broadcast; shard by component first")
-    outdeg = np.zeros(n, np.int64)
-    np.add.at(outdeg, inv, mv)
 
     damp_num, damp_den = int(round(damping * 1000)), 1000
     rank = np.full(n, _PR_SCALE // n, np.int64)
