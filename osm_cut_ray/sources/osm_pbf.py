@@ -184,8 +184,49 @@ def _ts(millis: int) -> str:
     ).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _ts_vec(millis: np.ndarray) -> np.ndarray:
+    """Vectorized `_ts`: ISO "...Z" strings (object array). strftime
+    drops the fractional second, i.e. floor(millis/1000) — pinned ==
+    `_ts` element-wise (incl. negatives) in tests/test_pbf.py."""
+    secs = np.floor_divide(millis.astype(np.int64), 1000)
+    out = np.datetime_as_string(secs.astype("datetime64[s]"),
+                                unit="s")
+    return np.char.add(out, "Z").astype(object)
+
+
+def _dense_tags_loop(kv: np.ndarray, strings: list[str],
+                     n: int) -> list[list[tuple[str, str]]]:
+    """Reference scan of the delimiter-0 kv stream (the spec's
+    per-node `while kv[i] != 0: take (k, v) pairs` walk) — the
+    fallback when a 0 appears at a VALUE position (spec-reserved,
+    never emitted by real encoders) where the vectorized split's
+    even-segment precondition fails."""
+    out: list[list[tuple[str, str]]] = []
+    kvi = 0
+    for _ in range(n):
+        tags: list[tuple[str, str]] = []
+        while kvi < len(kv) and kv[kvi] != 0:
+            tags.append((strings[int(kv[kvi])],
+                         strings[int(kv[kvi + 1])]))
+            kvi += 2
+        kvi += 1  # the 0 separator (absent entirely when no node
+        # in the block has tags — kvi then stays past the end)
+        out.append(tags)
+    return out
+
+
 def _parse_dense(buf: bytes, strings: list[str], gran: int,
-                 lat_off: int, lon_off: int, date_gran: int) -> list[dict]:
+                 lat_off: int, lon_off: int,
+                 date_gran: int) -> pa.Table | None:
+    """One DenseNodes message -> a COLUMNAR node table (schema
+    XML_NODE_SCHEMA). The kv tag stream splits vectorized on the 0
+    delimiters: segment starts/ends from one flatnonzero, keys at
+    even offsets / values at odd via a repeat+cumcount index build,
+    one fancy-index into the string table (r4 verdict #3 — the old
+    per-node dict loop was the PBF ingest hot spot). Sound because
+    every true node segment has even length; any 0 at a value
+    position makes an apparent segment odd, detected, and routed to
+    the exact reference scan."""
     ids = lats = lons = kv = None
     dense_info: bytes | None = None
     for fn, _, v in _fields(buf):
@@ -200,41 +241,77 @@ def _parse_dense(buf: bytes, strings: list[str], gran: int,
         elif fn == 10:
             kv = _packed_varints(v, zigzag=False)
     if ids is None:
-        return []
+        return None
+    n = len(ids)
     lat = _NANO * (lat_off + np.int64(gran) * lats)
     lon = _NANO * (lon_off + np.int64(gran) * lons)
-    metas: list[dict] = [{} for _ in ids]
+
+    # ---- meta columns (arrays may cover a prefix of the nodes;
+    # the remainder is null, matching the old per-row dict merge)
+    di: dict[int, np.ndarray] = {}
     if dense_info is not None:
-        di: dict[int, np.ndarray] = {}
         for fn, _, v in _fields(dense_info):
             vals = _packed_varints(v, zigzag=fn in (2, 3, 4, 5))
             di[fn] = np.cumsum(vals) if fn in (2, 3, 4, 5) else vals
-        for i in range(len(ids)):
-            m = metas[i]
-            if 1 in di and i < len(di[1]):
-                m["version"] = int(di[1][i])
-            if 2 in di and i < len(di[2]):
-                m["timestamp"] = _ts(int(di[2][i]) * date_gran)
-            if 3 in di and i < len(di[3]):
-                m["changeset"] = int(di[3][i])
-            if 4 in di and i < len(di[4]):
-                m["uid"] = int(di[4][i])
-            if 5 in di and i < len(di[5]):
-                m["user"] = strings[int(di[5][i])]
-    rows = []
-    kvi = 0
+
+    def int_col(f: int) -> pa.Array:
+        vals = di.get(f)
+        if vals is None:
+            return pa.nulls(n, pa.int64())
+        m = min(len(vals), n)
+        out = np.zeros(n, np.int64)
+        out[:m] = vals[:m]
+        mask = np.ones(n, bool)
+        mask[:m] = False
+        return pa.array(out, pa.int64(), mask=mask)
+
+    def str_col(values_obj: np.ndarray | None) -> pa.Array:
+        if values_obj is None:
+            return pa.nulls(n, pa.large_string())
+        m = min(len(values_obj), n)
+        out = np.full(n, None, object)
+        out[:m] = values_obj[:m]
+        return pa.array(out, pa.large_string())
+
+    np_str = np.asarray(strings, dtype=object)
+    user = str_col(np_str[di[5].astype(np.int64)]
+                   if 5 in di else None)
+    tsv = str_col(_ts_vec(di[2] * np.int64(date_gran))
+                  if 2 in di else None)
+
+    # ---- tags: vectorized delimiter-0 split of the kv stream
     kv = kv if kv is not None else np.zeros(0, np.int64)
-    for i in range(len(ids)):
-        tags = []
-        while kvi < len(kv) and kv[kvi] != 0:
-            tags.append((strings[int(kv[kvi])],
-                         strings[int(kv[kvi + 1])]))
-            kvi += 2
-        kvi += 1  # the 0 separator (absent entirely when no node
-        # in the block has tags — kvi then stays past the end)
-        rows.append({"id": int(ids[i]), "lon": float(lon[i]),
-                     "lat": float(lat[i]), "tags": tags, **metas[i]})
-    return rows
+    z = np.flatnonzero(kv == 0)
+    starts = np.concatenate(([0], z + 1))
+    ends = np.concatenate((z, [len(kv)]))
+    m = min(n, len(starts))
+    lens = ends[:m] - starts[:m]
+    if np.any(lens & 1):
+        tags = pa.array(_dense_tags_loop(kv, strings, n),
+                        pa.map_(pa.large_string(),
+                                pa.large_string()))
+    else:
+        c = lens // 2
+        tot = int(c.sum())
+        ksel = np.repeat(starts[:m], c) + 2 * (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(c) - c, c))
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(c, out=offsets[1:m + 1])
+        offsets[m + 1:] = offsets[m]
+        tags = pa.MapArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(np_str[kv[ksel]], pa.large_string()),
+            pa.array(np_str[kv[ksel + 1]], pa.large_string()))
+
+    tbl = pa.table({
+        "id": pa.array(ids.astype(np.int64)),
+        "lon": pa.array(lon.astype(np.float64)),
+        "lat": pa.array(lat.astype(np.float64)),
+        "version": int_col(1), "changeset": int_col(3),
+        "uid": int_col(4), "user": user, "timestamp": tsv,
+        "tags": tags})
+    return tbl.cast(XML_NODE_SCHEMA)
 
 
 def _parse_way(buf: bytes, strings: list[str],
@@ -351,7 +428,7 @@ def parse_osm_pbf(path: str):
             elif fn == 20:
                 lon_off = _s64(int(v))
         for grp in groups:
-            nodes: list[dict] = []
+            node_tbls: list[pa.Table] = []
             ways: list[dict] = []
             rels: list[dict] = []
             for fn, _, v in _fields(grp):
@@ -360,16 +437,18 @@ def parse_osm_pbf(path: str):
                         "non-dense Node groups are not emitted by "
                         "current tools; convert with osmium first")
                 elif fn == 2:
-                    nodes.extend(_parse_dense(
-                        v, strings, gran, lat_off, lon_off,
-                        date_gran))
+                    t = _parse_dense(v, strings, gran, lat_off,
+                                     lon_off, date_gran)
+                    if t is not None and t.num_rows:
+                        node_tbls.append(t)
                 elif fn == 3:
                     ways.append(_parse_way(v, strings, date_gran))
                 elif fn == 4:
                     rels.append(_parse_relation(v, strings,
                                                 date_gran))
-            for kind, rows in (("node", nodes), ("way", ways),
-                               ("relation", rels)):
+            if node_tbls:
+                yield "node", pa.concat_tables(node_tbls)
+            for kind, rows in (("way", ways), ("relation", rels)):
                 if rows:
                     yield kind, pa.Table.from_pylist(
                         rows, schema=schemas[kind])

@@ -233,3 +233,51 @@ def test_negative_offsets_and_signed_info_sign_extend(tmp_path):
     r = got["relation"][0]
     assert r["id"] == -99
     assert r["members"][0]["ref"] == -77
+
+
+def test_ts_vec_matches_ts_elementwise():
+    """Vectorized ISO formatting must equal the datetime-based `_ts`
+    exactly, including negative epochs (floor semantics)."""
+    from osm_cut_ray.sources.osm_pbf import _ts, _ts_vec
+
+    ms = np.array([0, 1, 999, 1000, -1, -999, -1000, -1500,
+                   1167609600000, 1735689599999, -2208988800000],
+                  np.int64)
+    rng = np.random.default_rng(9)
+    ms = np.concatenate([ms, rng.integers(-3_000_000_000_000,
+                                          3_000_000_000_000, 200)])
+    got = _ts_vec(ms)
+    want = [_ts(int(m)) for m in ms]
+    assert got.tolist() == want
+
+
+def test_dense_kv_zero_value_falls_back_to_scan(tmp_path):
+    """A 0 at a VALUE position (string index 0, spec-reserved) makes
+    the vectorized even-segment split unsound — the parser must
+    detect it and reproduce the reference scan's semantics."""
+    from osm_cut_ray.sources.osm_pbf import parse_osm_pbf
+
+    st = [b"", b"highway", b"primary"]
+    stable = b"".join(_ld(1, s) for s in st)
+    # two nodes; node 1 tags: (1 -> 0) i.e. value is string index 0
+    # ("" — the reserved slot), then delimiter; node 2: (1, 2)
+    kv = _v(1) + _v(0) + _v(0) + _v(1) + _v(2) + _v(0)
+    dense = _ld(1, _v(_zz(10)) + _v(_zz(1))) \
+        + _ld(8, _v(_zz(1_000_000)) + _v(_zz(0))) \
+        + _ld(9, _v(_zz(2_000_000)) + _v(_zz(0))) \
+        + _ld(10, kv)
+    group = _ld(2, dense)
+    block = _ld(1, stable) + _ld(2, group) + _vi(17, 100)
+    z = zlib.compress(block)
+    blob = _vi(2, len(block)) + _ld(3, z)
+    bh = _ld(1, b"OSMData") + _vi(3, len(blob))
+    p = tmp_path / "zv.osm.pbf"
+    p.write_bytes(struct.pack(">i", len(bh)) + bh + blob)
+
+    nodes = []
+    for kind, tbl in parse_osm_pbf(str(p)):
+        if kind == "node":
+            nodes.extend(tbl.to_pylist())
+    assert len(nodes) == 2
+    assert nodes[0]["tags"] == [("highway", "")]
+    assert nodes[1]["tags"] == [("highway", "primary")]
