@@ -24,6 +24,64 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+# ---- host-capacity self-audit (VERDICT r4 item #4) -----------------
+# The sandbox host shows 2-3x run-to-run CPU-steal swings; two rounds
+# in a row the headline verdict needed manual re-adjudication of a
+# phantom regression. Every bench JSON line now carries a
+# `host_capacity` field: a ~0.25 s single-process matmul probe (GFLOP/s,
+# before and after the timed work) plus the /proc/stat steal share and
+# 1-min loadavg over the run, so a slow number can be attributed to the
+# host without re-running. Calibration on THIS box (measured round 5,
+# quiet: loadavg 0.1, 6 samples 16.4-16.9 with one 12.2 dip; see
+# BASELINE.md): quiet windows probe ~16 GFLOP/s; a probe below ~10
+# or steal_pct > 20 marks a stolen window — discount regressions.
+
+def _cpu_probe_gflops() -> float:
+    import numpy as np
+    a = np.random.default_rng(0).random((512, 512))
+    a @ a  # warm the BLAS path outside the timed window
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 0.25:
+        a @ a
+        n += 1
+    dt = time.perf_counter() - t0
+    return (2.0 * 512 ** 3 * n) / dt / 1e9
+
+
+def _read_proc_stat():
+    """(steal_jiffies, total_jiffies) from the aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+class HostAudit:
+    """Bracket a timed section; `finish()` -> the host_capacity dict."""
+
+    def __init__(self):
+        self.g0 = _cpu_probe_gflops()
+        self.steal0, self.total0 = _read_proc_stat()
+
+    def finish(self) -> dict:
+        g1 = _cpu_probe_gflops()
+        steal1, total1 = _read_proc_stat()
+        dt_total = total1 - self.total0
+        out = {
+            "probe_gflops": [round(self.g0, 1), round(g1, 1)],
+            "steal_pct": (round(100.0 * (steal1 - self.steal0)
+                                / dt_total, 2) if dt_total > 0 else None),
+        }
+        try:
+            out["loadavg_1m"] = round(os.getloadavg()[0], 1)
+        except OSError:
+            pass
+        return out
 # replicate the lineitem-derived corpus to give the headline real work
 # (128 x 600k = 76.8M point rows at sf0.1)
 REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "128"))
@@ -3134,6 +3192,7 @@ def headline(sf_dir: str) -> tuple[float, int]:
 
 def run_bench() -> dict:
     import ray
+    audit = HostAudit()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
                  logging_level="ERROR")
@@ -3187,6 +3246,7 @@ def run_bench() -> dict:
     }
     out.update(_diff_vs_previous(qtimes))
     ray.shutdown()
+    out["host_capacity"] = audit.finish()
     return out
 
 
@@ -3286,6 +3346,8 @@ def run_scaling() -> dict:
             f"sec_{lo_n}": lo["value"],
             f"sec_{hi_n}": hi["value"],
             "efficiency": round((tput_hi / tput_lo) / (hi_n / lo_n), 3),
+            "host_capacity": {str(lo_n): lo.get("host_capacity"),
+                              str(hi_n): hi.get("host_capacity")},
         })
     best = max(pairs, key=lambda p: p["efficiency"])
     return {
@@ -3305,6 +3367,7 @@ def run_scaling() -> dict:
 
 def run_headline_only() -> dict:
     import ray
+    audit = HostAudit()
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
@@ -3326,6 +3389,7 @@ def run_headline_only() -> dict:
         "headline_rows_per_sec": round(n_rows / sec, 1),
     }
     ray.shutdown()
+    out["host_capacity"] = audit.finish()
     return out
 
 

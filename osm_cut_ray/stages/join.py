@@ -170,7 +170,8 @@ def _align_for_union(left, right_keys, key: str):
     return lk, rk
 
 
-def shuffle_semi_join_keys(left, right_keys, key: str):
+def shuffle_semi_join_keys(left, right_keys, key: str,
+                           num_buckets: int | None = None):
     """Distinct left keys that also appear in right_keys — a pure
     hash-shuffle semi-join on the key column (both sides large).
 
@@ -178,21 +179,32 @@ def shuffle_semi_join_keys(left, right_keys, key: str):
     flags/filters the (wide) left rows against this much smaller key
     set, so wide payloads never transit the shuffle (SURVEY §7.4:
     "image bytes must never transit the J1-J5 shuffles").
+
+    Granularity: per BUCKET (`bucketed_group_apply`), never per key —
+    Ray's per-group overhead is paid ~4x cores times total, and each
+    bucket's membership test is one vectorized `np.isin`. int64 keys
+    (the repo-wide bucketed-join contract).
     """
     lk, rk = _align_for_union(left, right_keys, key)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["__side"] == 1).any() and (g["__side"] == 0).any():
-            return g.iloc[:1][[key]]
-        return g.iloc[:0][[key]]
+        side = g["__side"].to_numpy()
+        vals = g[key].to_numpy()
+        out = np.unique(vals[(side == 0)
+                             & np.isin(vals, vals[side == 1])])
+        return pd.DataFrame({key: out})
 
-    return lk.union(rk).groupby(key).map_groups(pick, batch_format="pandas")
+    return bucketed_group_apply(lk.union(rk), key, pick,
+                                num_buckets=num_buckets)
 
 
 def shuffle_inner_join(left, right, key: str, num_partitions: int | None = None):
-    """General hash equi-join: tagged union -> groupby(key) -> pandas
-    merge per key group. Portable across Ray versions; used when both
-    sides are too large to broadcast. Prefer joining slim projections.
+    """General hash equi-join: tagged union -> ONE bucket shuffle ->
+    pandas merge per BUCKET (all keys of a bucket joined in one C-speed
+    `DataFrame.merge`, never a per-key group task). Portable across Ray
+    versions; used when both sides are too large to broadcast. Prefer
+    joining slim projections. int64 keys (the repo-wide bucketed-join
+    contract); `num_partitions` maps to the bucket count.
     """
     lschema: pa.Schema = left.schema().base_schema
     rschema: pa.Schema = right.schema().base_schema
@@ -230,7 +242,8 @@ def shuffle_inner_join(left, right, key: str, num_partitions: int | None = None)
         return lg[lcols].merge(rg[[key] + [c for c in rcols if c != key]],
                                on=key)
 
-    return lt.union(rt).groupby(key).map_groups(merge, batch_format="pandas")
+    return bucketed_group_apply(lt.union(rt), key, merge,
+                                num_buckets=num_partitions)
 
 
 # ---------------------------------------------- Arrow-native bucket joins

@@ -43,10 +43,13 @@ def mixture_sample(ds, *, rates: dict[str, float],
             return t
         ids = t[id_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        dom_arr = np.asarray(t[domain_col].to_pylist(), object)
+        # dictionary-encode: only the (tiny) distinct-domain dictionary
+        # is materialized to Python; the per-row side stays int32 codes
+        enc = t[domain_col].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
         mask = np.zeros(len(t), bool)
-        for d in set(dom_arr.tolist()):
-            sel = dom_arr == d
+        for code, d in enumerate(enc.dictionary.to_pylist()):
+            sel = codes == code
             rate = rates.get(d, default_rate)
             u = uniform_hash(ids[sel] ^ _dom_salt(str(d), seed),
                              seed)
