@@ -21,11 +21,14 @@ bit-deterministic under any task order.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from . import join as J
 from .graph_stats import _canon_edges
+from .join import bucketed_group_apply
 from .wsample import uniform_hash
 
 _Q = 1 << 32  # 2^-32 quantization of per-source dependency scores
@@ -100,20 +103,58 @@ def _brandes_chunk(indptr: np.ndarray, nbrs: np.ndarray,
 def betweenness(edges_ds, *, src_col: str = "src",
                 dst_col: str = "dst", n_sources: int | None = None,
                 seed: int = 0, chunk: int = 64,
-                max_broadcast_nodes: int = 50_000_000):
+                max_broadcast_nodes: int = 50_000_000,
+                engine: str = "auto", src_batch: int = 16,
+                max_levels: int = 512):
     """-> Dataset (node, betweenness). Undirected, unweighted,
     unnormalized, each pair counted once (networkx convention:
     raw Brandes halved). Exact when n_sources is None; otherwise the
     Brandes-Pich estimate scaled by n/k from a deterministic
-    splitmix64 source sample."""
+    splitmix64 source sample.
+
+    engine: 'broadcast' ships the CSR via `ray.put` (RAISES past
+    `max_broadcast_nodes`); 'shuffle' is the planet-scale dual — the
+    adjacency stays a Dataset and each BFS level / dependency level
+    is a pair of bucketed shuffles (level-synchronous Brandes,
+    `src_batch` sources in flight per sweep), BIT-FOR-BIT equal to
+    the broadcast result (pinned in tests/test_betweenness.py);
+    'auto' counts distinct nodes distributed and picks. At planet
+    scale the sanctioned path is engine='shuffle' WITH `n_sources=`
+    sampling (exact all-sources Brandes is O(n*m) work regardless of
+    engine and the error past the cap says so)."""
     import ray.data as rd
 
+    if engine not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"engine must be auto|broadcast|shuffle, "
+                         f"got {engine!r}")
     edges, n_e = J.solidify(_canon_edges(edges_ds, src_col,
                                          dst_col))
     if n_e == 0:
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "betweenness": pa.array([], pa.float64())}))
+    edges = edges.materialize()
+    if engine == "broadcast":
+        return _betweenness_broadcast(edges, n_sources, seed, chunk,
+                                      max_broadcast_nodes)
+    adj, _ = J.solidify(_adj_ds(edges))
+    adj = adj.materialize()
+    universe, n = _node_universe(adj)
+    if engine == "auto" and n <= max_broadcast_nodes:
+        return _betweenness_broadcast(edges, n_sources, seed, chunk,
+                                      max_broadcast_nodes)
+    return _betweenness_shuffle(
+        adj, universe, n, n_sources=n_sources, seed=seed,
+        src_batch=src_batch, max_levels=max_levels,
+        max_broadcast_nodes=max_broadcast_nodes)
+
+
+def _betweenness_broadcast(edges, n_sources, seed, chunk,
+                           max_broadcast_nodes):
+    """The r4 engine: CSR broadcast once, sources chunked over tasks,
+    int64-quantized partial vectors reduced driver-side."""
+    import ray.data as rd
+
     tbl = pa.concat_tables(
         [pa.table(b) for b in edges.iter_batches(
             batch_format="pyarrow")])
@@ -153,3 +194,431 @@ def betweenness(edges_ds, *, src_col: str = "src",
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes.astype(np.int64)),
         "betweenness": pa.array(bc)}))
+
+
+# ------------------- distributed (bucketed-shuffle) engine -------------------
+# Round-5 verdict item #6: past max_broadcast_nodes the CSR no longer
+# fits a `ray.put`. Here the adjacency STAYS a Dataset and Brandes runs
+# level-synchronously: per BFS level ONE bucketed expand (frontier x
+# adjacency) + ONE bucketed visited-filter/sigma fold; per dependency
+# level ONE delta attach + ONE expand + ONE pred-join fold. All float
+# accumulations replay the broadcast engine's np.add.at order exactly
+# (ascending neighbor id per target — the broadcast frontier/level
+# arrays are sorted-unique, so its ufunc.at order IS ascending-id), so
+# the int64-quantized per-(source, node) dependencies are BIT-FOR-BIT
+# equal (pinned in tests/test_betweenness.py::test_shuffle_engine_*).
+
+
+def _adj_ds(edges):
+    """Both directions of the canonical (lo, hi) edges as (u, v)."""
+    def both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lo" not in t.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([lo, hi])),
+                         "v": pa.array(np.concatenate([hi, lo]))})
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def _node_universe(adj):
+    """Distinct nodes as a Dataset (every node appears as `u` in the
+    two-direction adjacency). -> (materialized ds, n)."""
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64())})
+        return pa.table({"node": pa.array(np.unique(
+            t["u"].to_numpy(zero_copy_only=False).astype(np.int64)))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"node": pa.array(
+            np.unique(g["node"].to_numpy()).astype(np.int64))})
+
+    uni, n = J.solidify(bucketed_group_apply(
+        adj.map_batches(part, batch_format="pyarrow"), "node", fold))
+    return (uni.materialize() if n else uni), n
+
+
+_EXP = pa.table({"src": pa.array([], pa.int64()),
+                 "node": pa.array([], pa.int64()),
+                 "f": pa.array([], pa.int64()),
+                 "sigma": pa.array([], pa.float64()),
+                 "delta": pa.array([], pa.float64())})
+_ST = pa.table({"src": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
+                "sigma": pa.array([], pa.float64())})
+_DL = pa.table({"src": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "delta": pa.array([], pa.float64())})
+
+
+def _i64(v, n):
+    return pa.array(np.full(n, v, np.int64))
+
+
+def _f64(v, n):
+    return pa.array(np.full(n, v, np.float64))
+
+
+def _expand(rows, adj, *, with_delta: bool):
+    """Bucket-merge per-source rows (src, node, sigma[, delta]) with
+    the adjacency on node == u -> candidate rows
+    (src, node=v, f=u, sigma_f[, delta_f]). One bucketed shuffle."""
+    def tag_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "node" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64()),
+                             "delta": pa.array([], pa.float64()),
+                             "v": pa.array([], pa.int64())})
+        return pa.table({
+            "k": t["node"], "__s": pa.array(np.zeros(n, np.int8)),
+            "src": t["src"], "sigma": t["sigma"],
+            "delta": (t["delta"] if with_delta else _f64(0.0, n)),
+            "v": _i64(0, n)})
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "u" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64()),
+                             "delta": pa.array([], pa.float64()),
+                             "v": pa.array([], pa.int64())})
+        return pa.table({
+            "k": t["u"], "__s": pa.array(np.ones(n, np.int8)),
+            "src": _i64(0, n), "sigma": _f64(0.0, n),
+            "delta": _f64(0.0, n), "v": t["v"]})
+
+    uni = rows.map_batches(tag_rows, batch_format="pyarrow").union(
+        adj.map_batches(tag_adj, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        side = g["__s"].to_numpy()
+        fr = g[side == 0]
+        ad = g[side == 1]
+        if fr.empty or ad.empty:
+            return _EXP
+        m = fr[["k", "src", "sigma", "delta"]].merge(
+            ad[["k", "v"]], on="k")
+        return pa.table({
+            "src": pa.array(m["src"].to_numpy(np.int64)),
+            "node": pa.array(m["v"].to_numpy(np.int64)),
+            "f": pa.array(m["k"].to_numpy(np.int64)),
+            "sigma": pa.array(m["sigma"].to_numpy(np.float64)),
+            "delta": pa.array(m["delta"].to_numpy(np.float64))})
+
+    return bucketed_group_apply(uni, "k", per_bucket)
+
+
+def _ordered_group_sum(src, node, order_by, val):
+    """Fold-left float sums per (src, node) group, contributions in
+    ascending `order_by` order — np.add.at in exactly the sequence the
+    broadcast engine's ufunc.at replays. -> (src_u, node_u, sums)."""
+    order = np.lexsort((order_by, node, src))
+    src, node, val = src[order], node[order], val[order]
+    new = np.concatenate(([True], (src[1:] != src[:-1])
+                          | (node[1:] != node[:-1])))
+    gid = np.cumsum(new) - 1
+    sums = np.zeros(int(new.sum()), np.float64)
+    np.add.at(sums, gid, val)
+    return src[new], node[new], sums
+
+
+def _fold_frontier(cand, recent_levels, level: int):
+    """Visited-filter + sigma fold: candidates not already in the
+    last two BFS levels (the only levels an edge out of the frontier
+    can reach — anything older would contradict BFS distances) become
+    level `level`, sigma summed in ascending predecessor order."""
+    def tag_state(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "node" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64())})
+        return pa.table({
+            "k": t["node"], "__s": pa.array(np.zeros(n, np.int8)),
+            "src": t["src"], "f": _i64(0, n), "sigma": _f64(0.0, n)})
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "node" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64())})
+        return pa.table({
+            "k": t["node"], "__s": pa.array(np.ones(n, np.int8)),
+            "src": t["src"], "f": t["f"], "sigma": t["sigma"]})
+
+    uni = cand.map_batches(tag_cand, batch_format="pyarrow")
+    for lp in recent_levels:
+        uni = uni.union(lp.map_batches(tag_state,
+                                       batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        side = g["__s"].to_numpy()
+        cd = g[side == 1]
+        if cd.empty:
+            return _ST
+        st = g[side == 0]
+        if not st.empty:
+            mk = cd.merge(st[["k", "src"]].drop_duplicates(),
+                          on=["k", "src"], how="left", indicator=True)
+            cd = mk[mk["_merge"] == "left_only"]
+            if cd.empty:
+                return _ST
+        s, nd, sums = _ordered_group_sum(
+            cd["src"].to_numpy(np.int64), cd["k"].to_numpy(np.int64),
+            cd["f"].to_numpy(np.int64),
+            cd["sigma"].to_numpy(np.float64))
+        return pa.table({"src": pa.array(s), "node": pa.array(nd),
+                         "dist": _i64(level, len(s)),
+                         "sigma": pa.array(sums)})
+
+    return bucketed_group_apply(uni, "k", per_bucket)
+
+
+def _attach_delta(level_rows, delta_ds):
+    """Left-join the (src, node) deltas computed by the deeper level
+    onto this level's rows (missing -> 0.0: leaves have no
+    successors). -> rows (src, node, sigma, delta)."""
+    def tag_lvl(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "node" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64()),
+                             "delta": pa.array([], pa.float64())})
+        return pa.table({
+            "k": t["node"], "__s": pa.array(np.zeros(n, np.int8)),
+            "src": t["src"], "sigma": t["sigma"],
+            "delta": _f64(0.0, n)})
+
+    def tag_dl(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "node" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64()),
+                             "delta": pa.array([], pa.float64())})
+        return pa.table({
+            "k": t["node"], "__s": pa.array(np.ones(n, np.int8)),
+            "src": t["src"], "sigma": _f64(0.0, n),
+            "delta": t["delta"]})
+
+    uni = level_rows.map_batches(tag_lvl, batch_format="pyarrow")
+    if delta_ds is not None:
+        uni = uni.union(delta_ds.map_batches(tag_dl,
+                                             batch_format="pyarrow"))
+
+    out_empty = pa.table({"src": pa.array([], pa.int64()),
+                          "node": pa.array([], pa.int64()),
+                          "sigma": pa.array([], pa.float64()),
+                          "delta": pa.array([], pa.float64())})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        side = g["__s"].to_numpy()
+        lv = g[side == 0]
+        if lv.empty:
+            return out_empty
+        dl = g[side == 1]
+        if dl.empty:
+            m = lv.assign(dl=0.0)
+        else:
+            m = lv[["k", "src", "sigma"]].merge(
+                dl[["k", "src", "delta"]].rename(
+                    columns={"delta": "dl"}),
+                on=["k", "src"], how="left")
+            m["dl"] = m["dl"].fillna(0.0)
+        return pa.table({
+            "src": pa.array(m["src"].to_numpy(np.int64)),
+            "node": pa.array(m["k"].to_numpy(np.int64)),
+            "sigma": pa.array(m["sigma"].to_numpy(np.float64)),
+            "delta": pa.array(m["dl"].to_numpy(np.float64))})
+
+    return bucketed_group_apply(uni, "k", per_bucket)
+
+
+def _fold_deps(cand, pred_level):
+    """Dependency fold: candidate rows (src, node=v, f=w, sigma_w,
+    delta_w) inner-joined with the predecessor level's (src, v) state
+    (dist == level-1 by construction); contrib replays the broadcast
+    expression sigma_v / sigma_w * (1.0 + delta_w), summed per (src,
+    v) in ascending w order. -> Dataset (src, node, delta)."""
+    def tag_pred(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "node" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64()),
+                             "delta": pa.array([], pa.float64())})
+        return pa.table({
+            "k": t["node"], "__s": pa.array(np.zeros(n, np.int8)),
+            "src": t["src"], "f": _i64(0, n), "sigma": t["sigma"],
+            "delta": _f64(0.0, n)})
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "node" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int8()),
+                             "src": pa.array([], pa.int64()),
+                             "f": pa.array([], pa.int64()),
+                             "sigma": pa.array([], pa.float64()),
+                             "delta": pa.array([], pa.float64())})
+        return pa.table({
+            "k": t["node"], "__s": pa.array(np.ones(n, np.int8)),
+            "src": t["src"], "f": t["f"], "sigma": t["sigma"],
+            "delta": t["delta"]})
+
+    uni = cand.map_batches(tag_cand, batch_format="pyarrow").union(
+        pred_level.map_batches(tag_pred, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        side = g["__s"].to_numpy()
+        cd = g[side == 1]
+        pr = g[side == 0]
+        if cd.empty or pr.empty:
+            return _DL
+        m = cd[["k", "src", "f", "sigma", "delta"]].merge(
+            pr[["k", "src", "sigma"]].rename(
+                columns={"sigma": "sigma_v"}),
+            on=["k", "src"], how="inner")
+        if m.empty:
+            return _DL
+        sigma_v = m["sigma_v"].to_numpy(np.float64)
+        sigma_w = m["sigma"].to_numpy(np.float64)
+        delta_w = m["delta"].to_numpy(np.float64)
+        contrib = sigma_v / sigma_w * (1.0 + delta_w)
+        s, nd, sums = _ordered_group_sum(
+            m["src"].to_numpy(np.int64), m["k"].to_numpy(np.int64),
+            m["f"].to_numpy(np.int64), contrib)
+        return pa.table({"src": pa.array(s), "node": pa.array(nd),
+                         "delta": pa.array(sums)})
+
+    return bucketed_group_apply(uni, "k", per_bucket)
+
+
+def _betweenness_shuffle(adj, universe, n: int, *, n_sources,
+                         seed: int, src_batch: int, max_levels: int,
+                         max_broadcast_nodes: int):
+    """Level-synchronous distributed Brandes over the Dataset
+    adjacency; see `betweenness` for the contract."""
+    import ray.data as rd
+
+    if n_sources is None or n_sources >= n:
+        if n > max_broadcast_nodes:
+            raise ValueError(
+                f"exact betweenness needs all {n} nodes as sources "
+                f"(O(n*m) work regardless of engine); past "
+                f"max_broadcast_nodes={max_broadcast_nodes} the "
+                "sanctioned path is n_sources= sampling "
+                "(Brandes-Pich 2007)")
+        srcs = np.sort(np.concatenate(
+            [b["node"].to_numpy(zero_copy_only=False)
+             for b in universe.iter_batches(batch_format="pyarrow")]
+            or [np.array([], np.int64)]).astype(np.int64))
+        scale = 0.5
+    else:
+        hd = universe.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "h": pa.array(uniform_hash(
+                    t["node"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), seed))})
+            if t.num_rows else pa.table({
+                "node": pa.array([], pa.int64()),
+                "h": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+        picked = hd.sort(["h", "node"]).limit(n_sources).take_all()
+        srcs = np.sort(np.array([r["node"] for r in picked],
+                                np.int64))
+        scale = 0.5 * n / n_sources
+
+    acc_parts = []
+    for i in range(0, len(srcs), src_batch):
+        batch = srcs[i:i + src_batch]
+        init = rd.from_arrow(pa.table({
+            "src": pa.array(batch), "node": pa.array(batch),
+            "dist": _i64(0, len(batch)),
+            "sigma": _f64(1.0, len(batch))})).materialize()
+        levels = [init]
+        while True:
+            cand = _expand(levels[-1], adj, with_delta=False)
+            new = _fold_frontier(cand, levels[-2:], len(levels))
+            new, n_new = J.solidify(new)
+            if n_new == 0:
+                break
+            levels.append(new.materialize())
+            if len(levels) > max_levels:
+                raise RuntimeError(
+                    f"betweenness shuffle engine: BFS exceeded "
+                    f"max_levels={max_levels} rounds; raise the cap "
+                    "for high-diameter graphs")
+        cur_delta = None
+        for lvl in range(len(levels) - 1, 0, -1):
+            wrows = _attach_delta(levels[lvl], cur_delta)
+            cand = _expand(wrows, adj, with_delta=True)
+            dl, n_dl = J.solidify(_fold_deps(cand, levels[lvl - 1]))
+            if n_dl == 0:
+                cur_delta = None
+                continue
+            dl = dl.materialize()
+            cur_delta = dl
+
+            def to_acc(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "node" not in t.column_names:
+                    return pa.table({
+                        "node": pa.array([], pa.int64()),
+                        "q": pa.array([], pa.int64())})
+                keep = pc.invert(pc.equal(t["node"], t["src"]))
+                t = t.filter(keep)
+                q = np.round(t["delta"].to_numpy(zero_copy_only=False)
+                             * _Q).astype(np.int64)
+                return pa.table({"node": t["node"],
+                                 "q": pa.array(q)})
+
+            acc_parts.append(dl.map_batches(
+                to_acc, batch_format="pyarrow").materialize())
+
+    zero = universe.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "q": _i64(0, t.num_rows)})
+        if t.num_rows else pa.table({"node": pa.array([], pa.int64()),
+                                     "q": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    allq = zero
+    for p in acc_parts:
+        allq = allq.union(p)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("node")["q"].sum()
+        return pa.table({
+            "node": pa.array(agg.index.to_numpy(np.int64)),
+            "q": pa.array(agg.to_numpy(np.int64))})
+
+    total = bucketed_group_apply(allq, "node", fold)
+    return total.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "betweenness": pa.array(
+                t["q"].to_numpy(zero_copy_only=False)
+                .astype(np.float64) / _Q * scale)})
+        if t.num_rows else pa.table({
+            "node": pa.array([], pa.int64()),
+            "betweenness": pa.array([], pa.float64())}),
+        batch_format="pyarrow")
