@@ -1642,6 +1642,32 @@ def _extra_welch(sf_dir: str):
     return got
 
 
+def _extra_anonymity(sf_dir: str):
+    """k-anonymity/l-diversity audit over a 4M-row synthetic
+    population (QI = coarse zip x age band, ~5k groups): one slim
+    hashed-pair shuffle + scalar aggregates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.anonymity import k_anonymity_report
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % (1 << 31)
+        return pa.table({
+            "zipc": pa.array((h % 1250).astype(np.int64)),
+            "age_band": pa.array((h // 1250) % 4, pa.int64()),
+            "diag": pa.array((h // 5000) % 9, pa.int64())})
+
+    ds = rd.range(4_000_000).map_batches(rows, batch_format="pyarrow")
+    groups, rep = k_anonymity_report(
+        ds, qi_cols=["zipc", "age_band"], sensitive_col="diag",
+        k_threshold=100)
+    assert rep["n_rows"] == 4_000_000 and rep["n_groups"] == 5000, rep
+    return groups
+
+
 def _extra_decompose(sf_dir: str):
     """Classical seasonal decomposition of 100k weekly series (28
     points each, period 7): one bucket shuffle, per-key vectorized
@@ -3094,6 +3120,7 @@ EXTRA_SET = {
     "pbf_roundtrip_320k": _extra_pbf_roundtrip,
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
+    "k_anonymity_4m": _extra_anonymity,
     "select_budget_lineitem": _extra_select_budget,
     "corridor_cut_1m": _extra_corridor,
     "video_dedup_30k": _extra_video_dedup,
