@@ -232,6 +232,33 @@ def _extra_image_filter(sf_dir: str):
     return out
 
 
+def _extra_saliency_crop(sf_dir: str):
+    """Saliency-crop throughput: 50k mixed-size images -> best 48x32
+    Sobel-energy window each (decode -> stacked integral argmax ->
+    crop -> re-encode)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import images_batch_from_keys
+    from osm_cut_ray.stages.image_crop import SaliencyCropStage
+
+    def synth(t: pa.Table) -> pa.Table:
+        return images_batch_from_keys(
+            t["id"].to_numpy(zero_copy_only=False), with_bytes=True)
+
+    corpus = rd.range(50_000).map_batches(synth, batch_format="pyarrow",
+                                          batch_size=2048)
+    out = corpus.map_batches(
+        SaliencyCropStage, fn_constructor_kwargs={"crop_w": 48,
+                                                  "crop_h": 32},
+        batch_format="pyarrow", batch_size=1024, concurrency=8) \
+        .map_batches(lambda t: t.select(
+            ["image_id", "w", "h", "crop_x", "crop_y"]),
+            batch_format="pyarrow")
+    assert out.count() == 50_000
+    return out
+
+
 def _extra_curate(sf_dir: str):
     """Composed corpus curation end-to-end (exact dup + MinHash near-dup
     + decontamination decision passes, then the resumable per-shard
@@ -3126,6 +3153,7 @@ EXTRA_SET = {
     "video_dedup_30k": _extra_video_dedup,
     "audio_fp_dedup_4k": _extra_audio_fp,
     "image_filter_50k": _extra_image_filter,
+    "saliency_crop_50k": _extra_saliency_crop,
     "dbscan_points_500k": _extra_dbscan,
     "distance_join_500k": _extra_distance_join,
     "geofence_points_1m": _extra_geofence,
