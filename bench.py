@@ -1507,6 +1507,52 @@ def _extra_audio_fp(sf_dir: str):
     return pairs
 
 
+def _extra_video_scenes(sf_dir: str):
+    """Shot detection: 20k clips (24 frames, 1-4 planted cuts each)
+    -> per-shot rows with fpng keyframes; asserts total shot count
+    matches the planted cuts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.images import pixels_for_key
+    from osm_cut_ray.sources.media import encode_video_from_frames
+    from osm_cut_ray.stages.video_scenes import video_scenes
+
+    SEG = 6          # frames per segment
+    N_CLIPS = 20_000
+
+    def clips(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        out, nshots = [], []
+        for i in ids:
+            n_seg = 1 + int(i) % 4
+            # the stub pattern is periodic in key mod 256: stride
+            # 133 makes the boundary jump (133 - SEG + 1) = 128 gray
+            # levels (max separation) while in-shot frames step by 1
+            frames = np.concatenate(
+                [np.stack([pixels_for_key(int(i) * 7919 + s * 133
+                                          + f, 16, 16)
+                           for f in range(SEG)])
+                 for s in range(n_seg)])
+            out.append(encode_video_from_frames(frames))
+            nshots.append(n_seg)
+        return pa.table({
+            "video_id": pa.array([f"v{int(i):07d}" for i in ids],
+                                 pa.string()),
+            "video": pa.array(out, pa.binary()),
+            "n_seg": pa.array(nshots, pa.int64())})
+
+    ds = rd.range(N_CLIPS).map_batches(clips, batch_format="pyarrow",
+                                       batch_size=512)
+    shots = video_scenes(ds.drop_columns(["n_seg"]), threshold=24.0,
+                         min_shot_len=2, batch_size=256)
+    n_shots = shots.count()
+    exp = sum(1 + i % 4 for i in range(N_CLIPS))
+    assert n_shots == exp, (n_shots, exp)
+    return shots
+
+
 def _extra_video_dedup(sf_dir: str):
     """Video near-dup: 30k clips (10k of them trimmed re-uploads),
     one decode pass -> frame-hash shingle LSH -> best-shift verify."""
@@ -3151,6 +3197,7 @@ EXTRA_SET = {
     "select_budget_lineitem": _extra_select_budget,
     "corridor_cut_1m": _extra_corridor,
     "video_dedup_30k": _extra_video_dedup,
+    "video_scenes_20k": _extra_video_scenes,
     "audio_fp_dedup_4k": _extra_audio_fp,
     "image_filter_50k": _extra_image_filter,
     "saliency_crop_50k": _extra_saliency_crop,

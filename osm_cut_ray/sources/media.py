@@ -34,6 +34,18 @@ def encode_video(key: int, w: int = 16, n_frames: int = 8) -> bytes:
     return head + zlib.compress(frames.tobytes(), 1)
 
 
+def encode_video_from_frames(frames: np.ndarray) -> bytes:
+    """(n, w, w) uint8 -> same container as `encode_video` (square
+    frames; the stub container carries one edge length)."""
+    n, h, w = frames.shape
+    if h != w:
+        raise ValueError("stub video container is square-frame only")
+    head = _VID_MAGIC + w.to_bytes(4, "little") \
+        + n.to_bytes(4, "little")
+    return head + zlib.compress(
+        np.ascontiguousarray(frames, np.uint8).tobytes(), 1)
+
+
 def decode_video(buf: bytes) -> np.ndarray:
     """-> (n_frames, h, w) uint8."""
     if buf[:4] != _VID_MAGIC:
