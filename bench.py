@@ -1715,6 +1715,26 @@ def _extra_welch(sf_dir: str):
     return got
 
 
+def _extra_nmf(sf_dir: str):
+    """NMF topic model over the documents table (k=8, 2^13 hashed
+    vocab, 8 iterations — two map passes + one driver H update per
+    iteration, zero shuffles)."""
+    import os
+
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.nmf import nmf_fit
+
+    docs = strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])).repartition(32)
+    dt, h = nmf_fit(docs, k=8, v_dim=1 << 13, n_iter=8, seed=0)
+    n = dt.count()
+    assert n > 0 and h.shape == (8, 1 << 13)
+    return dt
+
+
 def _extra_anonymity(sf_dir: str):
     """k-anonymity/l-diversity audit over a 4M-row synthetic
     population (QI = coarse zip x age band, ~5k groups): one slim
@@ -3194,6 +3214,7 @@ EXTRA_SET = {
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
     "k_anonymity_4m": _extra_anonymity,
+    "nmf_topics_docs": _extra_nmf,
     "select_budget_lineitem": _extra_select_budget,
     "corridor_cut_1m": _extra_corridor,
     "video_dedup_30k": _extra_video_dedup,
