@@ -1715,6 +1715,31 @@ def _extra_welch(sf_dir: str):
     return got
 
 
+def _extra_weburl(sf_dir: str):
+    """URL hygiene: 2M synthetic crawl URLs -> normalize + domain
+    census (one compiled-regex extract pass, slim domain-hash fold)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.weburl import domain_stats
+
+    def urls(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 50_000
+        return pa.table({"url": pa.array(
+            [f"https://sub{int(i) % 7}.site{int(d)}.com/p/{int(i)}"
+             f"?utm_source=x&q={int(i) % 13}"
+             for i, d in zip(ids, h)], pa.string())})
+
+    ds = rd.range(2_000_000).map_batches(urls, batch_format="pyarrow",
+                                         batch_size=8192)
+    stats = domain_stats(ds)
+    n = stats.count()
+    assert n == 50_000, n
+    return stats
+
+
 def _extra_nmf(sf_dir: str):
     """NMF topic model over the documents table (k=8, 2^13 hashed
     vocab, 8 iterations — two map passes + one driver H update per
@@ -3215,6 +3240,7 @@ EXTRA_SET = {
     "welch_abtest_4m": _extra_welch,
     "k_anonymity_4m": _extra_anonymity,
     "nmf_topics_docs": _extra_nmf,
+    "url_domain_census_2m": _extra_weburl,
     "select_budget_lineitem": _extra_select_budget,
     "corridor_cut_1m": _extra_corridor,
     "video_dedup_30k": _extra_video_dedup,
