@@ -1760,6 +1760,30 @@ def _extra_nmf(sf_dir: str):
     return dt
 
 
+def _extra_dp_release(sf_dir: str):
+    """DP census: noisy per-key count+sum release over 4M rows /
+    200k keys (slim exact partials + seeded inverse-CDF noise)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.dp_noise import dp_key_release
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array((ids % 200_000).astype(np.int64)),
+            "val": pa.array(((ids * 2654435761) % 1000)
+                            .astype(np.float64) / 500.0 - 1.0)})
+
+    ds = rd.range(4_000_000).map_batches(rows, batch_format="pyarrow")
+    rel = dp_key_release(ds, key_col="key", value_col="val",
+                         epsilon=1.0, clip=1.0, seed=1)
+    n = rel.count()
+    assert n == 200_000, n
+    return rel
+
+
 def _extra_anonymity(sf_dir: str):
     """k-anonymity/l-diversity audit over a 4M-row synthetic
     population (QI = coarse zip x age band, ~5k groups): one slim
@@ -3239,6 +3263,7 @@ EXTRA_SET = {
     "seasonal_decompose_2_8m": _extra_decompose,
     "welch_abtest_4m": _extra_welch,
     "k_anonymity_4m": _extra_anonymity,
+    "dp_release_4m": _extra_dp_release,
     "nmf_topics_docs": _extra_nmf,
     "url_domain_census_2m": _extra_weburl,
     "select_budget_lineitem": _extra_select_budget,
