@@ -222,3 +222,35 @@ def normalize_text(t, *, lower: bool = False, text_col: str = "text"):
     cols = {name: t[name] for name in t.column_names}
     cols[text_col] = pa.array(s.to_numpy(dtype=object), pa.string())
     return pa.table(cols)
+
+
+def compression_stats(t, *, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6):
+    """zlib compression-ratio quality signal, one row per doc
+    (doc_id, compress_ratio): compressed_bytes / raw_bytes of the
+    UTF-8 text. The public quality-filter family (RefinedWeb /
+    MassiveText hygiene) drops both tails: very LOW ratios are
+    boilerplate/repetition (compressible), ratios near or above 1 are
+    random-looking bytes (already-compressed or encoded junk). Empty
+    docs get ratio 1.0 (no evidence).
+
+    Per-row zlib is inherent (the codec is per-document, like the
+    image stub's per-row encode); everything else is batch columnar.
+    Accepts a pyarrow Table; compose as a map_batches over
+    (doc_id, text).
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "compress_ratio": pa.array([], pa.float64())})
+    if len(t) == 0 or id_col not in t.column_names:
+        return empty
+    ratios = np.empty(len(t), np.float64)
+    for i, x in enumerate(t[text_col].to_pylist()):
+        raw = (x or "").encode("utf-8", "ignore")
+        ratios[i] = (len(zlib.compress(raw, level)) / len(raw)
+                     if raw else 1.0)
+    return pa.table({id_col: t[id_col],
+                     "compress_ratio": pa.array(ratios)})
