@@ -3200,8 +3200,44 @@ def _extra_route_sssp_distributed(sf_dir: str):
                             num_buckets=16, max_rounds=64)
 
 
+def _extra_community(sf_dir: str):
+    """Label-propagation communities + modularity over a 400k-node
+    planted-partition graph (4k communities of 100, small-world
+    intra edges, one bridge per community): broadcast engine,
+    zero-shuffle rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.community import (label_propagation,
+                                              modularity)
+
+    n, csize = 400_000, 100
+    i = np.arange(n, dtype=np.int64)
+    blk = i // csize
+    ring = (blk * csize) + ((i + 1) % csize)
+    rng = np.random.default_rng(7)
+    # 3 random intra-community chords per node -> small-world blocks
+    chords = [(blk * csize) + rng.integers(0, csize, n)
+              for _ in range(3)]
+    # one bridge per community to its successor
+    c = np.arange(n // csize, dtype=np.int64)
+    b_src = c * csize
+    b_dst = ((c + 1) % (n // csize)) * csize + 7
+    src = np.concatenate([i, i, i, i, b_src])
+    dst = np.concatenate([ring] + chords + [b_dst])
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ds = rd.from_arrow(t).repartition(32)
+    labs = label_propagation(ds, max_rounds=200).materialize()
+    assert labs.count() == n
+    q = modularity(ds, labs)
+    assert q > 0.5
+    return labs
+
+
 EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
+    "lpa_communities_400k": _extra_community,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
     "hits_1m": _extra_hits,
