@@ -3235,9 +3235,49 @@ def _extra_community(sf_dir: str):
     return labs
 
 
+def _extra_itemsets(sf_dir: str):
+    """SON frequent itemsets + rules over 2M synthetic baskets
+    (64 planted 3-item bundles + 100k-item noise vocabulary)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.itemsets import (association_rules,
+                                             frequent_itemsets)
+
+    n, n_bundles = 2_000_000, 64
+    rng = np.random.default_rng(17)
+    b = np.arange(n, dtype=np.int64)
+    # 20% of baskets carry one planted bundle (items 0..191)
+    carrier = b[b % 5 == 0]
+    bundle = (carrier // 5) % n_bundles
+    b_rows = np.repeat(carrier, 3)
+    b_items = (np.repeat(bundle * 3, 3)
+               + np.tile(np.arange(3, dtype=np.int64),
+                         len(carrier)))
+    # 4 noise items per basket from a 100k vocabulary (offset past
+    # the bundle range)
+    n_rows = np.repeat(b, 4)
+    n_items = rng.integers(200, 100_200, 4 * n).astype(np.int64)
+    t = pa.table({
+        "basket": pa.array(np.concatenate([b_rows, n_rows])),
+        "item": pa.array(np.concatenate([b_items, n_items]))})
+    ds = rd.from_arrow(t).repartition(64)
+    freq = frequent_itemsets(ds, basket_col="basket",
+                             item_col="item",
+                             min_support=0.001).materialize()
+    nf = freq.count()
+    assert nf >= n_bundles * 7  # every bundle subset is frequent
+    rules = association_rules(freq, n_baskets=n,
+                              min_confidence=0.8)
+    assert rules.count() >= n_bundles
+    return freq
+
+
 EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
     "lpa_communities_400k": _extra_community,
+    "itemsets_2m": _extra_itemsets,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
     "hits_1m": _extra_hits,
