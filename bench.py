@@ -3274,10 +3274,37 @@ def _extra_itemsets(sf_dir: str):
     return freq
 
 
+def _extra_k_center(sf_dir: str):
+    """k-center greedy coreset (k=32) over 300k synthetic 64-d
+    embeddings: per-round one broadcast-center fold into the min_d
+    column + one slim block-max projection."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.select_coreset import k_center_greedy
+
+    rng = np.random.default_rng(23)
+    n, d = 300_000, 64
+    X = rng.normal(0, 1, (n, d)).astype(np.float32)
+    # plant 32 well-separated cluster centers so greedy must walk
+    X[:32] *= 40.0
+    flat = pa.array(X.ravel(), pa.float32())
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(offs, flat)})
+    sel, _ = k_center_greedy(rd.from_arrow(t).repartition(32), k=32)
+    out = sel.materialize()
+    assert out.count() == 32
+    return out
+
+
 EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
     "lpa_communities_400k": _extra_community,
     "itemsets_2m": _extra_itemsets,
+    "k_center_coreset_300k": _extra_k_center,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
     "hits_1m": _extra_hits,
