@@ -3300,11 +3300,39 @@ def _extra_k_center(sf_dir: str):
     return out
 
 
+def _extra_isotonic(sf_dir: str):
+    """Per-key isotonic calibration over 4M rows / 256 keys
+    (quantized scores), then broadcast apply back onto the rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.calibrate import (isotonic_apply,
+                                              isotonic_fit)
+
+    rng = np.random.default_rng(31)
+    n = 4_000_000
+    key = rng.integers(0, 256, n).astype(np.int64)
+    s = np.round(rng.uniform(0, 1, n), 3)
+    y = (s + rng.normal(0, 0.25, n) > 0.5).astype(np.float64)
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array(key), "score": pa.array(s),
+        "label": pa.array(y)})).repartition(64)
+    model = isotonic_fit(ds, key_col="key", score_col="score",
+                         label_col="label").materialize()
+    assert model.count() == 256
+    out = isotonic_apply(ds, model, key_col="key",
+                         score_col="score").materialize()
+    assert out.count() == n
+    return model
+
+
 EXTRA_SET = {
     "route_grid_90k": _extra_route_grid,
     "lpa_communities_400k": _extra_community,
     "itemsets_2m": _extra_itemsets,
     "k_center_coreset_300k": _extra_k_center,
+    "isotonic_calibrate_4m": _extra_isotonic,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
     "hits_1m": _extra_hits,
