@@ -356,6 +356,41 @@ def _cmd_osm_tool(args) -> int:
     return 0
 
 
+def _cmd_fileinfo(args) -> int:
+    """osmium fileinfo --extended analog over any corpus input."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .stages.fileinfo import corpus_info, format_info
+    nodes, ways, rels = _load_corpus(args.input)
+    info = corpus_info(nodes, ways, rels)
+    print(f"File: {args.input}")
+    print(format_info(info))
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    """Streaming table format conversion."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .sources.tables import convert_table
+    cols = args.columns.split(",") if args.columns else None
+    convert_table(args.input, args.output, to=args.to, columns=cols)
+    print(f"wrote {args.to} to {args.output}")
+    return 0
+
+
 def _cmd_tag_stats(args) -> int:
     """taginfo-style tag frequency readout for one element kind."""
     import ray
@@ -889,6 +924,26 @@ def main(argv=None) -> int:
                     help="write (id, change) parquet here")
     dm.add_argument("--keep-unchanged", action="store_true")
     dm.set_defaults(fn=_cmd_diff)
+    fi = sub.add_parser(
+        "fileinfo",
+        help="corpus statistics (osmium fileinfo --extended analog): "
+             "counts, id ranges, bbox, timestamps, tag volume, "
+             "distinct-user estimate")
+    fi.add_argument("input", help="OSM XML / .pbf file or parquet "
+                                  "corpus dir")
+    fi.set_defaults(fn=_cmd_fileinfo)
+    cv = sub.add_parser(
+        "convert",
+        help="convert a columnar table between parquet/jsonl/csv "
+             "(streaming, optional column pruning)")
+    cv.add_argument("input", help="table path (parquet dir/file, "
+                                  ".jsonl, .csv)")
+    cv.add_argument("output", help="output directory")
+    cv.add_argument("--to", required=True,
+                    choices=["parquet", "jsonl", "csv"])
+    cv.add_argument("--columns", default=None,
+                    help="comma-separated column projection")
+    cv.set_defaults(fn=_cmd_convert)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -75,3 +75,64 @@ def write_jsonl(ds, out_dir: str, **kwargs):
     `write_parquet` — resumable, never one giant file)."""
     ds.write_json(out_dir, **kwargs)
     return out_dir
+
+
+def read_csv_table(path, columns: list[str] | None = None, **kwargs):
+    """CSV source (`ray.data.read_csv` streams pyarrow CSV blocks).
+    Like JSONL, CSV is row-major — the projection happens after
+    parse, but prune anyway so only the needed columns transit."""
+    ds = rd.read_csv(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return strip_schema_metadata(ds)
+
+
+_CSV_BAD = (pa.types.is_binary, pa.types.is_large_binary,
+            pa.types.is_list, pa.types.is_large_list,
+            pa.types.is_map, pa.types.is_struct)
+
+
+def write_csv_table(ds, out_dir: str, **kwargs):
+    """CSV sink. RAISES on binary/nested columns — CSV cannot carry
+    them faithfully; convert those tables to parquet/jsonl instead."""
+    schema = ds.schema()
+    for name, typ in zip(schema.names, schema.types):
+        if any(bad(typ) for bad in _CSV_BAD):
+            raise ValueError(
+                f"column {name!r} has non-CSV-representable type "
+                f"{typ}; use parquet or jsonl for this table")
+    ds.write_csv(out_dir, **kwargs)
+    return out_dir
+
+
+_FORMATS = ("parquet", "jsonl", "csv")
+
+
+def convert_table(in_path: str, out_dir: str, *, to: str,
+                  columns: list[str] | None = None):
+    """Format converter (the `osmium cat` analog for columnar
+    tables): parquet/jsonl/csv in -> parquet/jsonl/csv out, streaming
+    block-by-block with optional column pruning at the read."""
+    if to not in _FORMATS:
+        raise ValueError(f"unknown output format {to!r}; "
+                         f"expected one of {_FORMATS}")
+    probe = in_path
+    if os.path.isdir(in_path):
+        names = sorted(f for f in os.listdir(in_path)
+                       if not f.startswith("."))
+        if names:
+            probe = names[0]
+    if probe.endswith((".csv", ".csv.gz")):
+        ds = read_csv_table(in_path, columns=columns)
+    elif probe.endswith((".jsonl", ".json", ".jsonl.gz",
+                         ".json.gz")):
+        ds = read_jsonl(in_path, columns=columns)
+    else:
+        ds = read_table(in_path, columns=columns)
+    if to == "parquet":
+        ds.write_parquet(out_dir)
+    elif to == "jsonl":
+        write_jsonl(ds, out_dir)
+    else:
+        write_csv_table(ds, out_dir)
+    return out_dir
