@@ -3300,6 +3300,32 @@ def _extra_k_center(sf_dir: str):
     return out
 
 
+def _extra_sketch_by_key(sf_dir: str):
+    """Per-key HLL distinct + KLL quantiles over 8M rows / 1024
+    keys: fixed-size register blobs through one bucketed fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.sketch_by_key import (
+        approx_distinct_by_key, approx_quantiles_by_key)
+
+    rng = np.random.default_rng(43)
+    n = 8_000_000
+    key = rng.integers(0, 1024, n).astype(np.int64)
+    val = rng.integers(0, 200_000, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(key), "v": pa.array(val)})).repartition(64)
+    d = approx_distinct_by_key(ds, key_col="k",
+                               value_col="v").materialize()
+    assert d.count() == 1024
+    q = approx_quantiles_by_key(
+        ds, key_col="k", value_col="v",
+        qs=[0.5, 0.99]).materialize()
+    assert q.count() == 1024
+    return d
+
+
 def _extra_isotonic(sf_dir: str):
     """Per-key isotonic calibration over 4M rows / 256 keys
     (quantized scores), then broadcast apply back onto the rows."""
@@ -3333,6 +3359,7 @@ EXTRA_SET = {
     "itemsets_2m": _extra_itemsets,
     "k_center_coreset_300k": _extra_k_center,
     "isotonic_calibrate_4m": _extra_isotonic,
+    "sketch_by_key_8m": _extra_sketch_by_key,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
     "hits_1m": _extra_hits,
