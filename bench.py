@@ -3300,6 +3300,86 @@ def _extra_k_center(sf_dir: str):
     return out
 
 
+def _extra_cut_incremental(sf_dir: str):
+    """Incremental cut maintenance over a 1M-node / 200k-way corpus:
+    one full state build, then THREE successive 1.5k-element diffs
+    applied incrementally (each a driver PIP on touched rows + one
+    zero-shuffle way-ref probe scan — no full PIP, no groupby)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.geometry.polygon import PolygonIndex
+    from osm_cut_ray.pipelines.cut_incremental import (
+        apply_osc_to_cut, build_cut_state)
+    from osm_cut_ray.sources.osm_change import apply_change
+
+    rng = np.random.default_rng(3)
+    n, m = 1_000_000, 200_000
+    nid = np.arange(1, n + 1, dtype=np.int64)
+    nodes = pa.table({"id": nid,
+                      "lon": rng.uniform(-2, 12, n),
+                      "lat": rng.uniform(-2, 12, n)})
+    refs = rng.integers(1, n + 1, (m, 4)).astype(np.int64)
+    offs = pa.array(np.arange(0, (m + 1) * 4, 4, dtype=np.int32))
+    ways = pa.table({
+        "id": pa.array(np.arange(1, m + 1, dtype=np.int64)),
+        "node_ids": pa.ListArray.from_arrays(
+            offs, pa.array(refs.ravel()))})
+    mem = pa.array(
+        [[{"type": "way", "ref": int(w), "role": ""}]
+         for w in rng.integers(1, m + 1, 50)],
+        pa.list_(pa.struct([("type", pa.large_string()),
+                            ("ref", pa.int64()),
+                            ("role", pa.large_string())])))
+    rels = pa.table({
+        "id": pa.array(np.arange(1, 51, dtype=np.int64)),
+        "members": mem})
+    poly = PolygonIndex.compile(
+        [("include", [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0),
+                      (2.0, 8.0)])])
+    nodes_ds = rd.from_arrow(nodes).repartition(32)
+    ways_ds = rd.from_arrow(ways).repartition(32)
+    rels_ds = rd.from_arrow(rels)
+    state, _ = build_cut_state(nodes_ds, ways_ds, rels_ds, poly)
+
+    node_chg_schema = pa.schema([
+        ("id", pa.int64()), ("lon", pa.float64()),
+        ("lat", pa.float64()), ("op", pa.large_string()),
+        ("seq", pa.int64())])
+    for rnd in range(3):
+        k = 1500
+        ids = rng.choice(nid, k, replace=False)
+        chg_nodes = pa.table({
+            "id": pa.array(ids),
+            "lon": pa.array(rng.uniform(-2, 12, k)),
+            "lat": pa.array(rng.uniform(-2, 12, k)),
+            "op": pa.array(["modify"] * k, pa.large_string()),
+            "seq": pa.array(np.arange(k, dtype=np.int64))},
+            schema=node_chg_schema)
+        change = {
+            "node": chg_nodes,
+            "way": pa.schema([
+                ("id", pa.int64()),
+                ("node_ids", pa.list_(pa.int64())),
+                ("op", pa.large_string()),
+                ("seq", pa.int64())]).empty_table(),
+            "relation": pa.schema([
+                ("id", pa.int64()),
+                ("members", mem.type),
+                ("op", pa.large_string()),
+                ("seq", pa.int64())]).empty_table()}
+        old_ways_ds = ways_ds
+        new_nodes_ds = apply_change(nodes_ds, chg_nodes) \
+            .materialize()
+        state, delta, _ = apply_osc_to_cut(
+            new_nodes_ds, ways_ds, rels_ds, old_ways_ds, change,
+            poly, state, emit_result=False)
+        nodes_ds = new_nodes_ds
+        assert len(state.inside_ids) > 0
+    return state.way_ids
+
+
 def _extra_sketch_by_key(sf_dir: str):
     """Per-key HLL distinct + KLL quantiles over 8M rows / 1024
     keys: fixed-size register blobs through one bucketed fold."""
@@ -3360,6 +3440,7 @@ EXTRA_SET = {
     "k_center_coreset_300k": _extra_k_center,
     "isotonic_calibrate_4m": _extra_isotonic,
     "sketch_by_key_8m": _extra_sketch_by_key,
+    "incremental_cut_1m": _extra_cut_incremental,
     "triangle_stats_1m": _extra_triangle_stats,
     "kcore_1m": _extra_kcore,
     "hits_1m": _extra_hits,
