@@ -356,6 +356,68 @@ def _cmd_osm_tool(args) -> int:
     return 0
 
 
+def _cmd_cut_update(args) -> int:
+    """Incremental extract maintenance: corpus + .osc -> updated cut
+    output, reusing the persisted CutState when present (first run
+    builds it)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .geometry.polygon import PolygonIndex, load_polygon_rings
+    from .pipelines.cut_incremental import (apply_osc_to_cut,
+                                            build_cut_state,
+                                            has_state, load_state,
+                                            save_state)
+    from .sources.osm_change import apply_osc, parse_osc_xml
+    from .sources.sink import SINK_REGISTRY, write_cut_result
+
+    if args.polygon.startswith("bbox:"):
+        x0, y0, x1, y1 = (float(v) for v in
+                          args.polygon[5:].split(","))
+        poly = PolygonIndex.compile([("include", [
+            (x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])])
+    else:
+        poly = PolygonIndex.compile(load_polygon_rings(args.polygon))
+
+    nodes, ways, rels = _load_corpus(args.input)
+    change = parse_osc_xml(args.change)
+    new_nodes, new_ways, new_rels = apply_osc(
+        nodes, ways, rels, args.change)
+    # id order matches apply-change's sorted-XML contract, so the
+    # emitted extract is byte-identical to a full re-cut of it
+    new_nodes = new_nodes.sort("id").materialize()
+    new_ways = new_ways.sort("id").materialize()
+    new_rels = new_rels.sort("id").materialize()
+
+    if has_state(args.state_dir):
+        state = load_state(args.state_dir)
+        state, delta, res = apply_osc_to_cut(
+            new_nodes, new_ways, new_rels, ways, change, poly,
+            state)
+        print(f"incremental: +{len(delta['nodes_added'])} "
+              f"-{len(delta['nodes_removed'])} nodes, "
+              f"+{len(delta['ways_added'])} "
+              f"-{len(delta['ways_removed'])} ways",
+              file=sys.stderr)
+    else:
+        state, res = build_cut_state(new_nodes, new_ways, new_rels,
+                                     poly)
+        print("no prior state: full build", file=sys.stderr)
+    save_state(state, args.state_dir)
+
+    sink = SINK_REGISTRY[args.format](args.output)
+    counts = write_cut_result(res, sink)
+    print(f"wrote {args.format} to {args.output} "
+          f"(nodes={counts['node']}, ways={counts['way']}, "
+          f"relations={counts['relation']})")
+    return 0
+
+
 def _cmd_fileinfo(args) -> int:
     """osmium fileinfo --extended analog over any corpus input."""
     import ray
@@ -924,6 +986,22 @@ def main(argv=None) -> int:
                     help="write (id, change) parquet here")
     dm.add_argument("--keep-unchanged", action="store_true")
     dm.set_defaults(fn=_cmd_diff)
+    cs = sub.add_parser(
+        "cut-update",
+        help="incremental extract maintenance: corpus + .osc diff "
+             "-> updated cut, reusing persisted state (complete "
+             "mode)")
+    cs.add_argument("input", help="PRE-diff corpus (xml/.pbf/"
+                                  "parquet dir)")
+    cs.add_argument("change", help=".osc change file")
+    cs.add_argument("polygon", help=".poly/.geojson file or "
+                                    "bbox:l,b,r,t")
+    cs.add_argument("output")
+    cs.add_argument("--state-dir", required=True,
+                    help="CutState directory (created on first run)")
+    cs.add_argument("--format", default="xml",
+                    choices=["xml", "parquet"])
+    cs.set_defaults(fn=_cmd_cut_update)
     fi = sub.add_parser(
         "fileinfo",
         help="corpus statistics (osmium fileinfo --extended analog): "

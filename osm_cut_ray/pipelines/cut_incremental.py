@@ -62,6 +62,46 @@ class CutState:
         return np.union1d(self.inside_ids, self.ref_ids)
 
 
+def save_state(state: CutState, out_dir: str) -> str:
+    """Persist the maintained state (4 small parquet files — the
+    arrays are broadcast-scale by construction)."""
+    import os
+
+    import pyarrow.parquet as pq
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array(state.inside_ids)}),
+                   os.path.join(out_dir, "inside.parquet"))
+    pq.write_table(pa.table({"id": pa.array(state.way_ids)}),
+                   os.path.join(out_dir, "ways.parquet"))
+    pq.write_table(pa.table({"id": pa.array(state.ref_ids),
+                             "cnt": pa.array(state.ref_cnt)}),
+                   os.path.join(out_dir, "refs.parquet"))
+    pq.write_table(pa.table({"id": pa.array(state.rel_ids)}),
+                   os.path.join(out_dir, "rels.parquet"))
+    return out_dir
+
+
+def load_state(in_dir: str) -> CutState:
+    import os
+
+    import pyarrow.parquet as pq
+
+    def col(name, c="id"):
+        return pq.read_table(os.path.join(in_dir, name))[c] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    return CutState(inside_ids=col("inside.parquet"),
+                    way_ids=col("ways.parquet"),
+                    ref_ids=col("refs.parquet"),
+                    ref_cnt=col("refs.parquet", "cnt"),
+                    rel_ids=col("rels.parquet"))
+
+
+def has_state(in_dir: str) -> bool:
+    import os
+    return os.path.exists(os.path.join(in_dir, "refs.parquet"))
+
+
 def _safe_winners(tbl: pa.Table):
     """`_winners` with the zero-row guard (apply_change guards at
     its own call site)."""
