@@ -543,6 +543,49 @@ def _extra_semdedup(sf_dir: str):
     return kept
 
 
+def _extra_knn_join(sf_dir: str):
+    """IVF kNN join: 20k anchors x 200k corpus, 32-d clustered
+    embeddings (64 directions + noise, the semdedup synth family),
+    k=5, nprobe=4 — one cell-bucket shuffle + one anchor-bucket
+    top-k fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.knn_join import knn_join_ivf
+
+    M1 = np.uint64(0x9E3779B97F4A7C15)
+    M2 = np.uint64(0xBF58476D1CE4E5B9)
+    M3 = np.uint64(0x94D049BB133111EB)
+
+    def _mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        m = ((a.view(np.uint64)[:, None] * M1)
+             ^ (b.view(np.uint64)[None, :] * M2)) * M3
+        return (m >> np.uint64(40)).astype(np.float64) / float(1 << 24)
+
+    def synth(salt: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy(zero_copy_only=False)\
+                .astype(np.int64) + salt
+            d, kdir = 32, 64
+            dim = np.arange(d, dtype=np.int64)
+            base = (_mix(ids % kdir, dim) - 0.5) * 2.0
+            noise = (_mix(ids, dim + 777) - 0.5) * 0.6
+            v = (base + noise).astype(np.float32)
+            off = pa.array(np.arange(0, (len(ids) + 1) * d, d,
+                                     np.int32))
+            emb = pa.ListArray.from_arrays(off, pa.array(v.ravel()))
+            return pa.table({"vec_id": pa.array(ids),
+                             "embedding": emb})
+        return fn
+
+    b = rd.range(200_000, override_num_blocks=64)\
+        .map_batches(synth(0), batch_format="pyarrow")
+    a = rd.range(20_000, override_num_blocks=16)\
+        .map_batches(synth(1_000_000), batch_format="pyarrow")
+    return knn_join_ivf(a, b, k=5, n_centroids=64, nprobe=4)
+
+
 def _extra_bm25(sf_dir: str):
     """BM25 top-k over documents for a small query set: one corpus
     stats pass (query-term-filtered df partials), one map-side scoring
@@ -3471,6 +3514,7 @@ EXTRA_SET = {
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
     "semdedup_200k": _extra_semdedup,
+    "knn_join_ivf_200k": _extra_knn_join,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
