@@ -3243,6 +3243,19 @@ def _extra_route_sssp_distributed(sf_dir: str):
                             num_buckets=16, max_rounds=64)
 
 
+def _extra_dist_matrix(sf_dir: str):
+    """64-source OD distance matrix on the 10k-node grid — the
+    product-graph reduction onto sssp (64 x ~40k edges expand into
+    one driver Dijkstra; 640k result rows)."""
+    from osm_cut_ray.stages.dist_matrix import distance_matrix
+    from osm_cut_ray.stages.route import way_edges
+
+    nodes, ways = _synth_grid_road(100, 100)
+    edges = way_edges(ways, nodes).materialize()
+    sources = [i * 157 for i in range(64)]
+    return distance_matrix(edges, sources)
+
+
 def _extra_community(sf_dir: str):
     """Label-propagation communities + modularity over a 400k-node
     planted-partition graph (4k communities of 100, small-world
@@ -3510,6 +3523,7 @@ EXTRA_SET = {
     "asof_join_events": _extra_asof,
     "global_rank_lineitem": _extra_global_rank,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
+    "dist_matrix_64x10k": _extra_dist_matrix,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
