@@ -206,6 +206,43 @@ def _extra_image_resize(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def _extra_vad(sf_dir: str):
+    """Energy VAD + silence stripping over 20k half-second clips
+    (keyed burst patterns over a noise floor): one decode pass,
+    zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.sources.media import encode_audio_from_pcm
+    from osm_cut_ray.stages.vad import strip_silence
+
+    SR, N = 8000, 4000
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = []
+        tt = np.arange(N) / SR
+        for key in ids.tolist():
+            rng = np.random.RandomState(key & 0x7FFFFFFF)
+            x = rng.randn(N) * 1e-3
+            # 1-3 keyed bursts with jittered boundaries
+            for b in range(1 + key % 3):
+                s0 = ((key * 131 + b * 977) % 350) / 1000.0
+                s1 = s0 + 0.06 + ((key * 17 + b) % 80) / 1000.0
+                m = (tt >= s0) & (tt < s1)
+                f = 300.0 + (key % 23) * 20.0
+                x[m] += 0.4 * np.sin(2 * np.pi * f * tt[m])
+            pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+            bufs.append(encode_audio_from_pcm(pcm, SR))
+        return pa.table({"audio_id": pa.array(ids),
+                         "audio": pa.array(bufs, pa.large_binary())})
+
+    clips = rd.range(20_000, override_num_blocks=64)\
+        .map_batches(synth, batch_format="pyarrow")
+    return strip_silence(clips)
+
+
 def _extra_image_filter(sf_dir: str):
     """Filter throughput: 50k mixed-size images through equalize +
     Sobel-magnitude stages back to back (decode -> stacked kernel ->
@@ -3568,6 +3605,7 @@ EXTRA_SET = {
     "video_dedup_30k": _extra_video_dedup,
     "video_scenes_20k": _extra_video_scenes,
     "audio_fp_dedup_4k": _extra_audio_fp,
+    "vad_strip_20k": _extra_vad,
     "image_filter_50k": _extra_image_filter,
     "saliency_crop_50k": _extra_saliency_crop,
     "dbscan_points_500k": _extra_dbscan,

@@ -90,6 +90,15 @@ def encode_audio(key: int, sr: int = 8000, n: int = 4000) -> bytes:
     return head + zlib.compress(pcm.tobytes(), 1)
 
 
+def encode_audio_from_pcm(pcm: np.ndarray, sr: int = 8000) -> bytes:
+    """int16 waveform -> the deterministic container (round-trips
+    through `decode_audio` byte-exactly)."""
+    pcm = np.asarray(pcm, np.int16)
+    head = _AUD_MAGIC + int(sr).to_bytes(4, "little") \
+        + len(pcm).to_bytes(4, "little")
+    return head + zlib.compress(pcm.tobytes(), 1)
+
+
 def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
     if buf[:4] != _AUD_MAGIC:
         raise NotImplementedError("unknown audio container")
