@@ -580,16 +580,12 @@ def _extra_semdedup(sf_dir: str):
     return kept
 
 
-def _extra_knn_join(sf_dir: str):
-    """IVF kNN join: 20k anchors x 200k corpus, 32-d clustered
-    embeddings (64 directions + noise, the semdedup synth family),
-    k=5, nprobe=4 — one cell-bucket shuffle + one anchor-bucket
-    top-k fold."""
+def _knn_join_synths():
+    """-> synth(salt) factory: 32-d clustered embeddings (64
+    directions + noise, the semdedup synth family), shared by the
+    knn_join and OT extras."""
     import numpy as np
     import pyarrow as pa
-    import ray.data as rd
-
-    from osm_cut_ray.stages.knn_join import knn_join_ivf
 
     M1 = np.uint64(0x9E3779B97F4A7C15)
     M2 = np.uint64(0xBF58476D1CE4E5B9)
@@ -616,11 +612,43 @@ def _extra_knn_join(sf_dir: str):
                              "embedding": emb})
         return fn
 
+    return synth
+
+
+def _extra_knn_join(sf_dir: str):
+    """IVF kNN join: 20k anchors x 200k corpus, k=5, nprobe=4 — one
+    cell-bucket shuffle + one anchor-bucket top-k fold."""
+    import ray.data as rd
+
+    from osm_cut_ray.stages.knn_join import knn_join_ivf
+
+    synth = _knn_join_synths()
     b = rd.range(200_000, override_num_blocks=64)\
         .map_batches(synth(0), batch_format="pyarrow")
     a = rd.range(20_000, override_num_blocks=16)\
         .map_batches(synth(1_000_000), batch_format="pyarrow")
     return knn_join_ivf(a, b, k=5, n_centroids=64, nprobe=4)
+
+
+def _extra_ot_sinkhorn(sf_dir: str):
+    """Sinkhorn OT distance between two 200k-vector corpora (the
+    knn_join synth family with shifted direction mix): shared
+    codebook + two zero-shuffle histogram passes + driver k x k
+    iteration."""
+    import pyarrow as pa
+
+    from osm_cut_ray.stages.ot import sinkhorn_distance
+
+    import ray.data as rd
+
+    synth = _knn_join_synths()
+    a = rd.range(200_000, override_num_blocks=64)\
+        .map_batches(synth(0), batch_format="pyarrow")
+    b = rd.range(200_000, override_num_blocks=64)\
+        .map_batches(synth(3_000_000), batch_format="pyarrow")
+    res = sinkhorn_distance(a, b, n_centroids=64, reg=0.1)
+    assert res["distance"] >= 0.0
+    return pa.table({"distance": [res["distance"]]})
 
 
 def _extra_bm25(sf_dir: str):
@@ -3566,6 +3594,7 @@ EXTRA_SET = {
     "bpe_fit_encode_docs": _extra_bpe,
     "semdedup_200k": _extra_semdedup,
     "knn_join_ivf_200k": _extra_knn_join,
+    "ot_sinkhorn_400k": _extra_ot_sinkhorn,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
