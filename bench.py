@@ -630,6 +630,39 @@ def _extra_knn_join(sf_dir: str):
     return knn_join_ivf(a, b, k=5, n_centroids=64, nprobe=4)
 
 
+def _extra_validate(sf_dir: str):
+    """Constraint audit over lineitem (+ orders FK): 6 block-local
+    checks in one zero-shuffle pass, a distinct, and one bucketed
+    anti-join."""
+    import os
+
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.validate_table import validate_table
+
+    li = strip_schema_metadata(rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity",
+                 "l_returnflag", "l_shipdate"]))
+    orders = strip_schema_metadata(rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"]))
+    rep = validate_table(li, [
+        {"kind": "not_null", "column": "l_orderkey"},
+        {"kind": "not_null", "column": "l_partkey"},
+        {"kind": "range", "column": "l_quantity", "min": 0.0,
+         "max": 100.0},
+        {"kind": "in_set", "column": "l_returnflag",
+         "values": ["A", "N", "R"]},
+        {"kind": "dtype", "column": "l_orderkey", "type": "int64"},
+        {"kind": "ref_integrity", "column": "l_orderkey",
+         "ref": "orders", "ref_column": "o_orderkey"},
+    ], ref_tables={"orders": orders})
+    assert rep.num_rows == 6
+    return rep
+
+
 def _extra_ot_sinkhorn(sf_dir: str):
     """Sinkhorn OT distance between two 200k-vector corpora (the
     knn_join synth family with shifted direction mix): shared
@@ -3595,6 +3628,7 @@ EXTRA_SET = {
     "semdedup_200k": _extra_semdedup,
     "knn_join_ivf_200k": _extra_knn_join,
     "ot_sinkhorn_400k": _extra_ot_sinkhorn,
+    "validate_lineitem": _extra_validate,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
