@@ -61,23 +61,38 @@ def explode(ds, id_cols: list[str], list_col: str, value_col: str = "value",
 
 # --------------------------------------------------------------- distinct
 
-def distinct(ds, cols: list[str]):
-    """Exact distinct = pre-dedup per batch, then ONE shuffle aggregate.
+def distinct(ds, cols: list[str], num_buckets: int | None = None):
+    """Exact distinct = pre-dedup per batch, then ONE hash-bucket
+    shuffle with an exact Arrow dedup per bucket.
 
     The per-batch combiner shrinks the shuffle input (A2:
-    src/osm_process_complete.erl:218-227 dedups refs in a gb_set before
-    the replay join); the global step is a Count aggregate (dropped
-    after), which is one all-to-all with no per-group Python UDF —
-    much cheaper than sort + map_groups(head(1)).
-    """
-    from ray.data.aggregate import Count
-    slim = ds.select_columns(cols).map_batches(
-        lambda t: t.group_by(cols).aggregate([]), batch_format="pyarrow")
-    agg = slim.groupby(cols[0] if len(cols) == 1 else cols)\
-        .aggregate(Count(alias_name="__c"))
-    return agg.map_batches(
-        lambda t: t.drop_columns(["__c"]) if "__c" in t.column_names else t,
-        batch_format="pyarrow")
+    src/osm_process_complete.erl:218-227 dedups refs in a gb_set
+    before the replay join). The global step routes rows by a 64-bit
+    content hash of the key columns (`diff.row_content_hashes` —
+    routing only, collisions are harmless: equal rows always share a
+    bucket) and drops duplicates per bucket with Arrow group_by at C
+    speed. Sorting ~4x-cores bucket ids instead of every distinct
+    key measured 54x faster than the former groupby(key).aggregate
+    (Count) engine at 4M rows / 156k keys (round 5)."""
+    if num_buckets is None:
+        num_buckets = default_bucket_count()
+    from .diff import row_content_hashes
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.group_by(cols).aggregate([])  # map-side combiner
+        h = row_content_hashes(t, cols).view(np.uint64)
+        b = ((h * np.uint64(0x9E3779B97F4A7C15))
+             % np.uint64(num_buckets)).view(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__bucket"]).group_by(cols)\
+            .aggregate([])
+
+    return ds.select_columns(cols)\
+        .map_batches(tag, batch_format="pyarrow")\
+        .groupby("__bucket")\
+        .map_groups(per_bucket, batch_format="pyarrow")
 
 
 # ----------------------------------------------------- broadcast id joins
