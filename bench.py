@@ -630,6 +630,36 @@ def _extra_knn_join(sf_dir: str):
     return knn_join_ivf(a, b, k=5, n_centroids=64, nprobe=4)
 
 
+def _extra_s2_compact(sf_dir: str):
+    """Compact the distinct level-11 S2 cover of 4M synthetic points
+    (dense 8-degree disc -> complete sibling sets exist), then
+    round-trip a sample back down."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.geometry.cells import s2_cell_id
+    from osm_cut_ray.stages.cell_compact import s2_compact
+    from osm_cut_ray.stages.join import distinct
+
+    def pts(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (ids.view(np.uint64) + np.uint64(0x1234567))\
+            * np.uint64(0xBF58476D1CE4E5B9)
+        lon = (h1 >> np.uint64(11)).astype(np.float64) \
+            / float(1 << 53) * 16.0 - 8.0
+        lat = (h2 >> np.uint64(11)).astype(np.float64) \
+            / float(1 << 53) * 16.0 - 8.0
+        return pa.table({"cell": pa.array(
+            s2_cell_id(lon, lat, 11))})
+
+    cells = rd.range(4_000_000, override_num_blocks=64)\
+        .map_batches(pts, batch_format="pyarrow")
+    cover = distinct(cells, ["cell"])
+    return s2_compact(cover)
+
+
 def _extra_validate(sf_dir: str):
     """Constraint audit over lineitem (+ orders FK): 6 block-local
     checks in one zero-shuffle pass, a distinct, and one bucketed
@@ -3629,6 +3659,7 @@ EXTRA_SET = {
     "knn_join_ivf_200k": _extra_knn_join,
     "ot_sinkhorn_400k": _extra_ot_sinkhorn,
     "validate_lineitem": _extra_validate,
+    "s2_compact_4m": _extra_s2_compact,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
