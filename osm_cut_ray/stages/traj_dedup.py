@@ -229,11 +229,8 @@ def _lsh_verified_pairs(points_ds, *, threshold: float, metric,
     # collides in up to n_bands band keys (different buckets), and
     # each duplicate costs an O(n*m) DP — one small shuffle removes
     # the n_bands-x verify amplification
-    import ray.data
-    cand = cand.groupby(["a_id", "b_id"]).aggregate(
-        ray.data.aggregate.Count(alias_name="__n")) \
-        .map_batches(lambda t: t.select(["a_id", "b_id"]),
-                     batch_format="pyarrow").materialize()
+    from .join import distinct
+    cand = distinct(cand, ["a_id", "b_id"]).materialize()
     polys = trajectory_polylines(points_ds, traj_col=traj_col,
                                  ts_col=ts_col, x_col=x_col,
                                  y_col=y_col).materialize()

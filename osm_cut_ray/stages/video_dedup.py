@@ -159,11 +159,8 @@ def video_dup_pairs(videos_ds, *, sim_threshold: float = 0.8,
               f"max_df={max_df} dropped (raise max_df to include)")
     if cand.count() == 0:
         return empty
-    import ray.data
-    cand = cand.groupby(["a_id", "b_id"]).aggregate(
-        ray.data.aggregate.Count(alias_name="__n")) \
-        .map_batches(lambda t: t.select(["a_id", "b_id"]),
-                     batch_format="pyarrow").materialize()
+    from .join import distinct
+    cand = distinct(cand, ["a_id", "b_id"]).materialize()
 
     def _ren(col):
         return seqs.map_batches(
