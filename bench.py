@@ -660,6 +660,33 @@ def _extra_s2_compact(sf_dir: str):
     return s2_compact(cover)
 
 
+def _extra_jl_project(sf_dir: str):
+    """JL projection 2M x 128-d -> 32-d: exact int64 matmul, one map
+    pass, zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.project import project_embeddings
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = 128
+        h = (ids.view(np.uint64)[:, None]
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ np.arange(d, dtype=np.uint64)[None, :]
+             * np.uint64(0xBF58476D1CE4E5B9))
+        v = ((h >> np.uint64(40)).astype(np.float64)
+             / float(1 << 24) - 0.5).astype(np.float64)
+        off = pa.array(np.arange(0, (len(ids) + 1) * d, d, np.int32))
+        emb = pa.ListArray.from_arrays(off, pa.array(v.ravel()))
+        return pa.table({"vec_id": pa.array(ids), "embedding": emb})
+
+    ds = rd.range(2_000_000, override_num_blocks=64)\
+        .map_batches(synth, batch_format="pyarrow")
+    return project_embeddings(ds, 32, seed=11)
+
+
 def _extra_validate(sf_dir: str):
     """Constraint audit over lineitem (+ orders FK): 6 block-local
     checks in one zero-shuffle pass, a distinct, and one bucketed
@@ -3660,6 +3687,7 @@ EXTRA_SET = {
     "ot_sinkhorn_400k": _extra_ot_sinkhorn,
     "validate_lineitem": _extra_validate,
     "s2_compact_4m": _extra_s2_compact,
+    "jl_project_2m": _extra_jl_project,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
