@@ -3411,6 +3411,35 @@ def _extra_dist_matrix(sf_dir: str):
     return distance_matrix(edges, sources)
 
 
+def _extra_scc(sf_dir: str):
+    """SCC labels + condensation DAG over a 300k-node / 1M-edge
+    random digraph (giant SCC regime): driver Tarjan under the edge
+    cap, condense fully distributed (two bucketed attaches + one
+    bucketed distinct)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.scc import condense, scc
+
+    N = 300_000
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (ids.view(np.uint64) + np.uint64(7)) \
+            * np.uint64(0xBF58476D1CE4E5B9)
+        src = (h1 >> np.uint64(20)).astype(np.int64) % N
+        dst = (h2 >> np.uint64(20)).astype(np.int64) % N
+        return pa.table({"src": src, "dst": dst})
+
+    edges = rd.range(1_000_000, override_num_blocks=32)\
+        .map_batches(synth, batch_format="pyarrow").materialize()
+    labels = scc(edges).materialize()
+    assert labels.count() > 0
+    return condense(edges, labels)
+
+
 def _extra_community(sf_dir: str):
     """Label-propagation communities + modularity over a 400k-node
     planted-partition graph (4k communities of 100, small-world
@@ -3679,6 +3708,7 @@ EXTRA_SET = {
     "global_rank_lineitem": _extra_global_rank,
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "dist_matrix_64x10k": _extra_dist_matrix,
+    "scc_condense_1m": _extra_scc,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
