@@ -3411,6 +3411,29 @@ def _extra_dist_matrix(sf_dir: str):
     return distance_matrix(edges, sources)
 
 
+def _extra_alt(sf_dir: str):
+    """ALT prepare (8 landmarks via farthest-point + 2 distance
+    matrices) on the 10k-node grid, then 100 exact point-to-point
+    queries."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.stages.alt_route import alt_prepare
+    from osm_cut_ray.stages.route import way_edges
+
+    nodes, ways = _synth_grid_road(100, 100)
+    edges = way_edges(ways, nodes).materialize()
+    idx = alt_prepare(edges, k_landmarks=8)
+    rng_ids = idx.nodes
+    tot = 0
+    for i in range(100):
+        s = int(rng_ids[(i * 131) % len(rng_ids)])
+        t = int(rng_ids[(i * 977 + 41) % len(rng_ids)])
+        d = idx.query(s, t)
+        tot += 0 if d is None else d
+    return pa.table({"total_cm": [tot]})
+
+
 def _extra_scc(sf_dir: str):
     """SCC labels + condensation DAG over a 300k-node / 1M-edge
     random digraph (giant SCC regime): driver Tarjan under the edge
@@ -3709,6 +3732,7 @@ EXTRA_SET = {
     "route_sssp_dist_10k": _extra_route_sssp_distributed,
     "dist_matrix_64x10k": _extra_dist_matrix,
     "scc_condense_1m": _extra_scc,
+    "alt_queries_10k": _extra_alt,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
