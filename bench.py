@@ -660,6 +660,22 @@ def _extra_s2_compact(sf_dir: str):
     return s2_compact(cover)
 
 
+def _extra_pseudonymize(sf_dir: str):
+    """Keyed pseudonymization of lineitem's order/part keys (one
+    blake2b per unique value per batch, zero shuffles)."""
+    import os
+
+    import ray.data as rd
+
+    from osm_cut_ray.sources.tables import strip_schema_metadata
+    from osm_cut_ray.stages.pseudonymize import pseudonymize
+
+    li = strip_schema_metadata(rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"]))
+    return pseudonymize(li, ["l_orderkey", "l_partkey"], "bench-key")
+
+
 def _extra_jl_project(sf_dir: str):
     """JL projection 2M x 128-d -> 32-d: exact int64 matmul, one map
     pass, zero shuffles."""
@@ -3742,6 +3758,7 @@ EXTRA_SET = {
     "validate_lineitem": _extra_validate,
     "s2_compact_4m": _extra_s2_compact,
     "jl_project_2m": _extra_jl_project,
+    "pseudonymize_lineitem": _extra_pseudonymize,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
