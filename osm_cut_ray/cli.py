@@ -436,6 +436,26 @@ def _cmd_fileinfo(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    """Small-file parquet compaction (optionally key-sorted)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .sources.tables import compact_table
+    cols = args.columns.split(",") if args.columns else None
+    res = compact_table(args.input, args.output,
+                        target_rows_per_file=args.target_rows,
+                        sort_by=args.sort_by, columns=cols)
+    print(f"compacted {res['rows']} rows into {res['files']} "
+          f"file(s) at {res['out_dir']}")
+    return 0
+
+
 def _cmd_convert(args) -> int:
     """Streaming table format conversion."""
     import ray
@@ -1022,6 +1042,19 @@ def main(argv=None) -> int:
     cv.add_argument("--columns", default=None,
                     help="comma-separated column projection")
     cv.set_defaults(fn=_cmd_convert)
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite a parquet table as right-sized files "
+             "(optionally globally key-sorted for row-group pruning)")
+    cp.add_argument("input", help="parquet file or directory")
+    cp.add_argument("output", help="output directory")
+    cp.add_argument("--target-rows", type=int, default=1_000_000,
+                    help="rows per output file (default 1M)")
+    cp.add_argument("--sort-by", default=None,
+                    help="column to globally sort by before writing")
+    cp.add_argument("--columns", default=None,
+                    help="comma-separated column projection")
+    cp.set_defaults(fn=_cmd_compact)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -108,6 +108,41 @@ def write_csv_table(ds, out_dir: str, **kwargs):
 _FORMATS = ("parquet", "jsonl", "csv")
 
 
+def compact_table(in_path: str, out_dir: str, *,
+                  target_rows_per_file: int = 1_000_000,
+                  sort_by: str | None = None,
+                  columns: list[str] | None = None) -> dict:
+    """Small-file compaction (the table-maintenance pass every
+    long-running ingest needs): rewrite a parquet file/directory as
+    ceil(rows / target_rows_per_file) right-sized files.
+
+    `sort_by` adds ONE global sort shuffle before the write so each
+    output file (and row group) covers a tight key range — that is
+    what makes `read_points_pruned`-style min/max row-group pruning
+    effective on later reads. Without it the rewrite is a pure
+    streaming repartition (zero shuffles).
+
+    -> {rows, files, out_dir}. Values are preserved exactly; only
+    layout changes."""
+    if target_rows_per_file <= 0:
+        raise ValueError("target_rows_per_file must be positive")
+    ds = read_table(in_path, columns=columns)
+    n = ds.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    if sort_by is not None:
+        if sort_by not in ds.schema().names:
+            raise ValueError(f"sort_by column {sort_by!r} not in "
+                             f"{ds.schema().names}")
+        ds = ds.sort(sort_by)
+    # materialize pins the block count — the streaming executor may
+    # otherwise re-block dynamically and write one giant file
+    ds = ds.repartition(n_files).materialize()
+    ds.write_parquet(out_dir)
+    import glob
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    return {"rows": int(n), "files": len(files), "out_dir": out_dir}
+
+
 def convert_table(in_path: str, out_dir: str, *, to: str,
                   columns: list[str] | None = None):
     """Format converter (the `osmium cat` analog for columnar
