@@ -3427,6 +3427,26 @@ def _extra_dist_matrix(sf_dir: str):
     return distance_matrix(edges, sources)
 
 
+def _extra_turns(sf_dir: str):
+    """Edge-expanded turn-restriction graph over the 10k-node grid
+    (one bucketed junction fold) + one restricted route query."""
+    from osm_cut_ray.stages.turns import (directed_segments,
+                                          restricted_distance,
+                                          turn_transitions)
+
+    nodes, ways = _synth_grid_road(100, 100)
+    segs = directed_segments(ways, nodes).materialize()
+    restrictions = [
+        {"kind": "no_left_turn", "only": False,
+         "from_way": 2 * i, "via_node": (i * 211) % 10_000,
+         "to_way": 2 * i + 1}
+        for i in range(200)]
+    trans = turn_transitions(segs, restrictions).materialize()
+    d = restricted_distance(segs, trans, 0, 9_999)
+    assert d is not None and d > 0
+    return trans
+
+
 def _extra_alt(sf_dir: str):
     """ALT prepare (8 landmarks via farthest-point + 2 distance
     matrices) on the 10k-node grid, then 100 exact point-to-point
@@ -3749,6 +3769,7 @@ EXTRA_SET = {
     "dist_matrix_64x10k": _extra_dist_matrix,
     "scc_condense_1m": _extra_scc,
     "alt_queries_10k": _extra_alt,
+    "turn_graph_10k": _extra_turns,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
