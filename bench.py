@@ -660,6 +660,32 @@ def _extra_s2_compact(sf_dir: str):
     return s2_compact(cover)
 
 
+def _extra_history(sf_dir: str):
+    """Snapshot-at over a 4M-row synthetic full-history table (1M
+    objects x 1-7 versions, int timestamps): one bucketed fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.history import snapshot_at
+
+    def synth(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oid = i % 1_000_000
+        ver = i // 1_000_000 + 1
+        keep = ver <= (oid % 7) + 1
+        ts = (oid * 13 + ver * 1000) % 100_000
+        return pa.table({
+            "id": oid[keep], "version": ver[keep],
+            "timestamp": ts[keep].astype(np.int64),
+            "visible": (oid[keep] + ver[keep]) % 11 != 0,
+            "val": (oid[keep] * 10 + ver[keep]).astype(np.int64)})
+
+    hist = rd.range(4_000_000, override_num_blocks=64)\
+        .map_batches(synth, batch_format="pyarrow")
+    return snapshot_at(hist, 90_000, visible_col="visible")
+
+
 def _extra_pseudonymize(sf_dir: str):
     """Keyed pseudonymization of lineitem's order/part keys (one
     blake2b per unique value per batch, zero shuffles)."""
@@ -3780,6 +3806,7 @@ EXTRA_SET = {
     "s2_compact_4m": _extra_s2_compact,
     "jl_project_2m": _extra_jl_project,
     "pseudonymize_lineitem": _extra_pseudonymize,
+    "history_snapshot_4m": _extra_history,
     "bm25_topk_docs": _extra_bm25,
     "dsir_select_docs": _extra_dsir,
     "bm25_indexed_2kq": _extra_bm25_indexed,
