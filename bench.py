@@ -3453,6 +3453,33 @@ def _extra_dist_matrix(sf_dir: str):
     return distance_matrix(edges, sources)
 
 
+def _extra_travel_time(sf_dir: str):
+    """Travel-time weights (tagged speed classes) + one time-space
+    SSSP over the 10k-node grid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.stages.route import sssp
+    from osm_cut_ray.stages.travel_time import travel_time_edges
+
+    nodes, ways = _synth_grid_road(100, 100)
+    classes = ["motorway", "primary", "residential", "service"]
+    tags_t = pa.map_(pa.large_string(), pa.large_string())
+
+    def add_tags(t: pa.Table) -> pa.Table:
+        wid = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tags = [[("highway", classes[int(w) % 4])] for w in wid]
+        return t.append_column("tags", pa.array(tags, tags_t))
+
+    tagged = ways.map_batches(add_tags, batch_format="pyarrow")
+    edges = travel_time_edges(
+        tagged, nodes,
+        class_speeds={"motorway": 120.0, "primary": 80.0,
+                      "residential": 30.0, "service": 15.0})\
+        .materialize()
+    return sssp(edges, [0])
+
+
 def _extra_turns(sf_dir: str):
     """Edge-expanded turn-restriction graph over the 10k-node grid
     (one bucketed junction fold) + one restricted route query."""
@@ -3796,6 +3823,7 @@ EXTRA_SET = {
     "scc_condense_1m": _extra_scc,
     "alt_queries_10k": _extra_alt,
     "turn_graph_10k": _extra_turns,
+    "travel_time_sssp_10k": _extra_travel_time,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
