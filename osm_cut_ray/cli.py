@@ -436,6 +436,31 @@ def _cmd_fileinfo(args) -> int:
     return 0
 
 
+def _cmd_check_refs(args) -> int:
+    """osmium check-refs analog: referential completeness audit."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .stages.osm_tools import check_refs
+    nodes, ways, rels = _load_corpus(args.input)
+    rep = check_refs(nodes, ways, rels,
+                     check_relations=not args.no_relations)
+    print(f"missing way node refs: {rep['missing_way_node_refs']} "
+          f"(in {rep['ways_affected']} way(s))")
+    for kind, n in rep["missing_member_refs"].items():
+        print(f"missing relation {kind} members: {n}")
+    for k, v in rep["samples"].items():
+        if v:
+            print(f"  sample {k}: {v}")
+    print("complete" if rep["complete"] else "INCOMPLETE")
+    return 0 if rep["complete"] else 1
+
+
 def _cmd_compact(args) -> int:
     """Small-file parquet compaction (optionally key-sorted)."""
     import ray
@@ -1055,6 +1080,15 @@ def main(argv=None) -> int:
     cp.add_argument("--columns", default=None,
                     help="comma-separated column projection")
     cp.set_defaults(fn=_cmd_compact)
+    cr = sub.add_parser(
+        "check-refs",
+        help="verify referential completeness (osmium check-refs): "
+             "way->node refs and relation member refs")
+    cr.add_argument("input", help="OSM XML / .pbf file or parquet "
+                                  "corpus dir")
+    cr.add_argument("--no-relations", action="store_true",
+                    help="skip relation member checks")
+    cr.set_defaults(fn=_cmd_check_refs)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -278,3 +278,91 @@ def renumber_corpus(nodes, ways, rels, *,
     return (nodes.map_batches(map_nodes, batch_format="pyarrow"),
             ways.map_batches(map_ways, batch_format="pyarrow"),
             rels.map_batches(map_rels, batch_format="pyarrow"))
+
+
+def check_refs(nodes, ways, rels, *, check_relations: bool = True,
+               num_buckets: int = 64, sample: int = 5) -> dict:
+    """`osmium check-refs` analog: verify referential completeness —
+    every way node ref resolves to a node, every relation member to
+    an object of its kind (relation members against the relation
+    table itself).
+
+    Fully distributed: slim (parent, ref) explodes + one bucketed
+    ANTI-join per kind (`join.bucketed_semi_join`); only counts and
+    id samples reach the driver. -> report dict:
+    {complete, missing_way_node_refs, ways_affected,
+     missing_member_refs: {kind: n}, samples: {...}}."""
+    import pyarrow.compute as pc
+
+    from .join import bucketed_semi_join, distinct
+
+    def node_ref_rows(t: pa.Table) -> pa.Table:
+        col = t["node_ids"].combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        wid = np.repeat(t["id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), lens)
+        return pa.table({"parent": wid, "ref": flat})
+
+    way_refs = ways.map_batches(node_ref_rows,
+                                batch_format="pyarrow").materialize()
+    node_ids = nodes.select_columns(["id"]).materialize()
+    dangling = bucketed_semi_join(way_refs, "ref", node_ids, "id",
+                                  num_buckets=num_buckets,
+                                  mode="anti").materialize()
+    n_dangling = dangling.count()
+    ways_affected = distinct(
+        dangling.select_columns(["parent"]), ["parent"]).count() \
+        if n_dangling else 0
+    samples = {"way_node_refs": sorted(
+        r["ref"] for r in dangling.take(sample))} \
+        if n_dangling else {"way_node_refs": []}
+
+    missing_members: dict[str, int] = {}
+    if check_relations:
+        def member_rows(kind: str):
+            def fn(t: pa.Table) -> pa.Table:
+                col = t["members"].combine_chunks()
+                flat = pc.list_flatten(col)
+                if len(flat) == 0:
+                    return pa.table({"parent": pa.array([], pa.int64()),
+                                     "ref": pa.array([], pa.int64())})
+                par = pc.list_parent_indices(col)\
+                    .to_numpy(zero_copy_only=False)
+                rid = t["id"].to_numpy(zero_copy_only=False)\
+                    .astype(np.int64)[par]
+                typ = flat.field("type").to_numpy(zero_copy_only=False)
+                ref = flat.field("ref").to_numpy(zero_copy_only=False)\
+                    .astype(np.int64)
+                sel = typ == kind
+                return pa.table({"parent": rid[sel], "ref": ref[sel]})
+            return fn
+
+        id_sides = {"node": node_ids,
+                    "way": ways.select_columns(["id"]).materialize(),
+                    "relation": rels.select_columns(["id"])
+                    .materialize()}
+        for kind, side in id_sides.items():
+            mrefs = rels.map_batches(member_rows(kind),
+                                     batch_format="pyarrow")\
+                .materialize()
+            if mrefs.count() == 0:
+                missing_members[kind] = 0
+                samples[f"member_{kind}"] = []
+                continue
+            miss = bucketed_semi_join(mrefs, "ref", side, "id",
+                                      num_buckets=num_buckets,
+                                      mode="anti").materialize()
+            missing_members[kind] = miss.count()
+            samples[f"member_{kind}"] = sorted(
+                r["ref"] for r in miss.take(sample)) \
+                if missing_members[kind] else []
+
+    total_missing = n_dangling + sum(missing_members.values())
+    return {"complete": total_missing == 0,
+            "missing_way_node_refs": int(n_dangling),
+            "ways_affected": int(ways_affected),
+            "missing_member_refs": missing_members,
+            "samples": samples}
