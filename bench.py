@@ -3453,6 +3453,29 @@ def _extra_dist_matrix(sf_dir: str):
     return distance_matrix(edges, sources)
 
 
+def _extra_geom_stats(sf_dir: str):
+    """Way lengths + road-km-by-class over the 20k-way grid (one
+    explode + one coordinate attach + one per-way fold)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_cut_ray.stages.geom_stats import length_by_tag
+
+    nodes, ways = _synth_grid_road(100, 100)
+    classes = ["motorway", "primary", "residential", "service"]
+    tags_t = pa.map_(pa.large_string(), pa.large_string())
+
+    def add_tags(t: pa.Table) -> pa.Table:
+        wid = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tags = [[("highway", classes[int(w) % 4])] for w in wid]
+        return t.append_column("tags", pa.array(tags, tags_t))
+
+    tagged = ways.map_batches(add_tags, batch_format="pyarrow")
+    rep = length_by_tag(tagged, nodes, "highway")
+    assert rep.num_rows == 4
+    return rep
+
+
 def _extra_travel_time(sf_dir: str):
     """Travel-time weights (tagged speed classes) + one time-space
     SSSP over the 10k-node grid."""
@@ -3824,6 +3847,7 @@ EXTRA_SET = {
     "alt_queries_10k": _extra_alt,
     "turn_graph_10k": _extra_turns,
     "travel_time_sssp_10k": _extra_travel_time,
+    "way_length_stats_20k": _extra_geom_stats,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
@@ -4128,6 +4152,17 @@ def run_scaling() -> dict:
                               str(hi_n): hi.get("host_capacity")},
         })
     best = max(pairs, key=lambda p: p["efficiency"])
+    # hardware ceiling: the SAME single-core matmul run lo_n-way and
+    # hi_n-way concurrently measures how much per-core capacity this
+    # host actually delivers as concurrency rises (all-core clocks +
+    # shared cache/bandwidth). Even a cache-resident, embarrassingly
+    # parallel matmul cannot scale past this ratio on one socket —
+    # it bounds ANY pipeline's lo->hi efficiency here, while on a
+    # real multi-node cluster (the criterion's regime) each node
+    # brings its own memory system.
+    hw_lo = _concurrent_gflops(lo_n)
+    hw_hi = _concurrent_gflops(hi_n)
+    hw_ceiling = round((hw_hi / hw_lo) / (hi_n / lo_n), 3)
     return {
         "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}",
         "value": best["efficiency"],
@@ -4136,11 +4171,38 @@ def run_scaling() -> dict:
         "headline_rows": lo["headline_rows"],
         "all_pairs": [p["efficiency"] for p in pairs],
         "pairs_raw": pairs,
+        "hw_ceiling": hw_ceiling,
+        "hw_gflops_total": {str(lo_n): round(hw_lo, 1),
+                            str(hi_n): round(hw_hi, 1)},
+        "efficiency_vs_hw_ceiling": round(
+            best["efficiency"] / hw_ceiling, 3) if hw_ceiling else None,
         "protocol": f"best of {n_pairs} interleaved fresh-process "
                     "pairs (host steal swings 2-3x run-to-run; see "
-                    "BASELINE.md)",
+                    "BASELINE.md); hw_ceiling = concurrent matmul "
+                    f"calibration at {lo_n}- vs {hi_n}-way",
         "sf": SF_DIR,
     }
+
+
+def _probe_worker(_):
+    import time as _t
+
+    import numpy as _np
+    a = _np.random.rand(512, 512)
+    b = _np.random.rand(512, 512)
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < 4.0:
+        a @ b
+        n += 1
+    return 2 * 512 ** 3 * n / (_t.time() - t0) / 1e9
+
+
+def _concurrent_gflops(workers: int) -> float:
+    """Total GFLOP/s of `workers` concurrent single-core matmuls."""
+    import multiprocessing as mp
+    with mp.Pool(workers) as pool:
+        return float(sum(pool.map(_probe_worker, range(workers))))
 
 
 def run_headline_only() -> dict:
