@@ -202,3 +202,57 @@ def s2_uncompact(cells_ds, level: int, *, col: str = "cell",
         return pa.table({col: np.concatenate(out)})
 
     return cells_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def _to_level(ds, level: int, col: str):
+    return s2_uncompact(ds, level, col=col)
+
+
+def cover_set_op(a_ds, b_ds, op: str, *, level: int,
+                 col: str = "cell", compact: bool = True,
+                 num_buckets: int | None = None):
+    """Set algebra on two (possibly multi-level) cell covers:
+    op = 'union' | 'intersect' | 'difference' (A \\ B). Both covers
+    are expanded to `level` (each cell to its descendants), combined
+    with ONE bucketed fold on the cell id, then re-compacted (the
+    boolean-ops shape for polygon covers at scale — geofence regions
+    compose without any geometry code).
+
+    `level` must be >= every input cell's level (s2_uncompact RAISES
+    otherwise)."""
+    import pandas as pd
+
+    from .join import bucketed_group_apply
+
+    if op not in ("union", "intersect", "difference"):
+        raise ValueError(f"unknown op {op!r}")
+    a = _to_level(a_ds, level, col).map_batches(
+        lambda t: pa.table({col: t[col],
+                            "side": pa.array(
+                                np.zeros(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    b = _to_level(b_ds, level, col).map_batches(
+        lambda t: pa.table({col: t[col],
+                            "side": pa.array(
+                                np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({col: pa.array([], pa.int64())})
+        cells = g[col].to_numpy().astype(np.int64)
+        side = g["side"].to_numpy()
+        in_a = np.unique(cells[side == 0])
+        in_b = np.unique(cells[side == 1])
+        if op == "union":
+            out = np.union1d(in_a, in_b)
+        elif op == "intersect":
+            out = np.intersect1d(in_a, in_b)
+        else:
+            out = np.setdiff1d(in_a, in_b)
+        return pa.table({col: out})
+
+    merged = bucketed_group_apply(a.union(b), col, per_bucket,
+                                  num_buckets=num_buckets)
+    return s2_compact(merged, col=col,
+                      num_buckets=num_buckets) if compact else merged

@@ -136,3 +136,37 @@ def test_compact_pool_floor():
     assert set(out.tolist()) == {int(root[0])}
     out6 = _compact_pool(kids.view(np.int64), floor_level=6)
     assert set(out6.tolist()) == set(kids.view(np.int64).tolist())
+
+
+def test_cover_set_ops(ray_session):
+    from osm_cut_ray.stages.cell_compact import cover_set_op
+
+    a_cells = _dense_cells(10)
+    b_cells = _dense_cells(11)
+    a_set = set(a_cells.tolist())
+    b_set = set(b_cells.tolist())
+    for op, exp in (("union", a_set | b_set),
+                    ("intersect", a_set & b_set),
+                    ("difference", a_set - b_set)):
+        res = cover_set_op(_ds(sorted(a_set)), _ds(sorted(b_set)),
+                           op, level=7, compact=False)
+        assert _cells_of(res) == exp, op
+        # compacted result round-trips to the same flat set
+        comp = cover_set_op(_ds(sorted(a_set)), _ds(sorted(b_set)),
+                            op, level=7)
+        back = _cells_of(s2_uncompact(comp, 7))
+        assert back == exp, op
+
+
+def test_cover_set_ops_multilevel_and_validation(ray_session):
+    from osm_cut_ray.stages.cell_compact import cover_set_op
+
+    # a level-4 super-cell minus one of its level-6 children
+    root = s2_cell_id(np.array([5.0]), np.array([45.0]), 4)
+    child = sorted(_cells_of(s2_uncompact(_ds(root, parts=1), 6)))
+    diff = cover_set_op(_ds(root, parts=1), _ds(child[:1], parts=1),
+                        "difference", level=6)
+    got = _cells_of(s2_uncompact(diff, 6))
+    assert got == set(child[1:])
+    with pytest.raises(ValueError, match="unknown op"):
+        cover_set_op(_ds(root), _ds(root), "xor", level=6)
