@@ -481,7 +481,8 @@ _PR_SCALE = 1_000_000_000_000  # int64 fixed point, 1e-12 rank units
 
 def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
              engine: str = "auto",
-             max_broadcast_nodes: int = 50_000_000):
+             max_broadcast_nodes: int = 50_000_000,
+             seeds: dict | None = None):
     """PageRank over the directed edge list -> Dataset (node, rank)
     with float64 rank summing to ~1. Fixed-point-int64 power
     iteration: per-edge contributions are exact integer divisions,
@@ -502,10 +503,17 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
     never holds more than the cap on the driver."""
     if engine not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown engine {engine!r}")
+    # personalized teleport (seeds: node -> weight): residual mass
+    # (teleport + dangling + truncation) lands on the seed set via an
+    # exact largest-remainder split of the SAME quantized weights in
+    # both engines (bit-for-bit pinned in tests/test_ppr.py)
+    from .score_flow import quantize_seeds
+    qseeds = quantize_seeds(seeds) if seeds is not None else None
     if engine == "shuffle":
         from .score_flow import pagerank_shuffle
         return pagerank_shuffle(edges_ds, damping=damping,
-                                n_iter=n_iter, scale=_PR_SCALE)
+                                n_iter=n_iter, scale=_PR_SCALE,
+                                seeds=qseeds)
     edges_ds = edges_ds.materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -536,7 +544,8 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
                 "component first")
         from .score_flow import pagerank_shuffle
         return pagerank_shuffle(edges_ds, damping=damping,
-                                n_iter=n_iter, scale=_PR_SCALE)
+                                n_iter=n_iter, scale=_PR_SCALE,
+                                seeds=qseeds)
     node_ids, outdeg = merged
     n = len(node_ids)
     if n == 0:
@@ -545,6 +554,15 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             "rank": pa.array([], pa.float64())}))
 
     damp_num, damp_den = int(round(damping * 1000)), 1000
+    if qseeds is not None:
+        seed_nodes, seed_wq = qseeds
+        seed_pos = np.searchsorted(node_ids, seed_nodes)
+        ok = (seed_pos < n) & (node_ids[np.minimum(seed_pos, n - 1)]
+                               == seed_nodes)
+        if not ok.all():
+            raise ValueError(
+                f"pagerank: {int((~ok).sum())} seed node(s) not "
+                "present in the graph")
     rank = np.full(n, _PR_SCALE // n, np.int64)
     rank[: _PR_SCALE % n] += 1  # exact total mass
 
@@ -575,8 +593,12 @@ def pagerank(edges_ds, *, damping: float = 0.85, n_iter: int = 20,
             np.add.at(inflow, np.searchsorted(node_ids, sk), sv)
         new = (inflow * damp_num) // damp_den
         residual = _PR_SCALE - int(new.sum())  # teleport + dangling + truncation
-        new += residual // n
-        new[: residual % n] += 1
+        if qseeds is None:
+            new += residual // n
+            new[: residual % n] += 1
+        else:
+            from .score_flow import seed_allocation
+            new[seed_pos] += seed_allocation(residual, seed_wq)
         rank = new
 
     out = pa.table({"node": pa.array(node_ids),

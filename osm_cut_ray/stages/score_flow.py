@@ -216,7 +216,7 @@ def _flat(ds, scale: int, n: int, out_col: str):
 
 def pagerank_shuffle(edges_ds, *, damping: float, n_iter: int,
                      src_col: str = "src", dst_col: str = "dst",
-                     scale: int):
+                     scale: int, seeds=None):
     """All-shuffle PageRank, bit-for-bit equal to
     `stages/route.py:pagerank`'s broadcast loop (pinned in
     tests/test_score_flow.py). Per iteration: ONE edge attach + ONE
@@ -230,13 +230,53 @@ def pagerank_shuffle(edges_ds, *, damping: float, n_iter: int,
             "rank": pa.array([], pa.float64())}))
     state, n = node_state(edges, with_outdeg=True)
     return _pagerank_loop(edges, state, n, damping=damping,
-                          n_iter=n_iter, scale=scale)
+                          n_iter=n_iter, scale=scale, seeds=seeds)
+
+
+def quantize_seeds(seeds: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Personalization dict -> (sorted seed node ids, int64 weight
+    quanta). Weights quantize to round(w * 1e9) (RAISES on
+    non-positive); both engines allocate residual mass from these
+    SAME integers, which is what keeps them bit-for-bit equal."""
+    if not seeds:
+        raise ValueError("pagerank: empty seeds dict")
+    nodes = np.array(sorted(int(k) for k in seeds), np.int64)
+    wq = np.array([int(round(float(seeds[int(k)]) * 1_000_000_000))
+                   for k in nodes], np.int64)
+    if (wq <= 0).any():
+        raise ValueError("pagerank: seed weights must be positive")
+    return nodes, wq
+
+
+def seed_allocation(residual: int, wq: np.ndarray) -> np.ndarray:
+    """Exact largest-remainder split of `residual` rank quanta over
+    the seed weights (python-int products — residual * wq overflows
+    int64). Deterministic: remainder goes to the first seeds in
+    node-id order."""
+    if residual < 0:
+        raise RuntimeError("pagerank: negative residual mass")
+    total = int(wq.sum())
+    base = [residual * int(w) // total for w in wq]
+    out = np.array(base, np.int64)
+    out[: residual - sum(base)] += 1
+    return out
 
 
 def _pagerank_loop(edges, state, n: int, *, damping: float,
-                   n_iter: int, scale: int):
+                   n_iter: int, scale: int, seeds=None):
     damp_num, damp_den = int(round(damping * 1000)), 1000
     state = _flat(state, scale, n, "rank").materialize()
+    if seeds is not None:
+        seed_nodes, seed_wq = seeds
+        sref_check = state.map_batches(
+            lambda t: pa.table({"n": pa.array([int(np.isin(
+                _np(t, "node"), seed_nodes).sum())])}),
+            batch_format="pyarrow")
+        matched = sum(r["n"] for r in sref_check.take_all())
+        if matched != len(seed_nodes):
+            raise ValueError(
+                f"pagerank: {len(seed_nodes) - matched} seed "
+                "node(s) not present in the graph")
 
     for _ in range(n_iter):
         def to_share(t: pa.Table) -> pa.Table:
@@ -264,14 +304,31 @@ def _pagerank_loop(edges, state, n: int, *, damping: float,
                                     batch_format="pyarrow") \
             .materialize()
         residual = scale - _sum_col(pre_ds, "pre")
-        q, r = divmod(residual, n)
+        if seeds is None:
+            q, r = divmod(residual, n)
 
-        def finish(t: pa.Table) -> pa.Table:
-            idx = _np(t, "idx")
-            rank = _np(t, "pre") + q + (idx < r).astype(np.int64)
-            return pa.table({"node": t["node"], "outdeg": t["outdeg"],
-                             "idx": t["idx"],
-                             "rank": pa.array(rank)})
+            def finish(t: pa.Table) -> pa.Table:
+                idx = _np(t, "idx")
+                rank = _np(t, "pre") + q \
+                    + (idx < r).astype(np.int64)
+                return pa.table({"node": t["node"],
+                                 "outdeg": t["outdeg"],
+                                 "idx": t["idx"],
+                                 "rank": pa.array(rank)})
+        else:
+            alloc = seed_allocation(residual, seed_wq)
+
+            def finish(t: pa.Table) -> pa.Table:
+                node = _np(t, "node")
+                pos = np.searchsorted(seed_nodes, node)
+                pos = np.minimum(pos, len(seed_nodes) - 1)
+                hit = seed_nodes[pos] == node
+                add = np.where(hit, alloc[pos], 0)
+                return pa.table({"node": t["node"],
+                                 "outdeg": t["outdeg"],
+                                 "idx": t["idx"],
+                                 "rank": pa.array(_np(t, "pre")
+                                                  + add)})
 
         state = pre_ds.map_batches(finish,
                                    batch_format="pyarrow") \
