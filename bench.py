@@ -3546,6 +3546,37 @@ def _extra_alt(sf_dir: str):
     return pa.table({"total_cm": [tot]})
 
 
+def _extra_label_spread(sf_dir: str):
+    """Frozen-frontier label spreading: 8 seed classes over a
+    500k-node small-world graph (ring + hashed long links, ~log n
+    diameter); one zero-shuffle vote pass per round."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.label_spread import label_spread
+
+    N = 500_000
+
+    def synth(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring = (i + 1) % N
+        far = (i.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               >> np.uint64(20)).astype(np.int64) % N
+        src = np.concatenate([i, ring, i, far])
+        dst = np.concatenate([ring, i, far, i])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = rd.range(N, override_num_blocks=32)\
+        .map_batches(synth, batch_format="pyarrow")
+    seeds = rd.from_arrow(pa.table({
+        "node": pa.array([j * 61_223 for j in range(8)], pa.int64()),
+        "label": pa.array(list(range(8)), pa.int64())}))
+    res = label_spread(edges, seeds, max_rounds=64).materialize()
+    assert res.count() == N
+    return res
+
+
 def _extra_scc(sf_dir: str):
     """SCC labels + condensation DAG over a 300k-node / 1M-edge
     random digraph (giant SCC regime): driver Tarjan under the edge
@@ -3848,6 +3879,7 @@ EXTRA_SET = {
     "turn_graph_10k": _extra_turns,
     "travel_time_sssp_10k": _extra_travel_time,
     "way_length_stats_20k": _extra_geom_stats,
+    "label_spread_500k": _extra_label_spread,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
