@@ -3546,6 +3546,47 @@ def _extra_alt(sf_dir: str):
     return pa.table({"total_cm": [tot]})
 
 
+def _extra_conflate(sf_dir: str):
+    """POI conflation 100k x 100k (every 3rd B point is a shifted,
+    typo'd twin of an A point): spatial candidates -> name gate ->
+    best match."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.pipelines.conflate import conflate_pois
+
+    def mk(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            i = t["id"].to_numpy(zero_copy_only=False)\
+                .astype(np.int64)
+            h = i.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            lon = (h >> np.uint64(20)).astype(np.float64) \
+                % 100_000 / 10_000.0
+            lat = (h >> np.uint64(40)).astype(np.float64) \
+                % 100_000 / 10_000.0
+            if side:
+                twin = i % 3 == 0
+                lon = np.where(twin, lon + 1e-5, (lon + 3.0) % 10.0)
+                lat = np.where(twin, lat + 1e-5, (lat + 3.0) % 10.0)
+            names = [f"poi {int(v)}" + ("x" if side and v % 3 == 0
+                                        else "")
+                     for v in (i % 200_000)]
+            return pa.table({
+                "id": pa.array(i + (1_000_000 if side else 0)),
+                "lon": pa.array(lon), "lat": pa.array(lat),
+                "name": pa.array(names, pa.large_string())})
+        return fn
+
+    a = rd.range(100_000, override_num_blocks=16)\
+        .map_batches(mk(0), batch_format="pyarrow")
+    b = rd.range(100_000, override_num_blocks=16)\
+        .map_batches(mk(1), batch_format="pyarrow")
+    res = conflate_pois(a, b, eps=0.001, name_d_max=1).materialize()
+    assert res.count() > 0
+    return res
+
+
 def _extra_label_spread(sf_dir: str):
     """Frozen-frontier label spreading: 8 seed classes over a
     500k-node small-world graph (ring + hashed long links, ~log n
@@ -3880,6 +3921,7 @@ EXTRA_SET = {
     "travel_time_sssp_10k": _extra_travel_time,
     "way_length_stats_20k": _extra_geom_stats,
     "label_spread_500k": _extra_label_spread,
+    "conflate_pois_100k": _extra_conflate,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
