@@ -3546,6 +3546,30 @@ def _extra_alt(sf_dir: str):
     return pa.table({"total_cm": [tot]})
 
 
+def _extra_resample(sf_dir: str):
+    """Per-key resample + ffill over 4M events / 20k keys: one
+    bucketed shuffle, reduceat aggregation, gap expansion."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_cut_ray.stages.resample import resample_series
+
+    def synth(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = i.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({
+            "key": (i % 20_000).astype(np.int64),
+            "ts": ((h >> np.uint64(30)).astype(np.float64)
+                   % 86_400.0),
+            "value": ((h >> np.uint64(20)).astype(np.float64)
+                      % 1000.0)})
+
+    ev = rd.range(4_000_000, override_num_blocks=64)\
+        .map_batches(synth, batch_format="pyarrow")
+    return resample_series(ev, freq=600.0, fill="ffill")
+
+
 def _extra_conflate(sf_dir: str):
     """POI conflation 100k x 100k (every 3rd B point is a shifted,
     typo'd twin of an A point): spatial candidates -> name gate ->
@@ -3922,6 +3946,7 @@ EXTRA_SET = {
     "way_length_stats_20k": _extra_geom_stats,
     "label_spread_500k": _extra_label_spread,
     "conflate_pois_100k": _extra_conflate,
+    "resample_ffill_4m": _extra_resample,
     "line_dedup_docs": _extra_line_dedup,
     "substring_dedup_docs": _extra_substring_dedup,
     "bpe_fit_encode_docs": _extra_bpe,
